@@ -1,0 +1,45 @@
+"""Durable table catalog over the testdata parquet layout.
+
+The reference keeps its "catalog" as in-process state (LMDB handles and
+stream counts assigned during serialize, reference serialize.py:456-471),
+so a deserialize only works in the same server process (SURVEY.md §1.5).
+Here the catalog is the Parquet metadata itself — schema and row counts
+live in the files, so any session can open any table.
+
+Scale notes: one directory per table; at 100 TB each table becomes a
+partitioned/bucketed directory tree and ``load`` stays identical —
+Catalyst prunes partitions from the parquet footers/manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region=5 rows, nation=25 rows regardless of scale factor).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for the SQL surface)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

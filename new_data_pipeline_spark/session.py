@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (100 TB north star): the same builder works on a cluster —
+only ``master`` and memory sizing change. AQE is on so join strategies,
+partition coalescing and skew splitting re-plan at runtime; shuffle
+partitions default to the local core count but should be ~2-3x total
+executor cores (or left to AQE's coalescing) on a real cluster.
+Session timezone is pinned to UTC so timestamp semantics match the
+DuckDB oracle (naive-UTC) and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "new_data_pipeline_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    AQE on, Arrow on (fast toPandas + pandas_udf transfers), UTC session
+    timezone, shuffle partitions sized to the machine rather than the
+    200 default (Pitfall: 200 over-parallelizes local runs and
+    under-parallelizes big clusters).
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
