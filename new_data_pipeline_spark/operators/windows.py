@@ -1,1 +1,185 @@
-"""(stub — populated in a later milestone this round)"""
+"""Window-function operators: ranking, lag/lead, running/sliding frames.
+
+Reference analogs (SURVEY.md §2.1): sequential key assignment (K1,
+reference serialize.py:30-32,51-55) is row_number over a stable order;
+batch numbering (R3, serialize.py:670,739) is a computed bucket over
+that key — both reappear here and in sources/ingest_queries.py.
+
+Scale design: a window shuffles once on its partition key and sorts
+within partitions. Every window here partitions by a real key (never a
+global orderBy without partitioning, which would serialize onto one
+task at 100 TB — the K1 keying note in SURVEY §7 "What's hard").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey)
+                  AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority: the canonical top-k-per-group
+    (row_number + filter). Deterministic tiebreak on o_orderkey."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders
+        .select("o_orderpriority", "o_orderkey", "o_totalprice",
+                F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    tags=("window",),
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE over one global ordering.
+
+    Global (unpartitioned) windows single-task at scale — acceptable
+    only for small tables like supplier; big tables use the
+    partitioned form above.
+    """
+    supplier = catalog.load(spark, sf_dir, "supplier")
+    w = W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return supplier.select(
+        "s_suppkey", "s_nationkey", "s_acctbal",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"))
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           LAG(value, 2, -1.0) OVER w AS prev2_or_default
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "lag"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD per user ordered by time — value pass-through, so parity
+    is exact with no decimal games."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id", "event_id", "ts", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_or_default"))
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_so_far
+    FROM events
+    """,
+    tags=("window", "frame"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum/count per user (unbounded-preceding row frame).
+    Decimal accumulation keeps the running sum exact at any length."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return events.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w)
+         .cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_so_far"))
+
+
+@register(
+    "window_sliding_frame",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_last3,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_last3
+    FROM events
+    """,
+    tags=("window", "frame"),
+)
+def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row frame (moving sum + count) per user."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, W.currentRow))
+    return events.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w)
+         .cast("double").alias("sum_last3"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last3"))
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_type,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event type per user via full-partition frames,
+    collapsed with DISTINCT — a sessions-summary shape."""
+    events = catalog.load(spark, sf_dir, "events")
+    full = (W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return events.select(
+        "user_id",
+        F.first("event_type").over(full).alias("first_type"),
+        F.last("event_type").over(full).alias("last_type"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id"))
+         .cast("bigint").alias("n_events"),
+    ).distinct()

@@ -41,17 +41,22 @@ def oracle_con():
 
 
 def _canon_cell(v):
-    """Canonicalize one cell for order-insensitive exact comparison."""
+    """Canonicalize one cell for order-insensitive exact comparison.
+
+    Type-tagged so an int column can never silently equal a float column
+    (2 == 2.0 in Python, but an exact value-hash distinguishes them —
+    the driver's gate is a hash, so the local gate must be as strict).
+    """
     if v is None:
         return "∅"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
-    if isinstance(v, (np.floating,)):
-        return float(v)
-    if isinstance(v, (np.integer,)):
-        return int(v)
-    if isinstance(v, np.bool_):
-        return bool(v)
+    if isinstance(v, (float, np.floating)):
+        return f"f:{float(v)!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, _dt.datetime):
