@@ -193,7 +193,7 @@ def scalar_json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id, label,
            CAST(len(embedding) AS INTEGER) AS dim,
-           embedding[1] AS first_elem,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
            CAST(len(list_filter(embedding, x -> x > 0.2)) AS INTEGER) AS n_large,
            list_contains(embedding, 0.0) AS has_zero
@@ -211,7 +211,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label",
         F.size("embedding").cast("integer").alias("dim"),
-        F.element_at("embedding", 1).alias("first_elem"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("integer")
          .alias("n_positive"),
         F.size(F.filter("embedding", lambda x: x > F.lit(0.2).cast("float")))

@@ -1,0 +1,123 @@
+"""Tensorization primitives: deterministic keying, feature flattening,
+batch assignment.
+
+Reference analogs (SURVEY.md §2.1): K1 sequential key assignment
+(reference serialize.py:30-32,51-55,156-167 — 1-based ints in read
+order), T1 label pop (serialize.py:146-154), T2 row→float32 vector
+(serialize.py:156-167,304), R3 batch numbering with remainder drop
+(serialize.py:670,731-795). The reference's keys were ASCII strings
+iterated lexicographically (the "10" < "2" bug, SURVEY §1.4); here keys
+are int64 and ordering is explicit — we implement the intent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_keys(df: DataFrame, order_col: str, key_col: str = "key",
+                num_ranges: int | None = None) -> DataFrame:
+    """Assign contiguous 1-based int64 keys in ``order_col`` order.
+
+    Scale design (SURVEY §7 risk register): a bare
+    ``row_number().over(Window.orderBy(...))`` sorts the world in ONE
+    task. Instead: range-partition on the order column, count each
+    range, and offset per-range row numbers by the cumulative counts —
+    the zipWithIndex pattern expressed in DataFrame ops. Each window
+    then sorts only its own range. The ranges stay contiguous, so keys
+    equal the global row_number while every partition works in parallel.
+
+    The per-range count collect is O(num_ranges) driver memory — fine at
+    any scale (thousands of ranges, not rows).
+    """
+    sess = df.sparkSession
+    if num_ranges is None:
+        num_ranges = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (df.repartitionByRange(num_ranges, F.col(order_col))
+                .withColumn("__pid", F.spark_partition_id()))
+    counts = {r["__pid"]: r["cnt"] for r in
+              ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                       for x in (pid, offsets[pid])]),
+        F.col("__pid"))
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (ranged
+            .withColumn(key_col,
+                        (F.row_number().over(w) + offset_expr).cast("bigint"))
+            .drop("__pid"))
+
+
+def pop_label(df: DataFrame, label_col: str,
+              key_col: str = "key") -> tuple[DataFrame, DataFrame]:
+    """T1 label pop: split a keyed frame into (features, labels).
+
+    The reference mutated the feature frame in place and routed the
+    label series to a separate stream (serialize.py:146-154,169-173);
+    here both halves stay joinable on the key column.
+    """
+    labels = df.select(key_col, label_col)
+    features = df.drop(label_col)
+    return features, labels
+
+
+def flatten_features(df: DataFrame, feature_cols: list[str],
+                     out_col: str = "features") -> DataFrame:
+    """T2 row→vector: selected numeric columns → one array<float>.
+
+    Mirrors the reference's float32 coercion (np.asarray(dtype=float32),
+    serialize.py:304) — a projection + cast, fully codegen'd.
+    """
+    arr = F.array(*[F.col(c).cast("float") for c in feature_cols])
+    return df.withColumn(out_col, arr)
+
+
+def batch_expr(key_col: str | Column, batch_size: int) -> Column:
+    """R3 batch id for a 1-based key: floor((key-1)/batch_size)."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.floor((k - 1) / F.lit(batch_size)).cast("bigint")
+
+
+def assign_batches(df: DataFrame, batch_size: int, key_col: str = "key",
+                   batch_col: str = "batch",
+                   drop_remainder: bool = True) -> DataFrame:
+    """R3 batching: assign batch ids; optionally drop the ragged tail.
+
+    ``n_batches = n // batch_size`` with the remainder dropped is the
+    reference's epoch math (serialize.py:670); the cutoff is a filter on
+    the key, so Catalyst can push it to the scan when keys are stored.
+    """
+    out = df.withColumn(batch_col, batch_expr(key_col, batch_size))
+    if drop_remainder:
+        n = df.count()
+        n_batches = n // batch_size
+        out = out.filter(F.col(batch_col) < n_batches)
+    return out
+
+
+def batch_iterator(df: DataFrame, batch_size: int, key_col: str = "key"):
+    """ML hand-off (R3/M1 consumer contract, serialize.py:680-683):
+    iterate key-aligned batches as pandas DataFrames without collecting
+    the dataset on the driver.
+
+    ``toLocalIterator`` streams one partition at a time; upstream
+    ``repartitionByRange`` on the batch id keeps batches contiguous.
+    Epoch looping (the reference's ``while 1``) belongs to the caller.
+    """
+    batched = assign_batches(df, batch_size, key_col)
+    parts = batched.repartitionByRange(
+        max(1, batched.count() // max(batch_size, 1)), "batch", key_col)
+    current_id, buf = None, []
+    for row in parts.sortWithinPartitions("batch", key_col).toLocalIterator():
+        if current_id is not None and row["batch"] != current_id and buf:
+            yield current_id, buf
+            buf = []
+        current_id = row["batch"]
+        buf.append(row)
+    if buf:
+        yield current_id, buf

@@ -1,0 +1,142 @@
+"""Fixture-based tests for the file-ingest surface (SURVEY.md §2.1
+S4-S8, W1/R1) — the pieces DuckDB can't oracle-check.
+
+Fixture layouts copied from FIXTURES.md §B (which documents the
+reference's reader expectations, serialize.py:49,70,504-541).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from new_data_pipeline_spark.sources import ingest, sink, tensorize
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def image_tree(tmp_path_factory):
+    """B1: data_dir/<label>/<file> with fake binary payloads."""
+    root = tmp_path_factory.mktemp("imgs")
+    for label in ("cat", "dog"):
+        d = root / label
+        d.mkdir()
+        for i in range(3):
+            (d / f"img{i:03d}.png").write_bytes(
+                f"{label}-{i}".encode() * 10)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def mimo_tree(tmp_path_factory):
+    """B2: sibling subdirs rgb/ and depth/, same labels and counts."""
+    root = tmp_path_factory.mktemp("mimo")
+    for sub in ("rgb", "depth"):
+        for label in ("cat", "dog"):
+            d = root / sub / label
+            d.mkdir(parents=True)
+            for i in range(2):
+                (d / f"f{i}.png").write_bytes(f"{sub}-{label}-{i}".encode())
+    return str(root)
+
+
+def test_s4_labeled_image_dir(spark, image_tree):
+    df = ingest.read_labeled_image_dir(spark, image_tree, ext="png")
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r["label"] for r in rows} == {"cat", "dog"}
+    r0 = sorted(rows, key=lambda r: r["path"])[0]
+    assert r0["stem"] == "img000"
+    assert r0["content"] == b"cat-0" * 10
+    assert r0["length"] == len(b"cat-0" * 10)
+
+
+def test_s5_mimo_rank_join(spark, mimo_tree):
+    df = ingest.read_mimo_image_dirs(spark, mimo_tree, ["rgb", "depth"])
+    rows = {(r["label"], r["rank"]): r for r in df.collect()}
+    assert len(rows) == 4  # 2 labels × 2 ranks
+    r = rows[("cat", 1)]
+    # i-th sorted file of each subdir shares label and rank
+    assert r["content_rgb"] == b"rgb-cat-0"
+    assert r["content_depth"] == b"depth-cat-0"
+
+
+def test_s6_binding_join(spark, image_tree):
+    binding = spark.createDataFrame(
+        [("r1", "img000"), ("r2", "img002"), ("r3", "img999")],
+        "rec_id string, stem string")
+    df = ingest.read_binding_scan(
+        spark, binding, "stem", f"{image_tree}/cat", ".png")
+    got = {r["rec_id"]: r for r in df.collect()}
+    assert got["r1"]["content"] == b"cat-0" * 10
+    assert got["r3"]["content"] is None  # missing file → null, not crash
+
+
+def test_s7_csv_source(spark, tmp_path):
+    p = tmp_path / "nums.csv"
+    p.write_text("a,b,label\n1,2.5,x\n3,4.5,y\n")
+    df = ingest.read_numeric_csv(spark, str(p))
+    assert df.columns == ["a", "b", "label"]
+    assert df.count() == 2
+
+
+def test_s8_json_layouts(spark, tmp_path):
+    plain = tmp_path / "recs.json"
+    plain.write_text(json.dumps([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]))
+    df = ingest.read_json_records(spark, str(plain))
+    assert sorted(df.columns) == ["a", "b"]
+    assert df.count() == 2
+
+    keyed = tmp_path / "keyed.json"
+    keyed.write_text(json.dumps(
+        {"meta": "v1", "rows": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"},
+                                {"a": 3, "b": "z"}]}))
+    df2 = ingest.read_json_records(spark, str(keyed), data_key="rows")
+    assert sorted(df2.columns) == ["a", "b"]
+    assert df2.count() == 3
+
+
+def test_plan_end_to_end(spark, image_tree, tmp_path):
+    """Reference job-spec shape → keyed streams (T6 dispatch + K1)."""
+    csv = tmp_path / "feat.csv"
+    csv.write_text("fid,v\n10,0.1\n20,0.2\n30,0.3\n")
+    spec = {"input": [{"dataType": "image", "path": image_tree,
+                       "extension": "png"},
+                      {"dataType": "numeric", "path": str(csv)}],
+            "output": []}
+    streams = ingest.plan(spark, spec)
+    assert set(streams) == {"datumdb0", "datumdb1"}
+    img_keys = [r["key"] for r in
+                streams["datumdb0"].orderBy("key").collect()]
+    assert img_keys == [1, 2, 3, 4, 5, 6]  # contiguous, 1-based
+    with pytest.raises(ValueError, match="unknown dataType"):
+        ingest.plan(spark, {"input": [{"dataType": "bogus"}]})
+
+
+def test_w1_r1_sink_roundtrip(spark, tmp_path):
+    base = str(tmp_path / "store")
+    df = spark.range(1, 101).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("v"))
+    labels = spark.range(1, 101).select(
+        F.col("id").alias("key"), (F.col("id") % 3).alias("label"))
+    manifest = sink.write_streams(
+        {"datumdb0": df, "labeldb0": labels}, base, keys_per_file=25)
+    assert set(manifest["streams"]) == {"datumdb0", "labeldb0"}
+    assert manifest["streams"]["labeldb0"]["role"] == "output"
+
+    back = sink.read_streams(spark, base)
+    assert back["datumdb0"].count() == 100
+    joined = back["datumdb0"].join(back["labeldb0"], "key")
+    assert joined.count() == 100  # MIMO alignment on key survives storage
+
+
+def test_batch_iterator_contract(spark):
+    """R3/M1 hand-off: key-aligned batches, remainder dropped, no
+    driver-side collect of the whole set."""
+    df = spark.range(1, 11).select(F.col("id").alias("key"),
+                                   (F.col("id") * 10).alias("v"))
+    batches = list(tensorize.batch_iterator(df, batch_size=3))
+    assert [b for b, _ in batches] == [0, 1, 2]  # 10//3 = 3 batches
+    for bid, rows in batches:
+        assert [r["key"] for r in rows] == [bid * 3 + 1, bid * 3 + 2, bid * 3 + 3]
