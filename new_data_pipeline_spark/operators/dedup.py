@@ -1,1 +1,316 @@
-"""(stub — populated in a later milestone this round)"""
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+The reference has no dedup (SURVEY.md §2.2) — this is the LLM-pipeline
+extension surface. All five are oracle-checked: the hash families are
+built from md5 (identical hex in Spark and DuckDB; hex→int via
+``conv(…,16,10)`` / ``CAST('0x…' AS BIGINT)``), so even the LSH
+pipelines replay exactly in SQL.
+
+Scale design (the whole point of LSH): candidate generation is a
+band-bucket equi-join — near-linear shuffle on band keys — never an
+all-pairs cross join. Exact Jaccard runs only on candidates. At 100 TB
+the band join is the standard web-dedup layout (one shuffle per band
+set, salted if a bucket is hot); the brute-force paths below exist only
+as verification baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+
+# MinHash parameters: K hashes in B bands of R rows (K = B*R).
+MINHASH_K, MINHASH_BANDS, MINHASH_R = 8, 4, 2
+JACCARD_THRESHOLD = 0.8
+
+# word-shingle width for MinHash; char-n-gram width for ngram Jaccard
+SHINGLE_W, NGRAM_W = 3, 5
+
+
+def _spark_shingles(text_col: str = "text"):
+    """Distinct word 3-gram shingles (JVM-side higher-order funcs).
+    Caller must pre-filter to ≥ SHINGLE_W tokens: Spark's sequence(1, n)
+    runs DESCENDING for n < 1, so the guard cannot live inside."""
+    return F.expr(f"""
+        array_distinct(transform(
+          sequence(1, size(split({text_col}, ' ')) - {SHINGLE_W - 1}),
+          i -> concat_ws(' ', slice(split({text_col}, ' '), i, {SHINGLE_W}))))""")
+
+
+_SQL_SHINGLES = (f"list_distinct([array_to_string(toks[i:i+{SHINGLE_W - 1}], ' ')"
+                 f" for i in range(1, len(toks) - {SHINGLE_W - 2})])")
+
+
+def minhash_signature_expr(shingle_col: str, k: int = MINHASH_K):
+    """k minhash values: h_i = min over shingles of int64(md5(i|s)[:15])."""
+    return F.array(*[
+        F.expr(f"""array_min(transform({shingle_col},
+                 s -> CAST(conv(substring(md5(concat('{i}|', s)), 1, 15), 16, 10)
+                           AS BIGINT)))""")
+        for i in range(k)])
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), keeper AS (
+      SELECT fingerprint, MIN(doc_id) AS keeper_id, COUNT(*) AS cluster_size
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT fp.doc_id, fp.fingerprint, k.keeper_id,
+           k.cluster_size, (fp.doc_id = k.keeper_id) AS is_keeper
+    FROM fp JOIN keeper k USING (fingerprint)
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: hash-groupBy picks
+    the min-doc_id keeper per cluster — deterministic, unlike
+    dropDuplicates' arbitrary row retention.
+
+    Scale: one shuffle on the fingerprint; at 100 TB group on the md5
+    (16 bytes) rather than the text itself.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+         .alias("fingerprint"))
+    keeper = (fp.groupBy("fingerprint")
+              .agg(F.min("doc_id").alias("keeper_id"),
+                   F.count(F.lit(1)).alias("cluster_size")))
+    return (fp.join(keeper, "fingerprint")
+            .select("doc_id", "fingerprint", "keeper_id", "cluster_size",
+                    (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper")))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t
+      WHERE len(toks) >= {SHINGLE_W}
+    ), m AS (
+      SELECT doc_id, sh,
+             [list_min([CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || x), 1, 15)
+                             AS BIGINT) for x in sh])
+              for k in range(0, {MINHASH_K})] AS sig
+      FROM s
+    ), bands AS (
+      SELECT doc_id, b AS band_id,
+             CAST(sig[{MINHASH_R} * b + 1] AS VARCHAR) || ',' ||
+             CAST(sig[{MINHASH_R} * b + 2] AS VARCHAR) AS band_key
+      FROM m, range(0, {MINHASH_BANDS}) AS r(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN s sa ON sa.doc_id = c.doc_a
+    JOIN s sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash + LSH banding, verified by exact
+    shingle Jaccard ≥ 0.8.
+
+    Pipeline: word-3-gram shingles → 8 minhashes → 4 bands × 2 rows →
+    band-bucket self-join for candidates → exact Jaccard on candidates
+    only. The md5-derived hash family replays identically in the DuckDB
+    oracle, so the *whole LSH pipeline* is hash-gated, not just its
+    output shape.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    s = (docs.filter(F.size(F.split("text", " ")) >= SHINGLE_W)
+         .select("doc_id", _spark_shingles().alias("sh")))
+    m = s.withColumn("sig", minhash_signature_expr("sh"))
+    bands = m.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.concat_ws(",", *[
+                         F.element_at("sig", MINHASH_R * b + r + 1).cast("string")
+                         for r in range(MINHASH_R)]).alias("band_key"))
+            for b in range(MINHASH_BANDS)])).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ), sums AS (
+      SELECT doc_id,
+             [list_sum([CASE WHEN strpos('89abcdef', md5(w)[p]) > 0
+                             THEN 1 ELSE -1 END
+                        for w in toks])
+              for p in range(1, 17)] AS bit_sums
+      FROM t
+    )
+    SELECT CAST(list_sum([CASE WHEN bit_sums[d] > 0
+                               THEN (1::BIGINT << (d - 1)) ELSE 0 END
+                          for d in range(1, 17)]) AS BIGINT) AS simhash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS representative
+    FROM sums
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash buckets: 16-bit signature from per-token md5 hex digits
+    (digit ≥ 8 votes +1, else −1 per position); docs sharing a signature
+    are near-dup candidates.
+
+    Scale: the signature is a pure per-row expression; clustering is one
+    groupBy on a 16-bit key. (Production widens to 64 bits + Hamming-
+    neighbor probing; the pipeline shape is identical.)
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    t = docs.select("doc_id",
+                    F.array_distinct(F.split("text", " ")).alias("toks"))
+    bit_sums = F.expr("""
+        transform(sequence(1, 16), p ->
+          aggregate(toks, 0,
+            (acc, w) -> acc + CASE WHEN instr('89abcdef',
+                                             substring(md5(w), p, 1)) > 0
+                                   THEN 1 ELSE -1 END))""")
+    sums = t.select("doc_id", bit_sums.alias("bit_sums"))
+    simhash = F.expr("""
+        CAST(aggregate(sequence(1, 16), 0L,
+          (acc, d) -> acc + CASE WHEN element_at(bit_sums, d) > 0
+                                 THEN shiftleft(1L, d - 1) ELSE 0L END)
+             AS BIGINT)""")
+    return (sums.select(simhash.alias("simhash"), "doc_id")
+            .groupBy("simhash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("representative"))
+            .filter(F.col("n_docs") > 1))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             md5(substr(text, 1, 40)) AS block_key,
+             list_distinct([substr(text, i, {NGRAM_W})
+                            for i in range(1, length(text) - {NGRAM_W - 2})])
+               AS grams
+      FROM documents
+      WHERE length(text) >= {NGRAM_W}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM g a JOIN g b
+      ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(a.grams || b.grams)) >= 0.5
+    """,
+    tags=("dedup", "ngram"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard on prefix-blocked candidate pairs.
+
+    Blocking key = md5 of the 40-char prefix (cheap, deterministic);
+    exact n-gram Jaccard only within blocks. Complements MinHash: char
+    n-grams catch word-boundary edits word-shingles miss.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    g = (docs.filter(F.length("text") >= NGRAM_W)
+         .select("doc_id",
+                 F.md5(F.substring("text", 1, 40)).alias("block_key"),
+                 F.expr(f"""array_distinct(transform(
+                     sequence(1, length(text) - {NGRAM_W - 1}),
+                     i -> substring(text, i, {NGRAM_W})))""").alias("grams")))
+    a = g.select(F.col("doc_id").alias("doc_a"), "block_key",
+                 F.col("grams").alias("grams_a"))
+    b = g.select(F.col("doc_id").alias("doc_b"),
+                 F.col("block_key").alias("bk"),
+                 F.col("grams").alias("grams_b"))
+    jac = (F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+           / F.size(F.array_union("grams_a", "grams_b")))
+    return (a.join(b, (F.col("block_key") == F.col("bk"))
+                   & (F.col("doc_a") < F.col("doc_b")))
+            .filter(jac >= 0.5)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum([x * x for x in v])) AS nrm
+      FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+          / (a.nrm * b.nrm) >= 0.4
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 within label blocks
+    (semantic blocking — the brute-force fallback; the ANN path lives in
+    operators/similarity.py).
+
+    All math in float64 (both engines upcast the float32 column first);
+    cosine rounded to 4 dp for cross-engine summation-order safety.
+    """
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    n = e.withColumn(
+        "nrm", F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (a.join(b, (F.col("la") == F.col("lb"))
+                   & (F.col("vec_a") < F.col("vec_b")))
+            .filter(cos >= 0.4)
+            .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")))

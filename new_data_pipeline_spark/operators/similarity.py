@@ -1,1 +1,151 @@
-"""(stub — populated in a later milestone this round)"""
+"""Similarity search over the embeddings table: brute-force cosine
+top-k (baseline) and an LSH-bucketed approximate path (the scale
+route).
+
+The reference has no vector surface (SURVEY.md §2.2; its VideoData /
+ImgData protos stop at tensor storage) — this is the LLM-pipeline
+extension. Vector math runs as JVM higher-order functions
+(zip_with/aggregate) in float64; no Python in the row path.
+
+Scale design: brute force broadcasts the (small) query set and scans
+candidates once — O(Q·N) with no shuffle on the big side; exact but
+linear. The LSH path buckets vectors by deterministic random-hyperplane
+signs so each query probes ~N/2^bits candidates; recall is gated by a
+unit test against the brute-force baseline (tests/test_similarity.py).
+At 100 TB: partition by bucket, broadcast per-bucket centroids (IVF) —
+same plan shape, coarser buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the demo query vectors
+LSH_BITS = 4
+
+_DOT = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _normalized(emb: DataFrame) -> DataFrame:
+    """float64 vectors + L2 norm (sqrt is IEEE-correctly-rounded, so it
+    is parity-safe; only summation order needs the rounding guard)."""
+    return (emb
+            .select("vec_id", "label",
+                    F.col("embedding").cast("array<double>").alias("v"))
+            .withColumn("nrm", F.sqrt(
+                F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))))
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, c.label,
+             list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+               / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT query_id, candidate_id, label, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, candidate_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, candidate_id, label,
+           round(cos, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "topk"),
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors against one scan
+    of the corpus, rank per query with a deterministic tiebreak.
+
+    The broadcast-nested-loop stays O(Q·N) with zero shuffle of the
+    corpus; the window shuffles only Q·N scored rows on query_id — at
+    scale, pre-aggregate per partition with a bounded heap (future
+    optimization), same semantics.
+    """
+    n = _normalized(catalog.load(spark, sf_dir, "embeddings"))
+    q = (n.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    c = n.select(F.col("vec_id").alias("candidate_id"), "label",
+                 F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("query_id") != F.col("candidate_id"))
+              .withColumn("cos", F.expr(_DOT) / (F.col("qn") * F.col("cn"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("candidate_id"))
+    return (scored
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "candidate_id", "label",
+                    F.round("cos", 4).alias("cosine"), "rn"))
+
+
+def lsh_bucket_expr(vec_col: str, bits: int = LSH_BITS):
+    """Deterministic random-hyperplane LSH bucket id.
+
+    Plane p's j-th coefficient is derived from md5(p|j) mapped into
+    [-1, 1) — a fixed pseudo-random hyperplane family both reproducible
+    across runs and free of driver-side randomness. Bucket bit p =
+    sign of <v, plane_p>.
+    """
+    bit_exprs = []
+    for p in range(bits):
+        coef = (f"transform(sequence(1, size({vec_col})), "
+                f"j -> CAST(conv(substring(md5(concat('{p}|', j)), 1, 8), 16, 10)"
+                f" AS DOUBLE) / 2147483648.0 - 1.0)")
+        dot = (f"aggregate(zip_with({vec_col}, {coef}, (x, c) -> x * c), "
+               f"0D, (acc, x) -> acc + x)")
+        bit_exprs.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return F.expr(" + ".join(bit_exprs)).cast("int")
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=None,  # approximate by design; recall gated in tests/test_similarity.py
+    tags=("similarity", "lsh", "approx"),
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets with multi-probe
+    (the query's own bucket plus every Hamming-distance-1 bucket), then
+    exact cosine only on probed candidates.
+
+    Scale path: candidates shrink ~2^bits/(bits+1)-fold; the probe join
+    is an equi-join (shuffle on bucket id) instead of a broadcast scan.
+    Multi-probe trades a constant candidate-factor for recall without
+    adding hash tables — the standard LSH knob.
+    """
+    n = _normalized(catalog.load(spark, sf_dir, "embeddings"))
+    n = n.withColumn("bucket", lsh_bucket_expr("v"))
+    probes = F.array(F.col("bucket"),
+                     *[F.col("bucket").bitwiseXOR(1 << p)
+                       for p in range(LSH_BITS)])
+    q = (n.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.explode(probes).alias("probe"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    c = n.select(F.col("vec_id").alias("candidate_id"),
+                 F.col("bucket").alias("cbucket"), "label",
+                 F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    scored = (q.join(c, (F.col("probe") == F.col("cbucket"))
+                     & (F.col("query_id") != F.col("candidate_id")))
+              .withColumn("cos", F.expr(_DOT) / (F.col("qn") * F.col("cn"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("candidate_id"))
+    return (scored
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "candidate_id", "label",
+                    F.round("cos", 4).alias("cosine"), "rn"))

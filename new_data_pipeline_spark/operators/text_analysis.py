@@ -1,1 +1,234 @@
-"""(stub — populated in a later milestone this round)"""
+"""Text-analysis operators over the documents corpus: token counting,
+quality scoring, language-ID heuristic, fingerprinting, term stats.
+
+Descendants of the reference's only text operator — the CountVectorizer
+bag-of-words fit (reference serialize.py:220-235, T3 in SURVEY.md §2.1)
+— extended to the text-prep surface a training-data pipeline needs.
+
+Scale design: every metric is a built-in-function expression evaluated
+in whole-stage codegen over one scan of documents; no Python UDFs, no
+shuffle except the final aggregates. Parity design: integer counting +
+single double divisions only (no libm), so DuckDB hashes bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+# language marker words for the n-gram/stopword language-ID heuristic;
+# counts are exact substring occurrences, so both engines agree.
+LANG_MARKERS = {"en": " the ", "es": " la ", "fr": " le ", "de": " der "}
+
+
+def _occurrences(col, needle: str):
+    """Exact substring-occurrence count: (len - len(remove(needle))) / len(needle)."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+            / len(needle)).cast("bigint")
+
+
+def _sql_occurrences(expr: str, needle: str) -> str:
+    return (f"CAST((length({expr}) - length(replace({expr}, '{needle}', '')))"
+            f" / {len(needle)} AS BIGINT)")
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_distinct_tokens,
+           CAST(list_sum([CAST(ceil(length(w) / 4.0) AS BIGINT)
+                          for w in string_split(text, ' ')]) AS BIGINT)
+             AS n_bpe_est
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and a
+    BPE-style subword estimate (ceil(len/4) per word — the common
+    chars-per-token rule of thumb)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
+         .alias("n_distinct_tokens"),
+        F.expr("""CAST(aggregate(
+                    transform(split(text, ' '),
+                              w -> CAST(ceil(length(w) / 4.0) AS BIGINT)),
+                    0L, (acc, x) -> acc + x) AS BIGINT)""")
+         .alias("n_bpe_est"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS n_chars_actual,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> list_contains({list(STOPWORDS)!r}, w)))
+                  AS BIGINT) AS n_stop,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digits
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stop,
+           CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens
+             AS avg_token_len,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_digits AS DOUBLE) / n_chars_actual AS digit_ratio,
+           CASE WHEN n_tokens >= 50 AND n_stop > 0 THEN 'good'
+                WHEN n_tokens >= 20 THEN 'fair'
+                ELSE 'poor' END AS quality_band
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/digit ratios + a banded verdict —
+    the standard cheap filters before expensive LLM-data processing."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+         .cast("bigint").alias("n_stop"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", "[0-9]", "")))
+        .cast("bigint").alias("n_digits"))
+    return t.select(
+        "doc_id", "n_tokens", "n_stop",
+        ((F.col("n_chars_actual") - (F.col("n_tokens") - 1)).cast("double")
+         / F.col("n_tokens")).alias("avg_token_len"),
+        (F.col("n_stop").cast("double") / F.col("n_tokens"))
+        .alias("stopword_ratio"),
+        (F.col("n_digits").cast("double") / F.col("n_chars_actual"))
+        .alias("digit_ratio"),
+        F.when((F.col("n_tokens") >= 50) & (F.col("n_stop") > 0), "good")
+         .when(F.col("n_tokens") >= 20, "fair")
+         .otherwise("poor").alias("quality_band"))
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS declared_lang,
+             {_sql_occurrences("' ' || text || ' '", LANG_MARKERS['en'])} AS s_en,
+             {_sql_occurrences("' ' || text || ' '", LANG_MARKERS['es'])} AS s_es,
+             {_sql_occurrences("' ' || text || ' '", LANG_MARKERS['fr'])} AS s_fr,
+             {_sql_occurrences("' ' || text || ' '", LANG_MARKERS['de'])} AS s_de
+      FROM documents
+    )
+    SELECT doc_id, declared_lang, s_en, s_es, s_fr, s_de,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS predicted_lang
+    FROM scores
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word occurrence scores with a
+    deterministic argmax (ties resolve en > es > fr > de).
+
+    A real pipeline swaps the marker table for character-n-gram
+    profiles; the plumbing (score columns → argmax) is identical.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    t = docs.select(
+        "doc_id", F.col("lang").alias("declared_lang"),
+        *[_occurrences(padded, m).alias(f"s_{l}")
+          for l, m in LANG_MARKERS.items()])
+    s = {l: F.col(f"s_{l}") for l in LANG_MARKERS}
+    return t.withColumn(
+        "predicted_lang",
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en")
+         .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+         .when(s["fr"] >= s["de"], "fr")
+         .otherwise("de"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           CAST(list_reduce(
+                  [0::BIGINT] ||
+                  [ord(norm[i]) for i in range(1, least(length(norm), 64) + 1)],
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)
+             AS fp_rolling
+    FROM norm
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text md5 + a 64-char polynomial
+    rolling hash (base 31 mod 1e9+7) over normalized text — the cheap
+    keys exact dedup clusters on."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    t = docs.select("doc_id", norm.alias("norm"))
+    return t.select(
+        "doc_id",
+        F.md5("norm").alias("fp_md5"),
+        F.expr("""CAST(aggregate(
+                    transform(sequence(1, least(length(norm), 64)),
+                              i -> ascii(substring(norm, i, 1))),
+                    0L, (acc, c) -> (acc * 31 + c) % 1000000007L) AS BIGINT)""")
+         .alias("fp_rolling"))
+
+
+@register(
+    "text_term_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term,
+           COUNT(*) AS tf,
+           COUNT(DISTINCT doc_id) AS df
+    FROM toks
+    GROUP BY term
+    HAVING COUNT(*) >= 100
+    """,
+    tags=("text", "terms"),
+)
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies (the vocabulary build behind the
+    reference's CountVectorizer fit, serialize.py:230-231) for terms
+    with tf ≥ 100.
+
+    Scale design: explode → two-level aggregate; partial aggregation
+    collapses each partition's term counts before the shuffle. IDF/TF-IDF
+    weighting is a log() away — kept out of the oracle gate (libm).
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (toks.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("tf") >= 100))
