@@ -1,1 +1,111 @@
-"""(stub — populated in a later milestone this round)"""
+"""DuckDB-oracled batch projections of the streaming operators
+(SURVEY.md §7 Milestone 4): the same builder functions
+(streaming/events.py) run incremental in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+from new_data_pipeline_spark.streaming import events as ev
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (batch projection of the
+    incremental aggregation — identical plan, no watermark in batch)."""
+    return ev.tumbling_counts(catalog.load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT e.*, s.window_start
+      FROM events e,
+           UNNEST([time_bucket(INTERVAL 30 MINUTES, ts),
+                   time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES])
+             AS s(window_start)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events
+    FROM starts
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event double-
+    counts into width/slide windows (the oracle materializes both
+    candidate starts per event explicitly)."""
+    return ev.sliding_counts(catalog.load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTES
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap; end = last event
+    + gap (session_window semantics). The oracle replays the classic
+    gaps-and-islands construction — same sessions, different plan."""
+    return ev.sessionize(catalog.load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN(ts) AS first_ts,
+           COUNT(*) AS n_dropped_plus_one
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup semantics, batch projection: first event per
+    (user, type). Batch computes it as min-ts aggregation; the streaming
+    path (dropDuplicates + watermark TTL) is pinned in
+    tests/test_streaming.py against this same grouping."""
+    events = catalog.load(spark, sf_dir, "events")
+    return (events.groupBy("user_id", "event_type")
+            .agg(F.min("ts").alias("first_ts"),
+                 F.count(F.lit(1)).alias("n_dropped_plus_one")))

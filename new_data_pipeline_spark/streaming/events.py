@@ -1,0 +1,81 @@
+"""Streaming operators over the events stream: windowed aggregation,
+sessionization, stateful dedup — built once, run in batch OR streaming.
+
+Reference analog (SURVEY.md §2.1 R3/X1): the reference's "streaming" is
+an infinite batch-replay generator polled over HTTP
+(reference serialize.py:731-733, server.py:176-205). Structured
+Streaming replaces both: the same DataFrame transforms run incremental
+with watermark-bounded state.
+
+Every builder below takes a DataFrame that may come from ``spark.read``
+(batch — used by the DuckDB-oracled queries) or ``spark.readStream``
+(incremental — exercised in tests/test_streaming.py with a file source
+and memory sink). That single-definition/two-runtimes property is the
+point of the design: no operator forks on batch-vs-stream.
+
+Scale notes: windowed aggs shuffle on (window, key) with partial
+aggregation; watermarks bound state size (without one, 100 TB of
+late-data state accumulates); file-source streaming at scale becomes
+Kafka with the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark.functions.exact import money
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour",
+                    watermark: str | None = None) -> DataFrame:
+    """Tumbling-window counts/sums per event_type.
+
+    In streaming mode the watermark closes windows ``watermark`` past
+    the max observed ts and drops later-arriving rows (late-data
+    policy); in batch mode it is a no-op and every window closes.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (src.groupBy(F.window("ts", width).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(money("value")).cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "total_value"))
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str | None = None) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (src.groupBy(F.window("ts", width, slide).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "n_events"))
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str | None = None) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other
+    merge; session end = last event + gap (session_window semantics)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(money("value")).cast("double").alias("total_value"))
+            .select("user_id",
+                    F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    "n_events", "total_value"))
+
+
+def dedup_keep_first(events: DataFrame, keys: list[str],
+                     watermark: str | None = None) -> DataFrame:
+    """Stateful stream dedup: first event per key wins.
+
+    Streaming: ``dropDuplicates`` keeps per-key state; the watermark
+    bounds it (keys older than the watermark are forgotten — the
+    documented TTL trade-off). Batch: same call, exact.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return src.dropDuplicates(keys)

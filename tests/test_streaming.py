@@ -1,0 +1,96 @@
+"""True Structured-Streaming tests: the SAME builder functions used by
+the oracle-gated batch queries run incrementally from a file source
+into a memory sink, and must converge to the batch answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.streaming import events as ev
+from tests.conftest import SMOKE_DIR
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, tmp_path_factory):
+    """events table re-written as a clean (µs-timestamp) parquet dir a
+    file-source stream can tail; returns (path, schema, batch_df)."""
+    src = tmp_path_factory.mktemp("events_stream")
+    batch = catalog.load(spark, SMOKE_DIR, "events")
+    batch.write.mode("overwrite").parquet(str(src / "data"))
+    clean = spark.read.parquet(str(src / "data"))
+    return str(src / "data"), clean.schema, clean
+
+
+def _run_to_memory(stream_df, name: str):
+    q = (stream_df.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def test_streaming_tumbling_matches_batch(spark, stream_source):
+    path, schema, batch = stream_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    _run_to_memory(ev.tumbling_counts(stream), "tumble_out")
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM tumble_out").collect()}
+    want = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in ev.tumbling_counts(batch).collect()}
+    assert got == want
+
+
+def test_streaming_sessionize_matches_batch(spark, stream_source):
+    path, schema, batch = stream_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    _run_to_memory(
+        ev.sessionize(stream, watermark="1 hour"), "sess_out")
+    got = {(r["user_id"], r["session_start"]): r["n_events"]
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    want = {(r["user_id"], r["session_start"]): r["n_events"]
+            for r in ev.sessionize(batch).collect()}
+    assert got == want
+
+
+def test_streaming_dedup_drops_late_duplicates(spark, stream_source):
+    path, schema, batch = stream_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    dedup = ev.dedup_keep_first(stream, ["user_id", "event_type"],
+                                watermark="2 hours")
+    q = (dedup.writeStream.outputMode("append")
+         .format("memory").queryName("dedup_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT user_id, event_type, COUNT(*) AS n "
+                    "FROM dedup_out GROUP BY 1, 2").collect()
+    # exactly one survivor per key, and key-set equals the batch key-set
+    assert all(r["n"] == 1 for r in got)
+    want_keys = {(r["user_id"], r["event_type"])
+                 for r in batch.select("user_id", "event_type").distinct().collect()}
+    assert {(r["user_id"], r["event_type"]) for r in got} == want_keys
+
+
+def test_streaming_watermark_drops_late_rows(spark, stream_source):
+    """Late-data policy: with a watermark, a row older than
+    (max_ts - delay) arriving in a later micro-batch is dropped."""
+    path, schema, batch = stream_source
+    import pyspark.sql.types as T
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = ev.tumbling_counts(stream, watermark="10 minutes")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("wm_out").start())
+    q.processAllAvailable()
+    q.stop()
+    # append mode emits only watermark-closed windows: every emitted
+    # window must be complete (equal to batch), and the final window may
+    # legitimately be withheld
+    want = {(r["window_start"], r["event_type"]): r["n_events"]
+            for r in ev.tumbling_counts(batch).collect()}
+    got = {(r["window_start"], r["event_type"]): r["n_events"]
+           for r in spark.sql("SELECT * FROM wm_out").collect()}
+    assert got, "no windows closed"
+    for k, n in got.items():
+        assert want[k] == n
