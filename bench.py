@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}`` for the driver's BENCH_r{N}.json.
+
+Queries execute through the ``noop`` sink: full plan runs (scan →
+shuffle → agg), nothing funnels back to the driver, so the number is
+engine time, not result-transfer time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import new_data_pipeline_spark as engine
+from new_data_pipeline_spark.session import get_spark
+
+# Representative of every operator family (SURVEY.md §2): star join,
+# wide agg, big outer join, window frames, top-k, rollup, as-of join,
+# MinHash LSH dedup, cosine top-k, term stats, sessionization.
+HEADLINE = (
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "join_left_outer",
+    "join_asof_event_streams",
+    "window_running_sum",
+    "window_topk_per_group",
+    "agg_rollup",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    "text_term_stats",
+    "stream_session_window",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    engine.load_all()
+    spark = get_spark(app_name="bench")
+
+    # JVM/codegen warm-up per query family on the smallest scale factor
+    # (not timed): whole-stage-codegen JIT costs seconds per distinct
+    # plan shape and would otherwise dominate sub-second queries.
+    for name in HEADLINE:
+        engine.QUERIES[name].fn(spark, "/root/testdata/sf0.001") \
+            .write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = engine.QUERIES[name]
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(m.group(1)) if m else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

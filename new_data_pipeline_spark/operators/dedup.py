@@ -45,12 +45,26 @@ _SQL_SHINGLES = (f"list_distinct([array_to_string(toks[i:i+{SHINGLE_W - 1}], ' '
                  f" for i in range(1, len(toks) - {SHINGLE_W - 2})])")
 
 
+# Affine minhash family h_i(s) = (A[i] * base(s) + B[i]) mod P over one
+# md5-derived base hash per shingle — k hashes for the price of one md5.
+# P and the coefficients fit 64-bit: base < P ≤ 1e9+7, A[i] < P, so
+# A[i]*base + B[i] < ~1e18 < 2^63 with no overflow in either engine.
+MINHASH_P = 1_000_000_007
+MINHASH_A = (472_882_049, 741_103_597, 386_910_137, 104_395_303,
+             236_887_691, 984_443_609, 922_717_207, 533_000_401)
+MINHASH_B = (268_435_399, 785_685_301, 417_793_621, 675_977_531,
+             354_875_821, 86_028_157, 611_953_517, 177_635_683)
+
+
 def minhash_signature_expr(shingle_col: str, k: int = MINHASH_K):
-    """k minhash values: h_i = min over shingles of int64(md5(i|s)[:15])."""
+    """k minhash values via the affine family over one base hash:
+    base = int64(md5(s)[:15]) mod P; h_i = (A_i*base + B_i) mod P."""
+    base = (f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+            f" % {MINHASH_P}")
     return F.array(*[
         F.expr(f"""array_min(transform({shingle_col},
-                 s -> CAST(conv(substring(md5(concat('{i}|', s)), 1, 15), 16, 10)
-                           AS BIGINT)))""")
+                 s -> ({MINHASH_A[i]}L * ({base}) + {MINHASH_B[i]}L)
+                      % {MINHASH_P}))""")
         for i in range(k)])
 
 
@@ -100,12 +114,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t
       WHERE len(toks) >= {SHINGLE_W}
+    ), base AS (
+      SELECT doc_id, sh,
+             [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % {MINHASH_P}
+              for x in sh] AS hs
+      FROM s
     ), m AS (
       SELECT doc_id, sh,
-             [list_min([CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || x), 1, 15)
-                             AS BIGINT) for x in sh])
+             [list_min([([{','.join(str(a) for a in MINHASH_A)}][k + 1] * h
+                         + [{','.join(str(b) for b in MINHASH_B)}][k + 1])
+                        % {MINHASH_P} for h in hs])
               for k in range(0, {MINHASH_K})] AS sig
-      FROM s
+      FROM base
     ), bands AS (
       SELECT doc_id, b AS band_id,
              CAST(sig[{MINHASH_R} * b + 1] AS VARCHAR) || ',' ||
@@ -139,8 +159,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     output shape.
     """
     docs = catalog.load(spark, sf_dir, "documents")
+    # Persist the shingle sets: the plan consumes them four times (band
+    # build ×2 via the self-join, Jaccard verify ×2) and recomputing the
+    # shingle+minhash subtree dominated the un-persisted runtime ~5×.
     s = (docs.filter(F.size(F.split("text", " ")) >= SHINGLE_W)
-         .select("doc_id", _spark_shingles().alias("sh")))
+         .select("doc_id", _spark_shingles().alias("sh"))
+         .persist())
     m = s.withColumn("sig", minhash_signature_expr("sh"))
     bands = m.select(
         "doc_id",
@@ -151,6 +175,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for r in range(MINHASH_R)]).alias("band_key"))
             for b in range(MINHASH_BANDS)])).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.band_key") == F.col("b.band_key"))

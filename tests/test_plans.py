@@ -1,0 +1,59 @@
+"""Physical-plan assertions: the scale guarantees the engine claims
+(predicate pushdown, column pruning, broadcast dims, partial
+aggregation) must be visible in explain() output, not just hoped for.
+
+These tests pin the *plan shape*, so a refactor that silently turns a
+broadcast join into a shuffle join or drops a pushed filter fails CI
+even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import new_data_pipeline_spark as engine
+from tests.conftest import SF_DIR
+
+engine.load_all()
+
+
+def plan_text(spark, name: str) -> str:
+    df = engine.QUERIES[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_broadcasts_dims_and_pushes_filter(spark):
+    p = plan_text(spark, "flagship_revenue_by_nation")
+    assert "BroadcastHashJoin" in p, "dimension joins must broadcast"
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1], \
+        "shipdate filter must reach the parquet scan"
+
+
+def test_projection_filter_prunes_and_pushes(spark):
+    p = plan_text(spark, "projection_filter")
+    pushed = p.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "o_totalprice" in pushed and "o_orderstatus" in pushed
+    schema = p.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "o_orderdate" not in schema, "unused columns must be pruned from the scan"
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    p = plan_text(spark, "pricing_summary")
+    assert "partial_sum" in p or "partial_count" in p, \
+        "aggregate must combine map-side before the shuffle"
+
+
+def test_bruteforce_topk_broadcasts_queries(spark):
+    p = plan_text(spark, "sim_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, \
+        "query vectors must broadcast; corpus must not shuffle"
+
+
+def test_no_cartesian_in_minhash(spark):
+    p = plan_text(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in p, \
+        "LSH candidate generation must be an equi-join on band keys"
