@@ -202,6 +202,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("fp_rolling"))
 
 
+BOW_VOCAB = 100
+
+
+@register(
+    "text_bow_vectorize",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS tf FROM toks GROUP BY term
+    ), vocab AS (
+      SELECT term,
+             CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS INTEGER) AS term_id
+      FROM counts
+      QUALIFY term_id <= {BOW_VOCAB}
+    ), doc_terms AS (
+      SELECT t.doc_id, v.term_id, COUNT(*) AS cnt
+      FROM toks t JOIN vocab v USING (term)
+      GROUP BY t.doc_id, v.term_id
+    )
+    SELECT doc_id,
+           list(term_id ORDER BY term_id) AS term_ids,
+           list(CAST(cnt AS INTEGER) ORDER BY term_id) AS counts
+    FROM doc_terms
+    GROUP BY doc_id
+    """,
+    tags=("text", "bow"),
+)
+def text_bow_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 descendant: bag-of-words vectorization with a DETERMINISTIC
+    vocabulary (rank by count desc, then term — Spark ML's
+    CountVectorizer breaks count ties arbitrarily, so the oracle-gated
+    path builds the vocab relationally; sparse (term_ids, counts)
+    arrays are the vector, reference serialize.py:220-235).
+
+    Scale: vocab build = one agg + top-V (broadcastable); doc vectors =
+    explode + join-on-broadcast-vocab + grouped sort — no Python, no
+    fit/transform state outside the plan.
+    """
+    from pyspark.sql import Window
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.col("tf").desc(), "term")
+    vocab = (counts
+             .withColumn("term_id", F.row_number().over(w).cast("integer"))
+             .filter(F.col("term_id") <= BOW_VOCAB)
+             .select("term", "term_id"))
+    doc_terms = (toks.join(F.broadcast(vocab), "term")
+                 .groupBy("doc_id", "term_id")
+                 .agg(F.count(F.lit(1)).cast("integer").alias("cnt")))
+    pairs = (doc_terms.groupBy("doc_id")
+             .agg(F.sort_array(F.collect_list(F.struct("term_id", "cnt")))
+                  .alias("pairs")))
+    return pairs.select(
+        "doc_id",
+        F.expr("transform(pairs, p -> p.term_id)").alias("term_ids"),
+        F.expr("transform(pairs, p -> p.cnt)").alias("counts"))
+
+
 @register(
     "text_term_stats",
     oracle="""

@@ -1,0 +1,90 @@
+"""Physical-layout strategies for 100 TB: bucketed co-located joins,
+skew salting, and range-partitioned writes.
+
+None of these change query RESULTS — they change where shuffles happen,
+which is the difference between hours and minutes at scale. Tests
+(tests/test_physical.py) assert the plan properties directly.
+
+Reference contrast (SURVEY.md §4): the reference's entire physical
+model is three daemon threads and two queues on one box
+(reference serialize.py:403-405,622-634); these strategies are what
+replaces it when the data no longer fits one box.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str,
+                   n_buckets: int = 8) -> None:
+    """Persist a table bucketed (hash-partitioned on disk) by the join
+    key. Two tables bucketed the same way join WITHOUT a shuffle: each
+    task reads matching bucket files from both sides.
+
+    At 100 TB this is how the lineitem⋈orders join avoids re-shuffling
+    600 GB per query: pay the shuffle once at write time, reuse forever.
+    (saveAsTable because bucket metadata lives in the catalog.)
+    """
+    spark = df.sparkSession
+    # The default catalog is per-session (in-memory) but the warehouse
+    # directory persists — drop both the entry and any orphaned
+    # location so re-runs don't hit LOCATION_ALREADY_EXISTS.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    if wh:
+        import shutil
+        shutil.rmtree(os.path.join(wh, table_name.lower()),
+                      ignore_errors=True)
+    (df.write.mode("overwrite")
+       .bucketBy(n_buckets, key).sortBy(key)
+       .format("parquet")
+       .saveAsTable(table_name))
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  left_key: str, right_key: str) -> DataFrame:
+    """Join two same-bucketed catalog tables; with matching bucket specs
+    Catalyst plans SortMergeJoin with NO Exchange on either side."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, lt[left_key] == rt[right_key])
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: explode the small side n_salts×, salt
+    the big side's key pseudo-randomly, join on (key, salt).
+
+    A hot key (one user with 10% of all events) lands in ONE shuffle
+    partition in a plain join; salting splits it across n_salts
+    partitions. AQE's skew-join handles moderate skew automatically —
+    salting is the explicit tool for the pathological tail. The salt is
+    derived from stable columns (hash of all of them), not rand(), so
+    results stay deterministic and retried tasks agree.
+    """
+    salt = (F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+            .cast("int"))
+    salted_left = left.withColumn("__salt", salt)
+    salted_right = (right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))))
+    out = salted_left.join(salted_right,
+                           on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def write_range_sorted(df: DataFrame, path: str, key: str,
+                       n_files: int | None = None) -> None:
+    """Range-partition + sort by key before writing so parquet row-group
+    min/max stats prune key-range scans (the R3 batch-scan layout —
+    each batch's key range maps to O(1) files)."""
+    n = n_files or int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    (df.repartitionByRange(n, F.col(key))
+       .sortWithinPartitions(key)
+       .write.mode("overwrite").parquet(path))

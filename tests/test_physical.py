@@ -1,0 +1,86 @@
+"""Plan-property tests for the physical-layout strategies: bucketed
+joins must not shuffle, salted joins must produce identical results to
+plain joins while splitting hot keys."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.plans import physical
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = catalog.load(spark, SF_DIR, "orders")
+    lineitem = catalog.load(spark, SF_DIR, "lineitem") \
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    physical.write_bucketed(orders, "orders_b", "o_orderkey")
+    physical.write_bucketed(lineitem, "lineitem_b", "l_orderkey")
+
+    # at bench scale the planner prefers broadcast (which ignores
+    # buckets); disable it to exercise the big-big case bucketing is
+    # FOR — at 100 TB neither side broadcasts.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = physical.bucketed_join(spark, "lineitem_b", "orders_b",
+                                        "l_orderkey", "o_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, \
+            "same-bucketed tables must join shuffle-free"
+        # and the result is the same as the plain join
+        plain = lineitem.join(orders,
+                              lineitem.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_matches_plain_join(spark):
+    events = catalog.load(spark, SF_DIR, "events") \
+        .select("user_id", "event_id", "value")
+    users = (events.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    plain = events.join(users, "user_id")
+    salted = physical.salted_join(events, users, "user_id", n_salts=4)
+    assert salted.count() == plain.count()
+    a = {(r["event_id"], r["n_events"]) for r in plain.collect()}
+    b = {(r["event_id"], r["n_events"]) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_splits_hot_key(spark):
+    """The hot key's rows must spread across multiple salt values."""
+    events = catalog.load(spark, SF_DIR, "events") \
+        .select("user_id", "event_id", "value")
+    salt = F.pmod(F.hash(*[F.col(c) for c in events.columns]), F.lit(4))
+    hot = (events.withColumn("__salt", salt)
+           .groupBy("user_id", "__salt").count()
+           .groupBy("user_id").count()
+           .agg(F.max("count").alias("max_salts")).collect()[0])
+    assert hot["max_salts"] >= 3, "salting failed to spread a hot key"
+
+
+def test_range_sorted_write_prunes(spark, tmp_path):
+    df = catalog.load(spark, SF_DIR, "documents")
+    out = str(tmp_path / "docs_ranged")
+    physical.write_range_sorted(df, out, "doc_id", n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # key-range predicate reads a subset of files via min/max pruning;
+    # correctness check (pruning itself shows as scan metrics, not plan)
+    assert back.filter(F.col("doc_id") < 10).count() == \
+        df.filter(F.col("doc_id") < 10).count()
