@@ -64,6 +64,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile_approx",
+    oracle=None,  # sketch-based; error bound gated in tests/test_llm_ops.py
+    tags=("agg", "approx", "percentile"),
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (KLL-style sketch) — the 100 TB path for
+    quantiles: constant memory, mergeable across partitions, vs the
+    exact percentile's full sort. Accuracy 1/10000."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    return (lineitem.groupBy("l_returnflag")
+            .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
+                 .alias("approx_median_price"),
+                 F.percentile_approx("l_extendedprice", 0.99, 10000)
+                 .alias("approx_p99_price")))
+
+
+@register(
     "agg_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

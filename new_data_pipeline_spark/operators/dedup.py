@@ -248,6 +248,95 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_docs") > 1))
 
 
+SIMHASH64_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 16-bit chunks equal
+HAMMING_MAX = 3
+
+
+@register(
+    "dedup_simhash64_hamming",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             [CAST(list_sum([CASE WHEN
+                 (CAST('0x' || md5(w)[1 + b // 4] AS INTEGER) >> (b % 4)) % 2 = 1
+                 THEN 1 ELSE -1 END for w in toks]) AS BIGINT)
+              for b in range(0, 64)] AS bit_sums
+      FROM t
+    ), h AS (
+      SELECT doc_id,
+             [CAST(list_sum([CASE WHEN bit_sums[c * 16 + d + 1] > 0
+                                  THEN (1::BIGINT << d) ELSE 0 END
+                             for d in range(0, 16)]) AS BIGINT)
+              for c in range(0, {SIMHASH64_CHUNKS})] AS chunks
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.chunks AS ca, b.chunks AS cb
+      FROM h a, range(0, {SIMHASH64_CHUNKS}) r(c)
+      JOIN h b ON a.chunks[r.c + 1] = b.chunks[r.c + 1]
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(list_sum([bit_count(xor(ca[i], cb[i]))
+                          for i in range(1, {SIMHASH64_CHUNKS} + 1)]) AS INTEGER)
+             AS hamming
+    FROM cand
+    WHERE list_sum([bit_count(xor(ca[i], cb[i]))
+                    for i in range(1, {SIMHASH64_CHUNKS} + 1)]) <= {HAMMING_MAX}
+    """,
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs within Hamming distance ≤ 3, found
+    WITHOUT an all-pairs scan: the signature splits into 4 16-bit
+    chunks, and any pair within Hamming 3 must share ≥1 exact chunk
+    (pigeonhole) — so candidates come from 4 chunk-equality joins.
+
+    Signature: bit b votes +1 when bit (b mod 4) of hex digit (b div 4)
+    of md5(token) is set, summed over distinct tokens. This is the
+    production-shape SimHash dedup (64-bit + banded Hamming probing);
+    the 16-bit ``dedup_simhash`` variant above is its didactic little
+    sibling.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    t = docs.select("doc_id",
+                    F.array_distinct(F.split("text", " ")).alias("toks"))
+    bit_sums = F.expr("""
+        transform(sequence(0, 63), b ->
+          aggregate(toks, 0L, (acc, w) -> acc +
+            CASE WHEN (CAST(conv(substring(md5(w), 1 + div(b, 4), 1), 16, 10)
+                            AS INT) >> pmod(b, 4)) % 2 = 1
+                 THEN 1L ELSE -1L END))""")
+    chunks = F.expr(f"""
+        transform(sequence(0, {SIMHASH64_CHUNKS - 1}), c ->
+          aggregate(sequence(0, 15), 0L,
+            (acc, d) -> acc + CASE WHEN element_at(bit_sums, c * 16 + d + 1) > 0
+                                   THEN shiftleft(1L, d) ELSE 0L END))""")
+    h = (t.select("doc_id", bit_sums.alias("bit_sums"))
+         .select("doc_id", chunks.alias("chunks"))
+         .persist())
+    hc = h.select(
+        "doc_id", "chunks",
+        F.posexplode("chunks").alias("chunk_id", "chunk_val"))
+    a = hc.select(F.col("doc_id").alias("doc_a"), F.col("chunks").alias("ca"),
+                  "chunk_id", "chunk_val")
+    b = hc.select(F.col("doc_id").alias("doc_b"), F.col("chunks").alias("cb"),
+                  F.col("chunk_id").alias("cid"), F.col("chunk_val").alias("cv"))
+    cand = (a.join(b, (F.col("chunk_id") == F.col("cid"))
+                   & (F.col("chunk_val") == F.col("cv"))
+                   & (F.col("doc_a") < F.col("doc_b")))
+            .select("doc_a", "doc_b", "ca", "cb").distinct())
+    hamming = F.expr(f"""
+        CAST(aggregate(zip_with(ca, cb, (x, y) -> bit_count(x ^ y)),
+                       0, (acc, v) -> acc + v) AS INT)""")
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""

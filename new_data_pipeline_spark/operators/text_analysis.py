@@ -202,6 +202,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("fp_rolling"))
 
 
+@register(
+    "text_tfidf",
+    oracle=None,  # ln() is libm (engines differ in last ulp); golden unit test
+    tags=("text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the corpus: tf(term,doc) · ln((N+1)/(df+1)) + 1
+    (smoothed IDF, Spark ML convention), top term per document.
+
+    Rows-only gate: idf needs ln(), whose last-ulp rounding is engine-
+    specific — semantics pinned by tests/test_llm_ops.py against a
+    numpy recomputation instead.
+
+    Scale: two aggregates (df per term, tf per doc-term) + a broadcast
+    join of the term→idf table; no ML-fit state.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    df_tbl = (toks.select("doc_id", "term").distinct()
+              .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+              .withColumn("idf", F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (tf.join(F.broadcast(df_tbl), "term")
+              .withColumn("tfidf", F.col("tf") * F.col("idf")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("term").alias("top_term"),
+                    F.round("tfidf", 6).alias("top_tfidf")))
+
+
 BOW_VOCAB = 100
 
 

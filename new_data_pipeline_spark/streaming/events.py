@@ -69,6 +69,45 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "total_value"))
 
 
+RUNNING_STATS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count + value sum, persisted in the state store
+    across micro-batches and re-emitted on every update.
+
+    This is the reference's long-lived per-stream accumulators
+    (reader flags + sample counters held in server memory, reference
+    serialize.py:417-425,665-667) rebuilt on the engine's state store:
+    fault-tolerant, partitioned by key, spillable — instead of process
+    RAM. The same GroupState API hosts arbitrary Python state (online
+    models, CUSUM detectors, …).
+
+    Batch fallback: a plain groupBy produces the same final answer;
+    tests pin stream-vs-batch equivalence.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 2)]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def dedup_keep_first(events: DataFrame, keys: list[str],
                      watermark: str | None = None) -> DataFrame:
     """Stateful stream dedup: first event per key wins.

@@ -8,8 +8,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+import new_data_pipeline_spark as engine
 from new_data_pipeline_spark.operators import dedup, multimodal, similarity
 from tests.conftest import SF_DIR
+
+engine.load_all()
 
 
 def test_minhash_finds_planted_near_dups(spark):
@@ -77,6 +80,59 @@ def test_lsh_recall_vs_bruteforce(spark):
         k = (r["query_id"], r["candidate_id"])
         if k in exact_cos:
             assert abs(r["cosine"] - exact_cos[k]) < 1e-9
+
+
+def test_approx_distinct_error_bound(spark):
+    """agg_approx_distinct carries its own exact column: HLL at rsd=0.02
+    must land within 5% of exact."""
+    from new_data_pipeline_spark.registry import QUERIES
+    for r in QUERIES["agg_approx_distinct"].fn(spark, SF_DIR).collect():
+        err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
+        assert err <= 0.05, f"HLL error {err:.3f} for {r['l_returnflag']}"
+
+
+def test_percentile_approx_error_bound(spark):
+    """Sketch quantiles within 1% of exact at accuracy=10000."""
+    from new_data_pipeline_spark.registry import QUERIES
+    from new_data_pipeline_spark import catalog
+    approx = {r["l_returnflag"]: r for r in
+              QUERIES["agg_percentile_approx"].fn(spark, SF_DIR).collect()}
+    exact = {r["l_returnflag"]: r for r in
+             catalog.load(spark, SF_DIR, "lineitem")
+             .groupBy("l_returnflag")
+             .agg(F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+                  F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"))
+             .collect()}
+    for k, e in exact.items():
+        assert abs(approx[k]["approx_median_price"] - e["p50"]) / e["p50"] < 0.01
+        assert abs(approx[k]["approx_p99_price"] - e["p99"]) / e["p99"] < 0.01
+
+
+def test_tfidf_matches_numpy(spark):
+    """Golden gate for the rows-only TF-IDF query: recompute on the
+    driver with numpy/python for a sample of documents."""
+    import math
+    from collections import Counter
+    from new_data_pipeline_spark.registry import QUERIES
+    from new_data_pipeline_spark import catalog
+
+    got = {r["doc_id"]: (r["top_term"], r["top_tfidf"]) for r in
+           QUERIES["text_tfidf"].fn(spark, SF_DIR).collect()}
+
+    docs = catalog.load(spark, SF_DIR, "documents") \
+        .select("doc_id", "text").collect()
+    n = len(docs)
+    df = Counter()
+    for r in docs:
+        df.update(set(r["text"].split(" ")))
+    for r in docs[:50]:
+        tf = Counter(r["text"].split(" "))
+        best = min(
+            ((-(c * (math.log((n + 1) / (df[t] + 1)) + 1)), t) for t, c in tf.items()))
+        want_term, want_score = best[1], -best[0]
+        gt, gs = got[r["doc_id"]]
+        assert gt == want_term, f"doc {r['doc_id']}: {gt} != {want_term}"
+        assert gs == pytest.approx(want_score, abs=1e-5)
 
 
 def test_multimodal_decode_stub(spark):

@@ -73,6 +73,35 @@ def test_streaming_dedup_drops_late_duplicates(spark, stream_source):
     assert {(r["user_id"], r["event_type"]) for r in got} == want_keys
 
 
+def test_stateful_running_stats_across_microbatches(spark, stream_source):
+    """applyInPandasWithState must carry state across micro-batches:
+    force multi-batch execution (maxFilesPerTrigger=1 over a multi-file
+    source) and check the LAST update per user equals the batch total."""
+    path, schema, batch = stream_source
+    multi = path + "_multi"
+    batch.repartition(4).write.mode("overwrite").parquet(multi)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(multi))
+    out = ev.running_user_stats(stream)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("state_out").start())
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches > 1, "test must exercise more than one micro-batch"
+    # last emitted row per user (memory sink appends every update)
+    import pandas as pd
+    upd = spark.sql("SELECT * FROM state_out").toPandas()
+    final = upd.groupby("user_id").last()
+    want = {r["user_id"]: (r["n"], round(r["tv"], 2)) for r in
+            batch.groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("value").alias("tv")).collect()}
+    for uid, (n, tv) in want.items():
+        assert final.loc[uid, "n_events"] == n
+        assert final.loc[uid, "total_value"] == pytest.approx(tv, abs=0.01)
+
+
 def test_streaming_watermark_drops_late_rows(spark, stream_source):
     """Late-data policy: with a watermark, a row older than
     (max_ts - delay) arriving in a later micro-batch is dropped."""
