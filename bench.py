@@ -34,8 +34,10 @@ HEADLINE = (
     "window_topk_per_group",
     "agg_rollup",
     "dedup_minhash_lsh",
+    "dedup_simhash64_hamming",
     "sim_bruteforce_topk",
     "text_term_stats",
+    "text_bow_vectorize",
     "stream_session_window",
 )
 

@@ -32,6 +32,7 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.composite  # noqa: F401
     import new_data_pipeline_spark.operators.subqueries  # noqa: F401
     import new_data_pipeline_spark.operators.complex_types  # noqa: F401
+    import new_data_pipeline_spark.operators.reshaping  # noqa: F401
     import new_data_pipeline_spark.operators.scalar_funcs  # noqa: F401
     import new_data_pipeline_spark.operators.dedup  # noqa: F401
     import new_data_pipeline_spark.operators.similarity  # noqa: F401

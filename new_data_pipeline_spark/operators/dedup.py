@@ -252,19 +252,50 @@ SIMHASH64_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 16-bit chunks eq
 HAMMING_MAX = 3
 
 
+from pyspark.sql.types import ArrayType, LongType  # noqa: E402
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _simhash64_chunks(texts):
+    """64-bit SimHash signature as 4×16-bit chunks, vectorized in numpy
+    per Arrow batch. Bit b votes +1 when bit (b mod 4) of hex digit
+    (b div 4) of md5(token) is set, summed over distinct tokens; the
+    sign of each sum is the signature bit — identical to the oracle's
+    DuckDB list-comprehension replay."""
+    import hashlib
+
+    import numpy as np
+
+    b = np.arange(64)
+    out = []
+    for t in texts:
+        toks = set(t.split(" "))
+        nib = np.array(
+            [[int(c, 16) for c in hashlib.md5(w.encode()).hexdigest()[:16]]
+             for w in toks], dtype=np.int64)
+        bits = (nib[:, b // 4] >> (b % 4)) & 1          # (T, 64)
+        sig = ((2 * bits - 1).sum(axis=0) > 0).astype(np.int64)
+        out.append([int((sig[c * 16:(c + 1) * 16] << np.arange(16)).sum())
+                    for c in range(SIMHASH64_CHUNKS)])
+    import pandas as pd
+    return pd.Series(out)
+
+
 @register(
     "dedup_simhash64_hamming",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
       FROM documents
+    ), hx AS (
+      SELECT doc_id, [md5(w) for w in toks] AS hs FROM t
     ), sig AS (
       SELECT doc_id,
              [CAST(list_sum([CASE WHEN
-                 (CAST('0x' || md5(w)[1 + b // 4] AS INTEGER) >> (b % 4)) % 2 = 1
-                 THEN 1 ELSE -1 END for w in toks]) AS BIGINT)
+                 (CAST('0x' || h[1 + b // 4] AS INTEGER) >> (b % 4)) % 2 = 1
+                 THEN 1 ELSE -1 END for h in hs]) AS BIGINT)
               for b in range(0, 64)] AS bit_sums
-      FROM t
+      FROM hx
     ), h AS (
       SELECT doc_id,
              [CAST(list_sum([CASE WHEN bit_sums[c * 16 + d + 1] > 0
@@ -302,21 +333,14 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    t = docs.select("doc_id",
-                    F.array_distinct(F.split("text", " ")).alias("toks"))
-    bit_sums = F.expr("""
-        transform(sequence(0, 63), b ->
-          aggregate(toks, 0L, (acc, w) -> acc +
-            CASE WHEN (CAST(conv(substring(md5(w), 1 + div(b, 4), 1), 16, 10)
-                            AS INT) >> pmod(b, 4)) % 2 = 1
-                 THEN 1L ELSE -1L END))""")
-    chunks = F.expr(f"""
-        transform(sequence(0, {SIMHASH64_CHUNKS - 1}), c ->
-          aggregate(sequence(0, 15), 0L,
-            (acc, d) -> acc + CASE WHEN element_at(bit_sums, c * 16 + d + 1) > 0
-                                   THEN shiftleft(1L, d) ELSE 0L END))""")
-    h = (t.select("doc_id", bit_sums.alias("bit_sums"))
-         .select("doc_id", chunks.alias("chunks"))
+    # Signature via a vectorized Arrow pandas UDF, NOT a SQL
+    # higher-order aggregate: the 64-bit × per-token bit-vote is
+    # interpretation-bound in Catalyst (HOF lambdas don't codegen, and
+    # projection collapse inlines the 64-element bit_sums array into
+    # every element_at — a 64× recompute; measured 226s vs <2s at
+    # sf0.01). md5 is standardized, so the DuckDB oracle replays the
+    # UDF bit-for-bit.
+    h = (docs.select("doc_id", _simhash64_chunks("text").alias("chunks"))
          .persist())
     hc = h.select(
         "doc_id", "chunks",

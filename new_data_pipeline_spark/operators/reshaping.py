@@ -1,0 +1,122 @@
+"""Reshaping & formatting operators: unpivot (stack), ordered string
+aggregation, date formatting, and the regex surface.
+
+Completes the relational-core inventory (SURVEY.md §2.2 scalar/set
+rows) with the transforms that move data between wide and long layouts
+and between typed and textual forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey,
+           unnest(['acctbal', 'nationkey']) AS metric,
+           unnest([CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)])
+             AS value
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via stack(): one row per (entity, metric).
+    The inverse of agg_pivot — together they close the reshape loop."""
+    cust = catalog.load(spark, sf_dir, "customer")
+    return (cust.filter(F.col("c_custkey") <= 500)
+            .select("c_custkey",
+                    F.expr("""stack(2,
+                        'acctbal', CAST(c_acctbal AS DOUBLE),
+                        'nationkey', CAST(c_nationkey AS DOUBLE))
+                        AS (metric, value)""")))
+
+
+@register(
+    "string_agg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("reshape", "stringagg"),
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): deterministic because the
+    collect is sorted before joining — unordered string_agg would be
+    partition-order-dependent and unhashable."""
+    nation = catalog.load(spark, sf_dir, "nation")
+    return (nation.groupBy("n_regionkey")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("n_name")))
+                 .alias("nations"),
+                 F.count(F.lit(1)).alias("n_nations")))
+
+
+@register(
+    "date_format_strings",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m') AS ym,
+           strftime(ts, '%Y-%m-%d %H:%M') AS ym_minute,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+           CAST(strptime('2024-06-15 12:00:00', '%Y-%m-%d %H:%M:%S')
+                AS TIMESTAMP) AS fixed_ts,
+           (ts < TIMESTAMP '2024-02-01') AS in_january
+    FROM events WHERE event_id < 100
+    """,
+    tags=("scalar", "date", "format"),
+)
+def date_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp↔string round-trips: date_format out, to_timestamp in
+    (Spark's yyyy-MM patterns vs the oracle's strftime — same text)."""
+    events = catalog.load(spark, sf_dir, "events")
+    return (events.filter(F.col("event_id") < 100)
+            .select("event_id",
+                    F.date_format("ts", "yyyy-MM").alias("ym"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm").alias("ym_minute"),
+                    # DATE cells reach pandas as date-vs-midnight-timestamp
+                    # depending on the engine client — emit timestamps
+                    F.to_date("ts").cast("timestamp").alias("d"),
+                    F.to_timestamp(F.lit("2024-06-15 12:00:00"),
+                                   "yyyy-MM-dd HH:mm:ss").alias("fixed_ts"),
+                    (F.col("ts") < F.lit("2024-02-01").cast("timestamp"))
+                    .alias("in_january")))
+
+
+@register(
+    "regex_surface",
+    oracle="""
+    SELECT p_partkey, p_type,
+           regexp_matches(p_type, '^[A-Z]+ ') AS starts_word,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devoweled,
+           CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS INTEGER)
+             AS n_words,
+           regexp_extract_all(p_type, '[A-Z]+')[1] AS first_word
+    FROM part
+    """,
+    tags=("scalar", "regex"),
+)
+def regex_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate / extract / global replace / extract-all.
+    Patterns stay in the Java∩RE2 common subset (character classes,
+    anchors, +) so both engines agree."""
+    part = catalog.load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", "p_type",
+        F.col("p_type").rlike(r"^[A-Z]+ ").alias("starts_word"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_type", r"[AEIOU]", "_").alias("devoweled"),
+        F.size(F.regexp_extract_all("p_type", F.lit(r"[A-Z]+"), 0))
+         .cast("integer").alias("n_words"),
+        F.element_at(F.regexp_extract_all("p_type", F.lit(r"[A-Z]+"), 0), 1)
+         .alias("first_word"))

@@ -208,8 +208,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tfidf"),
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF over the corpus: tf(term,doc) · ln((N+1)/(df+1)) + 1
-    (smoothed IDF, Spark ML convention), top term per document.
+    """TF-IDF over the corpus: tf(term,doc) · ln((N+1)/(df+1))
+    (Spark ML's IDF convention — no additive shift), top term per doc.
 
     Rows-only gate: idf needs ln(), whose last-ulp rounding is engine-
     specific — semantics pinned by tests/test_llm_ops.py against a
@@ -223,7 +223,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     df_tbl = (toks.select("doc_id", "term").distinct()
               .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-              .withColumn("idf", F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1))
+              .withColumn("idf", F.log((F.lit(n_docs) + 1) / (F.col("df") + 1))))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     scored = (tf.join(F.broadcast(df_tbl), "term")
               .withColumn("tfidf", F.col("tf") * F.col("idf")))

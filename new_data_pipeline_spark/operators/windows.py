@@ -155,6 +155,103 @@ def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_pct_cume_nth",
+    oracle="""
+    SELECT p_partkey, p_size,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(p_partkey, 3) OVER
+             (ORDER BY p_size, p_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_key
+    FROM part
+    WINDOW w AS (ORDER BY p_size, p_partkey)
+    """,
+    tags=("window", "rank"),
+)
+def window_pct_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value. The rank ratios are exact
+    rational divisions of identical ints — parity-safe doubles."""
+    part = catalog.load(spark, sf_dir, "part")
+    w = W.orderBy("p_size", "p_partkey")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return part.select(
+        "p_partkey", "p_size",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("p_partkey", 3).over(full).alias("third_key"))
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           CAST(COUNT(*) OVER (ORDER BY s_acctbal
+                               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+                AS BIGINT) AS n_within_500,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2)))
+                  OVER (ORDER BY s_acctbal
+                        RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_below_500
+    FROM supplier
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (value-based, not row-based): peers within ±500
+    account-balance units. RANGE frames include ALL value-peers —
+    different semantics from ROWS that the gate would catch if swapped."""
+    supplier = catalog.load(spark, sf_dir, "supplier")
+    w1 = W.orderBy("s_acctbal").rangeBetween(-500, 500)
+    w2 = W.orderBy("s_acctbal").rangeBetween(-500, W.currentRow)
+    return supplier.select(
+        "s_suppkey", "s_acctbal",
+        F.count(F.lit(1)).over(w1).cast("bigint").alias("n_within_500"),
+        F.sum(F.col("s_acctbal").cast("decimal(12,2)")).over(w2)
+         .cast("double").alias("sum_below_500"))
+
+
+@register(
+    "sessionize_lag",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq,
+           ts, event_id
+    FROM marked
+    """,
+    tags=("window", "session"),
+)
+def sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (lag + cumulative sum) — the
+    window-native construction of what session_window computes natively
+    (stream_session_window); exposing both proves the equivalence the
+    guide's sessionization pattern claims."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000  # exact µs, not truncated seconds
+    marked = events.select(
+        "user_id", "ts", "event_id",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                  > gap_us), 1).otherwise(0).alias("is_new"))
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return marked.select(
+        "user_id",
+        F.sum("is_new").over(cum).cast("bigint").alias("session_seq"),
+        "ts", "event_id")
+
+
+@register(
     "window_first_last",
     oracle="""
     SELECT DISTINCT user_id,

@@ -128,7 +128,7 @@ def test_tfidf_matches_numpy(spark):
     for r in docs[:50]:
         tf = Counter(r["text"].split(" "))
         best = min(
-            ((-(c * (math.log((n + 1) / (df[t] + 1)) + 1)), t) for t, c in tf.items()))
+            ((-(c * math.log((n + 1) / (df[t] + 1))), t) for t, c in tf.items()))
         want_term, want_score = best[1], -best[0]
         gt, gs = got[r["doc_id"]]
         assert gt == want_term, f"doc {r['doc_id']}: {gt} != {want_term}"

@@ -1,0 +1,78 @@
+"""Cross-checks between the Spark ML variants and the hand-built
+oracle-replayable implementations — each route gates the other."""
+
+from __future__ import annotations
+
+import pytest
+
+import new_data_pipeline_spark as engine
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.operators import ml_variants
+from tests.conftest import SF_DIR
+
+engine.load_all()
+
+pytestmark = pytest.mark.skipif(not ml_variants.HAS_ML,
+                                reason="pyspark.ml unavailable")
+
+
+def test_ml_minhash_agrees_with_handbuilt(spark):
+    """Planted near-dups (Jaccard ≥ 0.8) found by the hand-built
+    md5-MinHash pipeline must also surface via ML MinHashLSH."""
+    docs = catalog.load(spark, SF_DIR, "documents")
+    hand = {(r["doc_a"], r["doc_b"]) for r in
+            engine.QUERIES["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()}
+    ml = {(r["doc_a"], r["doc_b"]) for r in
+          ml_variants.ml_minhash_pairs(docs, threshold=0.4).collect()}
+    assert hand, "hand-built pipeline found no pairs (corpus has planted dups)"
+    missed = hand - ml
+    assert len(missed) <= len(hand) * 0.2, \
+        f"ML MinHashLSH missed {len(missed)}/{len(hand)} high-sim pairs"
+
+
+def test_ml_ann_contains_true_neighbor(spark):
+    """BRP-LSH approx neighbors for a query vector must include most of
+    the true Euclidean top-k (exact recomputed in the test)."""
+    import numpy as np
+    emb = catalog.load(spark, SF_DIR, "embeddings")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    q = 3
+    d = sorted(((np.linalg.norm(vecs[q] - v), vid)
+                for vid, v in vecs.items() if vid != q))
+    true_top5 = {vid for _, vid in d[:5]}
+    got = {r["vec_id"] for r in
+           ml_variants.ml_ann_neighbors(emb, q, k=5).collect()}
+    assert len(true_top5 & got) >= 2, \
+        f"ANN recall too low: {true_top5 & got} of {true_top5}"
+
+
+def test_ml_tfidf_top_term_agrees(spark):
+    """ML CountVectorizer+IDF's argmax matches the relational text_tfidf
+    query for most documents. Both routes use ln((N+1)/(df+1)), so a doc
+    disagrees only on score ties (argmax picks lowest vocab index, the
+    query picks lexicographically-first term) — a tie means the MAX
+    SCORES are equal, so agreement = same term OR same top score."""
+    import numpy as np
+    docs = catalog.load(spark, SF_DIR, "documents")
+    rel = {r["doc_id"]: (r["top_term"], r["top_tfidf"]) for r in
+           engine.QUERIES["text_tfidf"].fn(spark, SF_DIR).collect()}
+    ml_out = ml_variants.tfidf_vectors(docs)
+    from pyspark.ml.feature import CountVectorizer, RegexTokenizer
+    toks = RegexTokenizer(inputCol="text", outputCol="tokens",
+                          pattern=r"\s+").transform(docs)
+    cv_model = CountVectorizer(inputCol="tokens", outputCol="tf",
+                               vocabSize=4096).fit(toks)
+    vocab = cv_model.vocabulary
+    agree = total = 0
+    for r in ml_out.limit(200).collect():
+        v = r["tfidf"]
+        if v.numNonzeros() == 0:
+            continue
+        arr = v.toArray()
+        idx = int(np.argmax(arr))
+        rel_term, rel_score = rel[r["doc_id"]]
+        total += 1
+        agree += (vocab[idx] == rel_term
+                  or abs(arr[idx] - rel_score) <= 1e-6 * max(1.0, rel_score))
+    assert total > 0 and agree / total >= 0.9, f"{agree}/{total} agreement"
