@@ -67,8 +67,8 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(ts) AS INTEGER) AS m,
            CAST(day(ts) AS INTEGER) AS d,
            CAST(hour(ts) AS INTEGER) AS h,
-           date_trunc('month', ts) AS month_start,
-           date_trunc('day', ts) AS day_start,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
            CAST(date_part('dow', ts) + 1 AS INTEGER) AS dow,
            CAST(ts AS DATE) + INTERVAL 30 DAY AS ts_plus_30d,
            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_2024
