@@ -1,0 +1,138 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+The reference hands every record to training (its generator loops the
+full keyspace forever, reference serialize.py:731-795); real LLM-data
+pipelines need reproducible subsetting: train/valid/test splits, k-fold
+assignment, and per-source stratified downsampling.
+
+All three operators key the decision on a cryptographic hash of the
+stable record id — not on rand() or row position — so the assignment is
+(a) reproducible across runs, engines, and cluster sizes, (b) stable
+under repartitioning and insertion order, and (c) a pure per-row
+projection: no shuffle, no state, trivially parallel at 100 TB. The
+hex-prefix-threshold trick ("h < 'cc'" ≈ 204/256 = 79.7%) avoids any
+engine-specific hex→int conversion, keeping the DuckDB oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+
+
+def hash_bucket(id_col: str | Column) -> Column:
+    """First hex byte of md5(id) — a uniform, engine-portable 256-bucket
+    hash of a stable id column (md5 of the decimal string form)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string").cast("binary")), 1, 2)
+
+
+def assign_split(id_col: str | Column,
+                 train: str = "cc", valid: str = "e6") -> Column:
+    """train/valid/test label from the hash bucket; default thresholds
+    0xcc/0xe6 give a 79.7 / 10.2 / 10.1 % split."""
+    h = hash_bucket(id_col)
+    return (F.when(h < train, "train")
+            .when(h < valid, "valid")
+            .otherwise("test"))
+
+
+@register(
+    "split_train_test",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM (
+      SELECT CASE WHEN h < 'cc' THEN 'train'
+                  WHEN h < 'e6' THEN 'valid'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h, n_chars
+            FROM documents))
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("sampling", "split", "pipeline"),
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test assignment by hashed doc_id, summarized
+    per split (count + mean length proves the split is unbiased)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return (docs.select(assign_split("doc_id").alias("split"), "n_chars")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
+                 .alias("avg_chars"))
+            .orderBy("split"))
+
+
+@register(
+    "split_kfold_assign",
+    oracle="""
+    SELECT fold, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM (
+      SELECT doc_id,
+             CASE WHEN c < '4' THEN 0
+                  WHEN c < '8' THEN 1
+                  WHEN c < 'c' THEN 2
+                  ELSE 3 END AS fold
+      FROM (SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS c
+            FROM documents))
+    GROUP BY fold
+    ORDER BY fold
+    """,
+    tags=("sampling", "split", "pipeline"),
+)
+def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-fold cross-validation assignment from one hash nibble: folds
+    are disjoint, exhaustive, and identical on every engine and rerun."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    c = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    fold = (F.when(c < "4", 0).when(c < "8", 1).when(c < "c", 2)
+            .otherwise(3))
+    return (docs.select("doc_id", fold.alias("fold"))
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("fold"))
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT source, COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE h < thr) AS n_sampled
+    FROM (
+      SELECT source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+             CASE WHEN lang = 'en' THEN '40' ELSE '0a' END AS thr
+      FROM documents)
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("sampling", "stratified", "pipeline"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (25% of English
+    docs, ~4% of the rest — the up/down-weighting move every pretraining
+    data mix does), reported as kept-vs-total per source.
+
+    Unlike df.sample/sampleBy, the hash threshold gives the same sample
+    on every run and engine, and composes with incremental data: a new
+    batch of rows gets the same per-row verdict it would have gotten in
+    the original pass.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", "40").otherwise("0a")
+    return (docs.select("source", hash_bucket("doc_id").alias("h"),
+                        thr.alias("thr"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.count_if(F.col("h") < F.col("thr")).alias("n_sampled"))
+            .orderBy("source"))

@@ -1,0 +1,214 @@
+"""Statistical and specialty aggregates: moments, correlation/regression,
+bitwise/boolean folds, exact quantiles, argmin/argmax.
+
+The reference's only corpus-wide statistics are the CountVectorizer
+vocabulary fit (reference serialize.py:230-231) and the sample count
+(serialize.py:665-667); everything here is capability extension
+(SURVEY.md §2.2 "Aggregation").
+
+Determinism strategy: builtin stddev/corr/regr_* use streaming update
+formulas (Welford-style) whose double rounding differs across engines,
+so those would fail an exact value-hash gate. Instead the moment/
+correlation queries aggregate *exact sufficient statistics* — integer
+and decimal sums that are associative and order-independent — and
+derive the statistics with one identical double expression in both
+engines. That is also the right 100 TB design: sufficient statistics
+are a single map-side-combinable pass (one narrow shuffle row per
+group), and extend to any post-hoc stat without re-scanning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.functions.exact import money, oracle_money
+from new_data_pipeline_spark.registry import register
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
+           SQRT((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag)
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "statistics"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample mean/variance/stddev of l_quantity per return flag from
+    exact integer sufficient statistics (l_quantity is integral, so
+    Σx and Σx² are exact BIGINTs; the derived stats are one identical
+    double expression in both engines)."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    suff = (lineitem.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 F.sum(x).cast("double").alias("sx"),
+                 F.sum(x * x).cast("double").alias("sxx")))
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    return (suff.select("l_returnflag", "n",
+                        (F.col("sx") / F.col("n")).alias("mean_qty"),
+                        var.alias("var_qty"),
+                        F.sqrt(var).alias("stddev_qty"))
+            .orderBy("l_returnflag"))
+
+
+@register(
+    "agg_corr_regression",
+    oracle=f"""
+    SELECT l_returnflag,
+           (n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS regr_intercept
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM({oracle_money('l_extendedprice')}) AS DOUBLE) AS sy,
+             CAST(SUM({oracle_money('l_extendedprice')}
+                      * {oracle_money('l_extendedprice')}) AS DOUBLE) AS syy,
+             CAST(SUM({oracle_money('l_extendedprice')}
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "statistics", "regression"),
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and least-squares fit of extendedprice on
+    quantity per return flag, from exact sufficient statistics (Σx, Σx²
+    exact integers; Σy, Σy², Σxy exact decimals). One pass, five sums —
+    the map-combine pattern that replaces builtin corr/regr_* whose
+    streaming-update rounding is engine-specific."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = money("l_extendedprice")
+    suff = (lineitem.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 F.sum(x).cast("double").alias("sx"),
+                 F.sum(x * x).cast("double").alias("sxx"),
+                 F.sum(y).cast("double").alias("sy"),
+                 F.sum(y * y).cast("double").alias("syy"),
+                 F.sum(y * x).cast("double").alias("sxy")))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    slope = cov_n / (n * sxx - sx * sx)
+    return (suff.select(
+        "l_returnflag",
+        (cov_n / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        .alias("corr_qty_price"),
+        slope.alias("regr_slope"),
+        ((sy - slope * sx) / n).alias("regr_intercept"))
+        .orderBy("l_returnflag"))
+
+
+@register(
+    "agg_bitwise_bool",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS uid_and,
+           bit_or(user_id)  AS uid_or,
+           bit_xor(user_id) AS uid_xor,
+           bool_and(value > 1.0)   AS all_above_1,
+           bool_or(value > 400.0)  AS any_above_400,
+           COUNT(*) FILTER (WHERE value > 250.0) AS n_above_250
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("aggregate", "bitwise", "boolean"),
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR and boolean every/any folds per event type,
+    plus a filtered count (count_if). All exact integer/boolean
+    semantics — hash-stable by construction, fully map-side combinable."""
+    events = catalog.load(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.bit_and("user_id").alias("uid_and"),
+                 F.bit_or("user_id").alias("uid_or"),
+                 F.bit_xor("user_id").alias("uid_xor"),
+                 F.bool_and(F.col("value") > 1.0).alias("all_above_1"),
+                 F.bool_or(F.col("value") > 400.0).alias("any_above_400"),
+                 F.count_if(F.col("value") > 250.0).alias("n_above_250"))
+            .orderBy("event_type"))
+
+
+@register(
+    "agg_exact_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS median_qty,
+           quantile_cont(l_quantity, 0.25) AS q1_qty,
+           quantile_cont(l_quantity, 0.75) AS q3_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "quantile"),
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolating) median and quartiles per group.
+
+    Hash-safe here because l_quantity is integral and the interpolation
+    fractions at q∈{.25,.5,.75} are dyadic — every intermediate double
+    is exact, so both engines' interpolation formulas agree bit-for-bit.
+    For arbitrary doubles at 100 TB use approx_percentile instead (the
+    exact form needs a per-group sort); that variant is covered by
+    agg_percentile_approx with a tolerance gate.
+    """
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    return (lineitem.groupBy("l_returnflag")
+            .agg(F.percentile("l_quantity", 0.5).alias("median_qty"),
+                 F.percentile("l_quantity", 0.25).alias("q1_qty"),
+                 F.percentile("l_quantity", 0.75).alias("q3_qty"))
+            .orderBy("l_returnflag"))
+
+
+@register(
+    "agg_argmin_argmax",
+    oracle="""
+    SELECT event_type,
+           max_by(event_id, value + event_id * 0.000000001) AS top_event,
+           min_by(event_id, value + event_id * 0.000000001) AS bottom_event,
+           max(value) AS max_value,
+           min(value) AS min_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("aggregate", "argmax"),
+)
+def agg_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin per group via max_by/min_by.
+
+    value has 0.01 granularity and repeats, so ties would make the bare
+    argmax nondeterministic; the ordering key adds a unique sub-cent
+    epsilon (event_id ≤ 1e4 → ε ≤ 1e-5 < 0.01) computed identically in
+    both engines. The production equivalent of "pick a deterministic
+    winner" any distributed argmax needs.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    key = F.col("value") + F.col("event_id") * F.lit(0.000000001)
+    return (events.groupBy("event_type")
+            .agg(F.max_by("event_id", key).alias("top_event"),
+                 F.min_by("event_id", key).alias("bottom_event"),
+                 F.max("value").alias("max_value"),
+                 F.min("value").alias("min_value"))
+            .orderBy("event_type"))
