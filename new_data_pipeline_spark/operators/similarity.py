@@ -149,3 +149,67 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= TOP_K)
             .select("query_id", "candidate_id", "label",
                     F.round("cos", 4).alias("cosine"), "rn"))
+
+
+IVF_CENT_MOD = 31     # centroids = vectors with vec_id % 31 == 7 (~N/31 cells)
+IVF_CENT_RESIDUE = 7
+IVF_NPROBE = 3
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,  # approximate by design; recall gated in tests/test_ml_variants.py
+    tags=("similarity", "ivf", "approx"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer partitions the
+    corpus into cells; each query probes only its IVF_NPROBE nearest
+    cells, then scores exact cosine within them.
+
+    Centroids are a deterministic 1/31 id-sample of the corpus itself
+    (the cheap KMeans init; no iterative fit, no driver randomness), so
+    the whole index build is two DataFrame passes: (1) assign every
+    vector to its max-cosine centroid — a broadcast O(N·C) scan, and
+    (2) nothing: the "inverted lists" are just the cell column.
+
+    Scale path vs LSH: cells adapt to the data distribution where
+    hyperplanes don't, and candidate work per query is N·nprobe/C. At
+    100 TB: repartition by cell (each inverted list is a partition
+    range), broadcast the C centroids, and raise C so N/C rows fit one
+    task — the classic billion-scale FAISS-style layout in pure
+    DataFrame ops.
+    """
+    n = _normalized(catalog.load(spark, sf_dir, "embeddings"))
+    cents = (n.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_RESIDUE)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("v").alias("cent_v"), F.col("nrm").alias("cent_n")))
+    cent_cos = (F.expr(
+        "aggregate(zip_with(v, cent_v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+        / (F.col("nrm") * F.col("cent_n")))
+    scored_cells = (n.join(F.broadcast(cents))
+                    .withColumn("ccos", cent_cos))
+    # (1) every corpus vector joins its single best cell
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id"))
+    assigned = (scored_cells.withColumn("rn", F.row_number().over(w_assign))
+                .filter(F.col("rn") == 1)
+                .select(F.col("vec_id").alias("candidate_id"), "label",
+                        F.col("cent_id").alias("cell"),
+                        F.col("v").alias("cv"), F.col("nrm").alias("cn")))
+    # (2) each query probes its nprobe nearest cells
+    probes = (scored_cells.filter(F.col("vec_id") < N_QUERIES)
+              .withColumn("rn", F.row_number().over(w_assign))
+              .filter(F.col("rn") <= IVF_NPROBE)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("cent_id").alias("cell"),
+                      F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    scored = (probes.join(assigned, on="cell")
+              .filter(F.col("query_id") != F.col("candidate_id"))
+              .withColumn("cos", F.expr(_DOT) / (F.col("qn") * F.col("cn"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("candidate_id"))
+    return (scored
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "candidate_id", "label",
+                    F.round("cos", 4).alias("cosine"), "rn"))
