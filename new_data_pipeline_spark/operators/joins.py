@@ -261,3 +261,48 @@ def join_asof_event_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts",
                       F.col("value").alias("click_value"),
                       F.col("asof_value"))
+
+
+@register(
+    "join_range_bands",
+    oracle=f"""
+    WITH bands AS (
+      SELECT CAST(i AS BIGINT) AS band_id,
+             i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+      FROM range(10) t(i)
+    )
+    SELECT band_id, lo, hi,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band_id, lo, hi
+    ORDER BY band_id
+    """,
+    tags=("join", "range"),
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events fall into value bands defined by
+    [lo, hi) intervals of a generated dimension — the general non-equi
+    join every pricing-tier / histogram-bucket workload needs.
+
+    The band table broadcasts, so the inequality join is a broadcast
+    nested-loop over 10 intervals per row — O(N·B) with tiny B and zero
+    shuffle of events. Scale notes: when intervals are uniform (as
+    here) the same query reduces to an equi-join on floor(value/width)
+    — use that at 100 TB with irregular-band fallback to this plan; for
+    big-big interval joins, bucket both sides by coarse range so each
+    bucket pair joins locally.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    bands = (spark.range(10)
+             .select(F.col("id").alias("band_id"),
+                     (F.col("id") * 50.0).alias("lo"),
+                     ((F.col("id") + 1) * 50.0).alias("hi")))
+    return (events.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band_id", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+             .alias("sum_value"))
+        .orderBy("band_id"))

@@ -325,3 +325,118 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("tf"),
                  F.countDistinct("doc_id").alias("df"))
             .filter(F.col("tf") >= 100))
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      -- deterministic synthetic PII appended per doc (the corpus itself
+      -- is clean); the scrub must remove exactly what was planted
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR)
+                  AS raw
+      FROM documents
+    ), scrubbed AS (
+      SELECT doc_id, raw,
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\-]{7,}', '<PHONE>', 'g') AS clean,
+             CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(raw,
+               '\\+?[0-9][0-9()\\-]{7,}')) AS BIGINT) AS n_phones
+      FROM seeded
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+           CAST(SUM(CASE WHEN clean <> raw THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_redacted,
+           CAST(SUM(length(raw) - length(clean)) AS BIGINT) AS chars_removed
+    FROM scrubbed
+    """,
+    tags=("text", "pii", "pipeline"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: find-and-mask emails and phone numbers,
+    reporting match counts and redaction deltas corpus-wide.
+
+    The corpus is synthetic and clean, so the query plants deterministic
+    PII per row first — the assertion is then exact: every planted email
+    and phone is found and masked (total_emails == total_phones ==
+    n_docs). Patterns are ASCII-safe in both regex engines (Java util.
+    regex vs RE2). One scan, whole-stage codegen, final single-row agg —
+    the shape of a 100 TB compliance sweep.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    email_pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_pat = "\\+?[0-9][0-9()\\-]{7,}"
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-01"),
+        (F.col("doc_id") % 100).cast("string"))
+    seeded = docs.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace("raw", email_pat, "<EMAIL>"),
+        phone_pat, "<PHONE>")
+    scrubbed = seeded.select(
+        "raw", clean.alias("clean"),
+        F.regexp_count("raw", F.lit(email_pat)).alias("n_emails"),
+        F.regexp_count("raw", F.lit(phone_pat)).alias("n_phones"))
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum(F.when(F.col("clean") != F.col("raw"), 1).otherwise(0))
+        .alias("n_redacted"),
+        F.sum(F.length("raw") - F.length("clean")).alias("chars_removed"))
+
+
+@register(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT unnest([t[i] || ' ' || t[i + 1]
+                     for i in range(1, len(t))]) AS bigram
+      FROM toks
+      WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    tags=("text", "ngram", "pipeline"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 word bigrams: lowercase, split on non-word runs,
+    pair adjacent tokens, count, top-k with lexicographic tiebreak.
+
+    The n-gram counting pass behind phrase mining / contamination
+    checks. Spark side builds bigrams with a JVM higher-order transform
+    over sequence(1, n-1) — no Python, no UDF; partial aggregation
+    collapses per-partition counts before the single shuffle, and the
+    global top-20 is a TakeOrdered merge, not a sort.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "\\W+"), lambda x: x != "")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat(F.element_at("t", i), F.lit(" "),
+                           F.element_at("t", i + 1)))
+    return (docs.select(toks.alias("t"))
+            .filter(F.size("t") >= 2)
+            .select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "bigram")
+            .limit(20))
