@@ -135,3 +135,77 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a projection (hash aggregate, map-side combined)."""
     return catalog.load(spark, sf_dir, "orders") \
         .select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2, MIN(v.t1) AS t1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3, MIN(c.t2) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS n_users,
+           CAST(NULL AS BIGINT) AS total_secs_from_prev
+    FROM v
+    UNION ALL
+    SELECT '2_click', COUNT(*),
+           CAST(SUM(date_diff('second', t1, t2)) AS BIGINT)
+    FROM c
+    UNION ALL
+    SELECT '3_purchase', COUNT(*),
+           CAST(SUM(date_diff('second', t2, t3)) AS BIGINT)
+    FROM p
+    """,
+    tags=("composite", "funnel", "pipeline"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users whose
+    first 'view' precedes a 'click' that precedes a 'purchase', with
+    per-stage user counts and total seconds spent between stages.
+
+    Each stage is min-per-user of events strictly after the previous
+    stage's timestamp — the sequential-pattern query behind every
+    conversion / drop-off dashboard. Time deltas are whole seconds
+    (unix_timestamp truncation == DuckDB second-boundary date_diff), so
+    the sums are exact integers. Scale notes: all three stages group
+    and join on user_id, so one hash-partitioning of events by user_id
+    serves every stage (exchange reuse); each stage's output is one
+    row per converting user, strictly shrinking, and the stage joins
+    flip to broadcast under AQE as the funnel narrows.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+
+    v = (events.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (events.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id")
+         .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .join(c.select("user_id", "t2"), "user_id")
+         .filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id")
+         .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2")))
+
+    secs = lambda a, b: F.unix_timestamp(b) - F.unix_timestamp(a)
+    s1 = v.agg(F.lit("1_view").alias("stage"),
+               F.count(F.lit(1)).alias("n_users"),
+               F.lit(None).cast("bigint").alias("total_secs_from_prev"))
+    s2 = c.agg(F.lit("2_click").alias("stage"),
+               F.count(F.lit(1)).alias("n_users"),
+               F.sum(secs("t1", "t2")).alias("total_secs_from_prev"))
+    s3 = p.agg(F.lit("3_purchase").alias("stage"),
+               F.count(F.lit(1)).alias("n_users"),
+               F.sum(secs("t2", "t3")).alias("total_secs_from_prev"))
+    return s1.unionByName(s2).unionByName(s3)

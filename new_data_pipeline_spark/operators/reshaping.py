@@ -120,3 +120,72 @@ def regex_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("integer").alias("n_words"),
         F.element_at(F.regexp_extract_all("p_type", F.lit(r"[A-Z]+"), 0), 1)
          .alias("first_word"))
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT s.event_type,
+           strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(n_events, 0) AS n_events,
+           CAST(last_value(hourly.sum_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS filled_sum
+    FROM spine s
+    LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
+    """,
+    tags=("reshape", "timeseries", "pipeline"),
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: aggregate events to an hourly
+    grid, generate the complete per-type hour spine with sequence(),
+    left-join, and forward-fill the last observed value into gap hours.
+
+    The standard densification pass before feature windows / charting —
+    missing buckets must exist (n_events = 0) and carry the last known
+    value. Spine generation is sequence()+explode from per-type min/max
+    (no driver loop); the fill is last(ignorenulls) over an ordered
+    window. Scale notes: the spine is |types| × |hours| — tiny relative
+    to raw events, so the left join broadcasts the spine's aggregated
+    side naturally under AQE; per-type window sort is the only shuffle
+    and partitions by the same key as the aggregation, so AQE can reuse
+    the exchange. Value sums go through decimal(12,2) operands so the
+    fill is bit-exact against the oracle.
+    """
+    from pyspark.sql.window import Window
+
+    events = catalog.load(spark, sf_dir, "events")
+    hourly = (events
+              .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(12,2)"))
+                   .alias("sum_value")))
+    spine = (events.groupBy("event_type")
+             .agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                  F.date_trunc("hour", F.max("ts")).alias("h1"))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         "h0", "h1", F.expr("interval 1 hour"))).alias("h")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(hourly, ["event_type", "h"], "left")
+            .select("event_type",
+                    F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.last("sum_value", ignorenulls=True).over(w)
+                    .cast("double").alias("filled_sum")))
