@@ -186,7 +186,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT CAST(c_nationkey AS BIGINT))) AS nation_keys,
+           array_to_string(list_sort(list(DISTINCT CAST(c_nationkey AS BIGINT))),
+                           ',') AS nation_keys,
            COUNT(*) AS n_customers
     FROM customer
     GROUP BY c_mktsegment
@@ -197,12 +198,16 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + sort_array: deterministic array aggregation.
 
     (Unsorted collect_list is order-nondeterministic under parallelism —
-    never hashable; sorting restores determinism.)
+    never hashable; sorting restores determinism. The sorted array is
+    emitted as a ','-joined string at the query boundary: array cells
+    are unhashable in pandas-based comparison layers.)
     """
     customer = catalog.load(spark, sf_dir, "customer")
     return (
         customer.groupBy("c_mktsegment")
-        .agg(F.sort_array(F.collect_set(F.col("c_nationkey").cast("bigint")))
+        .agg(F.concat_ws(
+                 ",",
+                 F.sort_array(F.collect_set(F.col("c_nationkey").cast("bigint"))))
               .alias("nation_keys"),
              F.count(F.lit(1)).alias("n_customers"))
     )

@@ -28,7 +28,7 @@ from new_data_pipeline_spark.registry import register
       FROM events GROUP BY event_type
     )
     SELECT event_type,
-           list_sort(map_keys(stats)) AS stat_keys,
+           array_to_string(list_sort(map_keys(stats)), ',') AS stat_keys,
            CAST(map_extract(stats, 'n')[1] AS BIGINT) AS n,
            CAST(map_extract(stats, 'ksum')[1] AS BIGINT) AS ksum,
            CAST(cardinality(stats) AS INTEGER) AS n_keys
@@ -48,7 +48,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("stats")))
     return m.select(
         "event_type",
-        F.sort_array(F.map_keys("stats")).alias("stat_keys"),
+        F.concat_ws(",", F.sort_array(F.map_keys("stats"))).alias("stat_keys"),
         F.element_at("stats", "n").alias("n"),
         F.element_at("stats", "ksum").alias("ksum"),
         F.size("stats").alias("n_keys"))
@@ -95,7 +95,7 @@ def struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(list_sum([abs(x) for x in q]) AS BIGINT) AS l1_milli,
            CAST(list_max(q) AS BIGINT) AS max_milli,
-           list_sort(q)[1:3] AS smallest3,
+           array_to_string(list_sort(q)[1:3], ',') AS smallest3,
            CAST(list_sum([CASE WHEN i % 2 = 1 THEN q[i] ELSE 0 END
                           for i in range(1, len(q) + 1)]) AS BIGINT)
              AS odd_pos_sum_milli
@@ -116,7 +116,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(aggregate(q, 0L, (a, x) -> a + abs(x)) AS BIGINT)")
          .alias("l1_milli"),
         F.array_max("q").cast("bigint").alias("max_milli"),
-        F.slice(F.sort_array("q"), 1, 3).alias("smallest3"),
+        F.concat_ws(",", F.slice(F.sort_array("q"), 1, 3)).alias("smallest3"),
         F.expr("""CAST(aggregate(zip_with(q, sequence(1, size(q)),
                                           (x, i) -> CASE WHEN i % 2 = 1
                                                          THEN x ELSE 0L END),

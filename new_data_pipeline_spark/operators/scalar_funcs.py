@@ -34,7 +34,7 @@ from new_data_pipeline_spark.registry import register
            replace(p_type, ' ', '_') AS type_snake,
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
            regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
-           string_split(p_type, ' ') AS type_words,
+           array_to_string(string_split(p_type, ' '), ',') AS type_words,
            CAST(levenshtein(p_brand, 'BRAND#1') AS BIGINT) AS brand_dist
     FROM part
     """,
@@ -54,7 +54,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
         F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("first_word"),
-        F.split("p_type", " ").alias("type_words"),
+        F.array_join(F.split("p_type", " "), ",").alias("type_words"),
         F.levenshtein("p_brand", F.lit("BRAND#1")).cast("bigint")
          .alias("brand_dist"))
 

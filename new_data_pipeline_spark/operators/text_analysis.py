@@ -256,8 +256,9 @@ BOW_VOCAB = 100
       GROUP BY t.doc_id, v.term_id
     )
     SELECT doc_id,
-           list(term_id ORDER BY term_id) AS term_ids,
-           list(CAST(cnt AS INTEGER) ORDER BY term_id) AS counts
+           array_to_string(list(term_id ORDER BY term_id), ',') AS term_ids,
+           array_to_string(list(CAST(cnt AS INTEGER) ORDER BY term_id), ',')
+             AS counts
     FROM doc_terms
     GROUP BY doc_id
     """,
@@ -268,20 +269,25 @@ def text_bow_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (rank by count desc, then term — Spark ML's
     CountVectorizer breaks count ties arbitrarily, so the oracle-gated
     path builds the vocab relationally; sparse (term_ids, counts)
-    arrays are the vector, reference serialize.py:220-235).
+    vectors are emitted as ','-joined strings at the query boundary,
+    reference serialize.py:220-235).
 
-    Scale: vocab build = one agg + top-V (broadcastable); doc vectors =
-    explode + join-on-broadcast-vocab + grouped sort — no Python, no
-    fit/transform state outside the plan.
+    Scale: vocab build = distributed TakeOrdered (orderBy + limit(V)),
+    then a row_number over the ≤V surviving rows — the window is
+    partitioned by a constant key so the single task is explicit and
+    provably bounded at V rows, never the whole term dictionary.
+    Doc vectors = explode + join-on-broadcast-vocab + grouped sort —
+    no Python, no fit/transform state outside the plan.
     """
     from pyspark.sql import Window
     docs = catalog.load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.orderBy(F.col("tf").desc(), "term")
+    w = (Window.partitionBy(F.lit(0))
+         .orderBy(F.col("tf").desc(), "term"))
     vocab = (counts
+             .orderBy(F.col("tf").desc(), "term").limit(BOW_VOCAB)
              .withColumn("term_id", F.row_number().over(w).cast("integer"))
-             .filter(F.col("term_id") <= BOW_VOCAB)
              .select("term", "term_id"))
     doc_terms = (toks.join(F.broadcast(vocab), "term")
                  .groupBy("doc_id", "term_id")
@@ -291,8 +297,10 @@ def text_bow_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("pairs")))
     return pairs.select(
         "doc_id",
-        F.expr("transform(pairs, p -> p.term_id)").alias("term_ids"),
-        F.expr("transform(pairs, p -> p.cnt)").alias("counts"))
+        F.array_join(F.expr("transform(pairs, p -> p.term_id)"), ",")
+         .alias("term_ids"),
+        F.array_join(F.expr("transform(pairs, p -> p.cnt)"), ",")
+         .alias("counts"))
 
 
 @register(

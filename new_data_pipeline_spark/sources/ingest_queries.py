@@ -136,8 +136,8 @@ def ingest_binding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingest_flatten_cast",
     oracle="""
     SELECT c_custkey,
-           [CAST(CAST(c_acctbal AS REAL) AS DOUBLE),
-            CAST(CAST(c_nationkey AS REAL) AS DOUBLE)] AS features,
+           CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS f0,
+           CAST(CAST(c_nationkey AS REAL) AS DOUBLE) AS f1,
            c_mktsegment AS label
     FROM customer
     """,
@@ -147,10 +147,11 @@ def ingest_flatten_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1+T2: label pop + numeric columns flattened to a float32 vector
     (the reference's np.float32 coercion, serialize.py:304).
 
-    The gate output re-widens to double: float32 cells hash differently
-    across engines' client layers (np.float32 vs Python float repr)
-    even when bit-identical — the float32 rounding itself is what's
-    under test, and it survives the upcast.
+    The gate output unpacks the fixed-width vector into scalar double
+    columns (f0, f1): array cells are unhashable in pandas-based
+    comparison layers, and float→string joins format differently across
+    engines. The float32 rounding itself is what's under test, and it
+    survives the upcast to double.
     """
     cust = catalog.load(spark, sf_dir, "customer")
     keyed = cust.withColumnRenamed("c_custkey", "key")
@@ -158,5 +159,8 @@ def ingest_flatten_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = flatten_features(features, ["c_acctbal", "c_nationkey"])
     return (flat.join(labels, "key")
             .select(F.col("key").alias("c_custkey"),
-                    F.col("features").cast("array<double>").alias("features"),
+                    F.element_at(F.col("features").cast("array<double>"), 1)
+                     .alias("f0"),
+                    F.element_at(F.col("features").cast("array<double>"), 2)
+                     .alias("f1"),
                     F.col("c_mktsegment").alias("label")))

@@ -81,7 +81,17 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
 
 def assert_oracle_match(spark, oracle_con, spec, sf_dir: str = SF_DIR) -> None:
     """Run the Spark query and its DuckDB oracle; assert driver-style parity."""
-    sdf = spec.fn(spark, sf_dir).toPandas()
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = spec.fn(spark, sf_dir)
+    complex_cols = [f.name for f in df.schema.fields
+                    if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not complex_cols, (
+        f"{spec.name}: oracle-gated query emits complex-typed columns "
+        f"{complex_cols} — the driver's pandas canonicalizer crashes on "
+        f"list/dict cells; flatten at the boundary (concat_ws / explode / "
+        f"scalar unpack)")
+    sdf = df.toPandas()
     odf = oracle_con.execute(spec.oracle).df()
 
     assert sorted(sdf.columns) == sorted(odf.columns), (
