@@ -29,11 +29,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in engine.QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Gate-priority order (registry.GATE_PRIORITY): the driver's correctness
+    window covers the first 50 entries, so the families left unchecked in
+    round 1 (dedup/similarity/text/streaming/ingest/sampling/scalar/
+    subquery) lead; the round-1-verified block follows.
+    """
+    return {name: spec.fn for name, spec in engine.registry.gate_ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query."""
-    return {name: spec.oracle for name, spec in engine.QUERIES.items()
+    return {name: spec.oracle for name, spec in engine.registry.gate_ordered().items()
             if spec.oracle is not None}
