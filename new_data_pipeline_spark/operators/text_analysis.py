@@ -273,22 +273,20 @@ def text_bow_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference serialize.py:220-235).
 
     Scale: vocab build = distributed TakeOrdered (orderBy + limit(V)),
-    then a row_number over the ≤V surviving rows — the window is
-    partitioned by a constant key so the single task is explicit and
-    provably bounded at V rows, never the whole term dictionary.
+    then ``global_row_number`` (range-partitioned rank + offsets) over
+    the ≤V surviving rows — no unpartitioned window anywhere in the
+    plan, and the term dictionary itself is never globally sorted.
     Doc vectors = explode + join-on-broadcast-vocab + grouped sort —
     no Python, no fit/transform state outside the plan.
     """
-    from pyspark.sql import Window
+    from new_data_pipeline_spark.sources.tensorize import global_row_number
     docs = catalog.load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    w = (Window.partitionBy(F.lit(0))
-         .orderBy(F.col("tf").desc(), "term"))
-    vocab = (counts
-             .orderBy(F.col("tf").desc(), "term").limit(BOW_VOCAB)
-             .withColumn("term_id", F.row_number().over(w).cast("integer"))
-             .select("term", "term_id"))
+    top = counts.orderBy(F.col("tf").desc(), "term").limit(BOW_VOCAB)
+    ranked, _ = global_row_number(
+        top, [F.col("tf").desc(), "term"], "__rn", num_ranges=4)
+    vocab = ranked.select("term", F.col("__rn").cast("integer").alias("term_id"))
     doc_terms = (toks.join(F.broadcast(vocab), "term")
                  .groupBy("doc_id", "term_id")
                  .agg(F.count(F.lit(1)).cast("integer").alias("cnt")))

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from new_data_pipeline_spark import catalog
 from new_data_pipeline_spark.registry import register
+from new_data_pipeline_spark.sources.tensorize import global_row_number
 
 
 @register(
@@ -60,19 +61,33 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANK / DENSE_RANK / NTILE over one global ordering.
+    """RANK / DENSE_RANK / NTILE over one global ordering — distributed.
 
-    Global (unpartitioned) windows single-task at scale — acceptable
-    only for small tables like supplier; big tables use the
-    partitioned form above.
+    A bare ``Window.orderBy(...)`` serializes the table onto ONE task
+    (Spark's "No Partition Defined" warning). Instead: range-partition
+    on the ordering and compute a per-range row_number plus cumulative
+    offsets (``global_row_number``, the K1 zipWithIndex pattern). The
+    ordering tuple (s_acctbal DESC, s_suppkey) is unique, so
+    RANK = DENSE_RANK = row_number exactly, and NTILE(k) is pure
+    arithmetic on (row_number, total n): the first n%k buckets take
+    n//k+1 rows. Every partition sorts only its own range.
     """
     supplier = catalog.load(spark, sf_dir, "supplier")
-    w = W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
-    return supplier.select(
+    keyed, n = global_row_number(
+        supplier, [F.col("s_acctbal").desc(), F.col("s_suppkey")], "__rn")
+    k = 4
+    base, extra = n // k, n % k
+    big = extra * (base + 1)  # rows covered by the (base+1)-sized buckets
+    rn0 = F.col("__rn") - 1   # 0-based
+    quartile = (F.when(rn0 < big, F.floor(rn0 / (base + 1)))
+                 .otherwise(extra + F.floor((rn0 - big) / F.greatest(F.lit(base),
+                                                                     F.lit(1))))
+                + 1)
+    return keyed.select(
         "s_suppkey", "s_nationkey", "s_acctbal",
-        F.rank().over(w).cast("bigint").alias("rnk"),
-        F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"))
+        F.col("__rn").alias("rnk"),
+        F.col("__rn").alias("drnk"),
+        quartile.cast("bigint").alias("quartile"))
 
 
 @register(
@@ -170,16 +185,30 @@ def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "rank"),
 )
 def window_pct_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist / nth_value. The rank ratios are exact
-    rational divisions of identical ints — parity-safe doubles."""
+    """percent_rank / cume_dist / nth_value — distributed.
+
+    The ordering (p_size, p_partkey) is unique, so over n rows
+    percent_rank = (rn-1)/(n-1) and cume_dist = rn/n, computed from the
+    distributed global row_number instead of a single-task window (part
+    scales with SF — the round-1 plan moved ALL parts to one task). The
+    rank ratios divide identical ints, so doubles are parity-safe.
+    nth_value(·, 3) is the rn=3 row broadcast back across the frame.
+    """
     part = catalog.load(spark, sf_dir, "part")
-    w = W.orderBy("p_size", "p_partkey")
-    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return part.select(
+    keyed, n = global_row_number(part, ["p_size", "p_partkey"], "__rn")
+    if n >= 3:
+        third = keyed.filter(F.col("__rn") == 3).select(
+            F.col("p_partkey").alias("third_key"))
+        keyed = keyed.crossJoin(F.broadcast(third))
+    else:
+        keyed = keyed.withColumn("third_key", F.lit(None).cast("bigint"))
+    pct = (((F.col("__rn") - 1) / F.lit(n - 1)) if n > 1
+           else F.lit(0.0))
+    return keyed.select(
         "p_partkey", "p_size",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-        F.nth_value("p_partkey", 3).over(full).alias("third_key"))
+        pct.alias("pct_rank"),
+        (F.col("__rn") / F.lit(n)).alias("cume"),
+        "third_key")
 
 
 @register(
@@ -200,15 +229,37 @@ def window_pct_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frames (value-based, not row-based): peers within ±500
     account-balance units. RANGE frames include ALL value-peers —
-    different semantics from ROWS that the gate would catch if swapped."""
+    different semantics from ROWS that the gate would catch if swapped.
+
+    Distributed as a bucketed band self-join instead of a global
+    single-task window: bucket = floor(bal/500), probe rows exploded to
+    their 3 neighbor buckets, equi-join on bucket, |Δ| ≤ 500 filter,
+    then one groupBy per current row. Any pair within 500 units is at
+    most one bucket apart, so the join sees every frame member exactly
+    once; the shuffle is on the bucket key, never a global sort.
+    """
     supplier = catalog.load(spark, sf_dir, "supplier")
-    w1 = W.orderBy("s_acctbal").rangeBetween(-500, 500)
-    w2 = W.orderBy("s_acctbal").rangeBetween(-500, W.currentRow)
-    return supplier.select(
+    width = 500
+    cur = supplier.select(
         "s_suppkey", "s_acctbal",
-        F.count(F.lit(1)).over(w1).cast("bigint").alias("n_within_500"),
-        F.sum(F.col("s_acctbal").cast("decimal(12,2)")).over(w2)
-         .cast("double").alias("sum_below_500"))
+        F.floor(F.col("s_acctbal") / width).alias("__bucket"))
+    probe = supplier.select(
+        F.col("s_acctbal").alias("__obal"),
+        F.explode(F.array(
+            F.floor(F.col("s_acctbal") / width) - 1,
+            F.floor(F.col("s_acctbal") / width),
+            F.floor(F.col("s_acctbal") / width) + 1)).alias("__bucket"))
+    in_frame = (F.col("__obal") >= F.col("s_acctbal") - width) & \
+               (F.col("__obal") <= F.col("s_acctbal") + width)
+    below = F.col("__obal") <= F.col("s_acctbal")
+    return (cur.join(probe, "__bucket")
+            .groupBy("s_suppkey", "s_acctbal")
+            .agg(
+                F.sum(F.when(in_frame, 1).otherwise(0))
+                 .cast("bigint").alias("n_within_500"),
+                F.sum(F.when(in_frame & below,
+                             F.col("__obal").cast("decimal(12,2)")))
+                 .cast("double").alias("sum_below_500")))
 
 
 @register(

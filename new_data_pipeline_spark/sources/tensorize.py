@@ -16,41 +16,67 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_keys(df: DataFrame, order_col: str, key_col: str = "key",
-                num_ranges: int | None = None) -> DataFrame:
-    """Assign contiguous 1-based int64 keys in ``order_col`` order.
+def global_row_number(df: DataFrame, order_by: list[Column | str],
+                      key_col: str = "key",
+                      num_ranges: int | None = None) -> tuple[DataFrame, int]:
+    """Distributed global row_number over ``order_by``; returns (df, n).
 
     Scale design (SURVEY §7 risk register): a bare
     ``row_number().over(Window.orderBy(...))`` sorts the world in ONE
-    task. Instead: range-partition on the order column, count each
-    range, and offset per-range row numbers by the cumulative counts —
-    the zipWithIndex pattern expressed in DataFrame ops. Each window
-    then sorts only its own range. The ranges stay contiguous, so keys
-    equal the global row_number while every partition works in parallel.
+    task. Instead: range-partition on the ordering, count each range,
+    and offset per-range row numbers by the cumulative counts — the
+    zipWithIndex pattern expressed in DataFrame ops. Each window then
+    sorts only its own range. The ranges stay contiguous, so keys equal
+    the global row_number while every partition works in parallel.
+
+    The ranged frame is persisted before the count job so the offsets
+    and the keyed output observe the SAME physical partitioning — range
+    sampling is rerun per job otherwise, and a nondeterministic upstream
+    (sample, AQE-reshuffled input) could silently shift rows between
+    ranges, duplicating/dropping keys. The cache lives until Spark
+    evicts it (LRU); callers running inside one action never notice.
 
     The per-range count collect is O(num_ranges) driver memory — fine at
-    any scale (thousands of ranges, not rows).
+    any scale (thousands of ranges, not rows). Also returns the total
+    row count n (free from the same counts) for rank-ratio functions
+    (ntile / percent_rank / cume_dist) that need it.
     """
     sess = df.sparkSession
     if num_ranges is None:
         num_ranges = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = (df.repartitionByRange(num_ranges, F.col(order_col))
-                .withColumn("__pid", F.spark_partition_id()))
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = (df.repartitionByRange(num_ranges, *order_cols)
+                .withColumn("__pid", F.spark_partition_id())
+                .persist())
     counts = {r["__pid"]: r["cnt"] for r in
               ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for pid in sorted(offsets)
-                       for x in (pid, offsets[pid])]),
-        F.col("__pid"))
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    return (ranged
-            .withColumn(key_col,
-                        (F.row_number().over(w) + offset_expr).cast("bigint"))
-            .drop("__pid"))
+    offset_expr = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                           for x in (pid, offsets[pid])]),
+            F.col("__pid")),
+        F.lit(0))
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = (ranged
+           .withColumn(key_col,
+                       (F.row_number().over(w) + offset_expr).cast("bigint"))
+           .drop("__pid"))
+    return out, acc
+
+
+def assign_keys(df: DataFrame, order_col: str, key_col: str = "key",
+                num_ranges: int | None = None) -> DataFrame:
+    """Assign contiguous 1-based int64 keys in ``order_col`` order.
+
+    K1 (reference serialize.py:30-32,51-55): the distributed
+    range-partitioned row_number — see ``global_row_number``.
+    """
+    out, _ = global_row_number(df, [order_col], key_col, num_ranges)
+    return out
 
 
 def pop_label(df: DataFrame, label_col: str,

@@ -57,3 +57,26 @@ def test_no_cartesian_in_minhash(spark):
     p = plan_text(spark, "dedup_minhash_lsh")
     assert "CartesianProduct" not in p, \
         "LSH candidate generation must be an equi-join on band keys"
+
+
+# In a windowspecdefinition(...) rendering, partition columns come first
+# as bare attributes; an empty partition spec makes the first argument a
+# sort-order ("x ASC NULLS FIRST") or the frame itself — i.e. the window
+# would single-task the whole input (WindowExec "No Partition Defined").
+_UNPARTITIONED_WINDOW = __import__("re").compile(
+    r"windowspecdefinition\((?:[^,()]*\s(?:ASC|DESC)\s+NULLS|\s*specifiedwindowframe)")
+
+
+def test_no_unpartitioned_windows_anywhere(spark):
+    """Every registered query's optimized plan must be free of global
+    (unpartitioned) window operators — the round-1 single-task scans
+    (window_rank_dense_ntile, window_pct_cume_nth, window_range_frame,
+    BoW vocab rank) are rewritten via global_row_number / band joins."""
+    bad = []
+    for name, spec in engine.QUERIES.items():
+        df = spec.fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if _UNPARTITIONED_WINDOW.search(line):
+                bad.append((name, line.strip()[:100]))
+    assert not bad, f"unpartitioned windows: {bad}"
