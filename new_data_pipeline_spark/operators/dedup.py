@@ -27,6 +27,33 @@ from new_data_pipeline_spark.registry import register
 MINHASH_K, MINHASH_BANDS, MINHASH_R = 8, 4, 2
 JACCARD_THRESHOLD = 0.8
 
+# Hot-bucket cap for candidate-generation joins (the standard web-dedup
+# guard): a degenerate band/chunk key — near-empty docs all hashing
+# alike, a templated corpus — makes ONE join bucket quadratic
+# (cap² candidate pairs in one task). Buckets above the cap are dropped
+# before the self-join; pairs sharing ONLY a dropped bucket are lost,
+# which is the documented recall trade every production dedup makes.
+# 2000 bounds per-bucket work at 4M pairs and sits far above every
+# bucket observed in the test corpora (minhash bands: max 3 @sf0.01,
+# 12 @sf0.1; simhash 16-bit chunks: max 159 @sf0.01, 1639 @sf0.1), so
+# gated output is unchanged at both scales. Tune per corpus at 100 TB.
+HOT_BUCKET_CAP = 2000
+
+
+def cap_hot_buckets(df: DataFrame, key_cols: list[str],
+                    cap: int = HOT_BUCKET_CAP) -> DataFrame:
+    """Drop all rows of buckets holding more than ``cap`` rows.
+
+    One map-side-combinable count per bucket key, then a broadcast
+    anti-join against the (tiny) hot-key list — the candidate join that
+    follows never sees a bucket that could go quadratic.
+    """
+    hot = (df.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") > cap)
+           .select(*key_cols))
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
+
 # word-shingle width for MinHash; char-n-gram width for ngram Jaccard
 SHINGLE_W, NGRAM_W = 3, 5
 
@@ -175,7 +202,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for r in range(MINHASH_R)]).alias("band_key"))
             for b in range(MINHASH_BANDS)])).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
-    bands = bands.persist()
+    bands = cap_hot_buckets(bands, ["band_id", "band_key"]).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -345,6 +372,7 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     hc = h.select(
         "doc_id", "chunks",
         F.posexplode("chunks").alias("chunk_id", "chunk_val"))
+    hc = cap_hot_buckets(hc, ["chunk_id", "chunk_val"])
     a = hc.select(F.col("doc_id").alias("doc_a"), F.col("chunks").alias("ca"),
                   "chunk_id", "chunk_val")
     b = hc.select(F.col("doc_id").alias("doc_b"), F.col("chunks").alias("cb"),
@@ -388,7 +416,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Blocking key = md5 of the 40-char prefix (cheap, deterministic);
     exact n-gram Jaccard only within blocks. Complements MinHash: char
-    n-grams catch word-boundary edits word-shingles miss.
+    n-grams catch word-boundary edits word-shingles miss. A templated
+    corpus (shared prefixes) makes one block quadratic — same hot-bucket
+    cap as the LSH joins.
     """
     docs = catalog.load(spark, sf_dir, "documents")
     g = (docs.filter(F.length("text") >= NGRAM_W)
@@ -397,6 +427,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr(f"""array_distinct(transform(
                      sequence(1, length(text) - {NGRAM_W - 1}),
                      i -> substring(text, i, {NGRAM_W})))""").alias("grams")))
+    g = cap_hot_buckets(g, ["block_key"])
     a = g.select(F.col("doc_id").alias("doc_a"), "block_key",
                  F.col("grams").alias("grams_a"))
     b = g.select(F.col("doc_id").alias("doc_b"),

