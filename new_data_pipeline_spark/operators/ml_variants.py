@@ -25,7 +25,6 @@ try:
         CountVectorizer, IDF, MinHashLSH, BucketedRandomProjectionLSH,
         RegexTokenizer,
     )
-    from pyspark.ml.linalg import Vectors, VectorUDT
     HAS_ML = True
 except ImportError:  # pragma: no cover - ML is part of stock pyspark
     HAS_ML = False
@@ -41,9 +40,12 @@ def shingle_vectors(docs: DataFrame, vocab_size: int = 1 << 18) -> DataFrame:
                          vocabSize=vocab_size, binary=True)
     model = cv.fit(toks)
     out = model.transform(toks)
-    # MinHashLSH requires at least one non-zero entry
-    nnz = F.udf(lambda v: v.numNonzeros() > 0, "boolean")
-    return out.filter(nnz("features"))
+    # MinHashLSH requires at least one non-zero entry; vector_to_array +
+    # exists stays JVM-side (a row-at-a-time Python UDF here would drag
+    # every vector across the Arrow boundary just for a boolean)
+    from pyspark.ml.functions import vector_to_array
+    return out.filter(
+        F.exists(vector_to_array("features"), lambda x: x != 0.0))
 
 
 def ml_minhash_pairs(docs: DataFrame, threshold: float = 0.4,
@@ -67,8 +69,11 @@ def ml_ann_neighbors(emb: DataFrame, key_vec_id: int, k: int = 5,
                      bucket_length: float = 2.0, seed: int = 42) -> DataFrame:
     """Approx nearest neighbors (Euclidean) via
     BucketedRandomProjectionLSH.approxNearestNeighbors."""
-    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
-    feats = emb.select("vec_id", to_vec("embedding").alias("features"))
+    from pyspark.ml.functions import array_to_vector
+    feats = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>"))
+        .alias("features"))
     lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
                                       bucketLength=bucket_length,
                                       numHashTables=4, seed=seed)

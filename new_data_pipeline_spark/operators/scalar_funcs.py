@@ -214,7 +214,10 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("first_elem"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("integer")
          .alias("n_positive"),
-        F.size(F.filter("embedding", lambda x: x > F.lit(0.2).cast("float")))
+        # cast the ELEMENT to double so the comparison promotes exactly
+        # like DuckDB's (float32(0.2) ≈ 0.200000003 > double 0.2 there;
+        # a float-vs-float compare here would miss that element)
+        F.size(F.filter("embedding", lambda x: x.cast("double") > F.lit(0.2)))
          .cast("integer").alias("n_large"),
         F.array_contains("embedding", F.lit(0.0).cast("float"))
          .alias("has_zero"))

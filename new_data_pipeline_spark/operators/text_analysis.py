@@ -216,14 +216,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy recomputation instead.
 
     Scale: two aggregates (df per term, tf per doc-term) + a broadcast
-    join of the term→idf table; no ML-fit state.
+    join of the term→idf table; no ML-fit state. The corpus size N is a
+    1-row aggregate broadcast-cross-joined into the idf table — one plan
+    and one corpus scan serve both, instead of a separate driver-side
+    count() job per invocation.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_tbl = docs.agg(F.count(F.lit(1)).alias("__n"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     df_tbl = (toks.select("doc_id", "term").distinct()
               .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-              .withColumn("idf", F.log((F.lit(n_docs) + 1) / (F.col("df") + 1))))
+              .crossJoin(F.broadcast(n_tbl))
+              .withColumn("idf", F.log((F.col("__n") + 1) / (F.col("df") + 1)))
+              .drop("__n"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     scored = (tf.join(F.broadcast(df_tbl), "term")
               .withColumn("tfidf", F.col("tf") * F.col("idf")))

@@ -112,9 +112,17 @@ def dedup_keep_first(events: DataFrame, keys: list[str],
                      watermark: str | None = None) -> DataFrame:
     """Stateful stream dedup: first event per key wins.
 
-    Streaming: ``dropDuplicates`` keeps per-key state; the watermark
-    bounds it (keys older than the watermark are forgotten — the
-    documented TTL trade-off). Batch: same call, exact.
+    With a watermark, uses ``dropDuplicatesWithinWatermark`` — the only
+    form whose state is actually TTL'd when the event-time column is
+    not part of the dedup keys (plain ``dropDuplicates`` only evicts
+    state for keys that INCLUDE the event-time column, so its state
+    grows without bound here). The trade: dedup is exact only among
+    events within the watermark delay of each other — the bounded-state
+    semantics a 100 TB stream needs. Without a watermark: exact global
+    dedup, unbounded state — only for bounded replays. Batch: plain
+    dropDuplicates, exact.
     """
-    src = events.withWatermark("ts", watermark) if watermark else events
-    return src.dropDuplicates(keys)
+    if watermark and events.isStreaming:
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)
