@@ -85,14 +85,25 @@ MINHASH_B = (268_435_399, 785_685_301, 417_793_621, 675_977_531,
 
 def minhash_signature_expr(shingle_col: str, k: int = MINHASH_K):
     """k minhash values via the affine family over one base hash:
-    base = int64(md5(s)[:15]) mod P; h_i = (A_i*base + B_i) mod P."""
-    base = (f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
-            f" % {MINHASH_P}")
-    return F.array(*[
-        F.expr(f"""array_min(transform({shingle_col},
-                 s -> ({MINHASH_A[i]}L * ({base}) + {MINHASH_B[i]}L)
-                      % {MINHASH_P}))""")
-        for i in range(k)])
+    base = int64(md5(s)[:15]) mod P; h_i = (A_i*base + B_i) mod P.
+
+    Single-pass: ONE aggregate over the base hashes carrying all k
+    running minima (zip_with + least). Catalyst does not CSE across k
+    separate array_min expressions, so the naive form md5s every
+    shingle k times — the aggregate evaluates the md5 transform once."""
+    a_arr = "array(" + ", ".join(f"{a}L" for a in MINHASH_A[:k]) + ")"
+    b_arr = "array(" + ", ".join(f"{b}L" for b in MINHASH_B[:k]) + ")"
+    bases = (f"transform({shingle_col}, "
+             f"s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+             f" % {MINHASH_P})")
+    return F.expr(f"""
+        aggregate(
+          {bases},
+          transform(sequence(1, {k}), i -> {MINHASH_P}L),
+          (acc, b) -> zip_with(acc, sequence(0, {k - 1}),
+            (m, i) -> least(m, (element_at({a_arr}, i + 1) * b
+                                + element_at({b_arr}, i + 1))
+                               % {MINHASH_P})))""")
 
 
 @register(
@@ -202,7 +213,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for r in range(MINHASH_R)]).alias("band_key"))
             for b in range(MINHASH_BANDS)])).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
-    bands = cap_hot_buckets(bands, ["band_id", "band_key"]).persist()
+    # persist BEFORE the cap: the bucket-count aggregate, the anti-join
+    # and both sides of the self-join all reuse the cached band table
+    # instead of recomputing the shingle+minhash subtree per consumer
+    bands = cap_hot_buckets(bands.persist(), ["band_id", "band_key"])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -360,33 +374,66 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    # Signature via a vectorized Arrow pandas UDF, NOT a SQL
-    # higher-order aggregate: the 64-bit × per-token bit-vote is
-    # interpretation-bound in Catalyst (HOF lambdas don't codegen, and
+    # Signature fully JVM-side and RELATIONAL: explode distinct tokens
+    # to rows, one md5 per token, 64 map-combinable CASE sums per doc.
+    # Not a SQL higher-order aggregate — HOF lambdas don't codegen, and
     # projection collapse inlines the 64-element bit_sums array into
-    # every element_at — a 64× recompute; measured 226s vs <2s at
-    # sf0.01). md5 is standardized, so the DuckDB oracle replays the
-    # UDF bit-for-bit.
-    h = (docs.select("doc_id", _simhash64_chunks("text").alias("chunks"))
-         .persist())
+    # every element_at (a 64× recompute; measured 226s vs <2s at
+    # sf0.01). The row form keeps md5 in ONE projection under the
+    # aggregate, which partial-aggregates map-side before any shuffle.
+    # md5 is standardized, so the DuckDB oracle replays it bit-for-bit.
+    toks = (docs
+            .select("doc_id",
+                    F.explode(F.array_distinct(F.split("text", " ")))
+                    .alias("w"))
+            .select("doc_id", F.md5("w").alias("hx")))
+    digits = [F.conv(F.substring("hx", d + 1, 1), 16, 10)
+               .cast("int").alias(f"d{d}") for d in range(16)]
+    nib = toks.select("doc_id", *digits)
+    votes = [F.sum(
+        F.when(F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(1) == 1,
+               1).otherwise(-1)).alias(f"s{b}") for b in range(64)]
+    sums = nib.groupBy("doc_id").agg(*votes)
+    chunk_cols = []
+    for c in range(SIMHASH64_CHUNKS):
+        bits = [F.when(F.col(f"s{c * 16 + d}") > 0,
+                       F.lit(1 << d).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+                for d in range(16)]
+        acc = bits[0]
+        for expr in bits[1:]:
+            acc = acc + expr
+        chunk_cols.append(acc.alias(f"c{c}"))
+    h = sums.select("doc_id", *chunk_cols).persist()
+    # 4 scalar chunk columns, not an array: the join rows stay flat, and
+    # hamming is 4 codegen'd bit_count(xor) terms instead of a
+    # zip_with/aggregate lambda pair per candidate row
     hc = h.select(
-        "doc_id", "chunks",
-        F.posexplode("chunks").alias("chunk_id", "chunk_val"))
+        "doc_id", *[f"c{c}" for c in range(SIMHASH64_CHUNKS)],
+        F.posexplode(F.array(*[f"c{c}" for c in range(SIMHASH64_CHUNKS)]))
+         .alias("chunk_id", "chunk_val"))
     hc = cap_hot_buckets(hc, ["chunk_id", "chunk_val"])
-    a = hc.select(F.col("doc_id").alias("doc_a"), F.col("chunks").alias("ca"),
+    a = hc.select(F.col("doc_id").alias("doc_a"),
+                  *[F.col(f"c{c}").alias(f"a{c}")
+                    for c in range(SIMHASH64_CHUNKS)],
                   "chunk_id", "chunk_val")
-    b = hc.select(F.col("doc_id").alias("doc_b"), F.col("chunks").alias("cb"),
+    b = hc.select(F.col("doc_id").alias("doc_b"),
+                  *[F.col(f"c{c}").alias(f"b{c}")
+                    for c in range(SIMHASH64_CHUNKS)],
                   F.col("chunk_id").alias("cid"), F.col("chunk_val").alias("cv"))
-    cand = (a.join(b, (F.col("chunk_id") == F.col("cid"))
+    hamming = None
+    for c in range(SIMHASH64_CHUNKS):
+        term = F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}")))
+        hamming = term if hamming is None else hamming + term
+    # filter on hamming BEFORE the pair-dedup shuffle: a pair appears up
+    # to 4× (once per shared chunk), but only near-dup pairs — a tiny
+    # fraction — reach the distinct
+    return (a.join(b, (F.col("chunk_id") == F.col("cid"))
                    & (F.col("chunk_val") == F.col("cv"))
                    & (F.col("doc_a") < F.col("doc_b")))
-            .select("doc_a", "doc_b", "ca", "cb").distinct())
-    hamming = F.expr(f"""
-        CAST(aggregate(zip_with(ca, cb, (x, y) -> bit_count(x ^ y)),
-                       0, (acc, v) -> acc + v) AS INT)""")
-    return (cand.withColumn("hamming", hamming)
+            .withColumn("hamming", hamming.cast("int"))
             .filter(F.col("hamming") <= HAMMING_MAX)
-            .select("doc_a", "doc_b", "hamming"))
+            .select("doc_a", "doc_b", "hamming")
+            .distinct())
 
 
 @register(
