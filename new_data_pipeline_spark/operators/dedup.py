@@ -293,35 +293,6 @@ SIMHASH64_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 16-bit chunks eq
 HAMMING_MAX = 3
 
 
-from pyspark.sql.types import ArrayType, LongType  # noqa: E402
-
-
-@F.pandas_udf(ArrayType(LongType()))
-def _simhash64_chunks(texts):
-    """64-bit SimHash signature as 4×16-bit chunks, vectorized in numpy
-    per Arrow batch. Bit b votes +1 when bit (b mod 4) of hex digit
-    (b div 4) of md5(token) is set, summed over distinct tokens; the
-    sign of each sum is the signature bit — identical to the oracle's
-    DuckDB list-comprehension replay."""
-    import hashlib
-
-    import numpy as np
-
-    b = np.arange(64)
-    out = []
-    for t in texts:
-        toks = set(t.split(" "))
-        nib = np.array(
-            [[int(c, 16) for c in hashlib.md5(w.encode()).hexdigest()[:16]]
-             for w in toks], dtype=np.int64)
-        bits = (nib[:, b // 4] >> (b % 4)) & 1          # (T, 64)
-        sig = ((2 * bits - 1).sum(axis=0) > 0).astype(np.int64)
-        out.append([int((sig[c * 16:(c + 1) * 16] << np.arange(16)).sum())
-                    for c in range(SIMHASH64_CHUNKS)])
-    import pandas as pd
-    return pd.Series(out)
-
-
 @register(
     "dedup_simhash64_hamming",
     oracle=f"""
