@@ -60,6 +60,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = engine.QUERIES[name]
+        # one untimed priming run at the bench scale: the first sf0.1
+        # execution pays page-cache fill for the parquet files plus
+        # residual JIT (measured 2-3× the steady state) — the timed
+        # medians then measure engine time, comparable across rounds
+        spark.catalog.clearCache()
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         runs = []
         for _ in range(n_runs):
             # clear persisted subtrees (LSH shingles, SimHash signatures)
