@@ -1,0 +1,248 @@
+"""Corpus preparation operators for LLM training-data pipelines:
+chunking, repetition signals, sequence packing, split-leakage checks.
+
+The reference stops at tensor serialization (serialize.py:156-167) —
+these are the curation stages a 100 TB text corpus passes through
+before it: fixed-window chunking with overlap (context building),
+Gopher/C4-style repetition ratios (quality filtering), contiguous
+sequence packing (training-batch construction), and train/test
+contamination detection over content fingerprints.
+
+Every operator is a pure per-row projection or a keyed aggregation —
+no driver loops, no Python in the row path — and every one is
+DuckDB-oracle-gated (integer/ratio math only, no libm)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.operators.sampling import assign_split
+from new_data_pipeline_spark.registry import register
+
+CHUNK_W = 64   # tokens per chunk
+CHUNK_S = 48   # stride (CHUNK_W - CHUNK_S = 16 tokens of overlap)
+PACK_TARGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n, toks,
+             unnest(range(0,
+                 1 + (greatest(0, n - {CHUNK_W}) + {CHUNK_S - 1})
+                     // {CHUNK_S})) AS i
+      FROM t
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(toks[i * {CHUNK_S} + 1 :
+                                least(i * {CHUNK_S} + {CHUNK_W}, n)], ' ')
+             AS chunk_text,
+           CAST(least({CHUNK_W}, n - i * {CHUNK_S}) AS INTEGER)
+             AS n_chunk_tokens
+    FROM c
+    """,
+    tags=("corpus", "chunking"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap: 64-token chunks on a 48-token
+    stride (16 tokens shared between neighbors), the standard context-
+    window builder. The chunk count stops once a window reaches the end
+    of the doc — no trailing chunks fully contained in their
+    predecessor.
+
+    Scale: split + per-row explode; zero shuffle, pushdown-friendly.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    t = t.withColumn("n", F.size("toks"))
+    n_chunks = (F.lit(1)
+                + F.floor((F.greatest(F.lit(0), F.col("n") - CHUNK_W)
+                           + (CHUNK_S - 1)) / CHUNK_S)).cast("int")
+    c = t.withColumn("chunk_id", F.explode(F.sequence(
+        F.lit(0), n_chunks - 1)))
+    start = F.col("chunk_id") * CHUNK_S
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("toks", start + 1, F.lit(CHUNK_W)))
+         .alias("chunk_text"),
+        F.least(F.lit(CHUNK_W), F.col("n") - start)
+         .cast("integer").alias("n_chunk_tokens"))
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), uni AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+             MAX(c) AS top_cnt
+      FROM (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+      GROUP BY doc_id
+    ), big AS (
+      SELECT doc_id, SUM(c) AS n_bi, COUNT(*) AS n_distinct_bi
+      FROM (
+        SELECT doc_id, bg, COUNT(*) AS c
+        FROM (
+          SELECT doc_id,
+                 unnest([toks[i] || ' ' || toks[i + 1]
+                         for i in range(1, len(toks))]) AS bg
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents)
+          WHERE len(toks) >= 2)
+        GROUP BY 1, 2)
+      GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(u.n_distinct AS DOUBLE) / u.n_tokens, 6)
+             AS distinct_ratio,
+           round(CAST(u.top_cnt AS DOUBLE) / u.n_tokens, 6)
+             AS top_token_share,
+           round(coalesce(1.0 - CAST(b.n_distinct_bi AS DOUBLE) / b.n_bi,
+                          0.0), 6) AS dup_bigram_ratio
+    FROM uni u LEFT JOIN big b USING (doc_id)
+    """,
+    tags=("corpus", "quality", "repetition"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: distinct-token
+    ratio, top-token share, and duplicate-bigram fraction — the three
+    cheapest high-precision filters for boilerplate and degenerate text.
+
+    Scale: two keyed aggregations (doc_id×token, doc_id×bigram), both
+    map-side combinable; ratios are exact integer divisions.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    uni = (toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id")
+           .agg(F.sum("c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("c").alias("top_cnt")))
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    bigrams = (t.filter(F.size("toks") >= 2)
+               .select("doc_id", F.explode(F.expr(
+                   "transform(sequence(1, size(toks) - 1), "
+                   "i -> concat(element_at(toks, i), ' ', "
+                   "element_at(toks, i + 1)))")).alias("bg")))
+    big = (bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id")
+           .agg(F.sum("c").alias("n_bi"),
+                F.count(F.lit(1)).alias("n_distinct_bi")))
+    return (uni.join(big, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.round(F.col("n_distinct").cast("double")
+                        / F.col("n_tokens"), 6).alias("distinct_ratio"),
+                F.round(F.col("top_cnt").cast("double")
+                        / F.col("n_tokens"), 6).alias("top_token_share"),
+                F.round(F.coalesce(
+                    F.lit(1.0) - F.col("n_distinct_bi").cast("double")
+                    / F.col("n_bi"), F.lit(0.0)), 6)
+                 .alias("dup_bigram_ratio")))
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tok,
+             coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS cum_before
+      FROM d
+    )
+    SELECT source, CAST(cum_before // {PACK_TARGET} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens_in_bin
+    FROM c
+    GROUP BY 1, 2
+    """,
+    tags=("corpus", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: concatenate each source's docs in
+    doc_id order and cut at {PACK_TARGET}-token boundaries — bin =
+    floor(cumulative_tokens_before / target), the concat-then-slice
+    packing training loaders use (docs may straddle a cut; the bin is
+    where the doc STARTS).
+
+    Scale: one window per source partition (keyed shuffle, sorted within
+    partition) + a map-side-combinable aggregation. Pure int math.
+    """
+    from pyspark.sql import Window as W
+    docs = catalog.load(spark, sf_dir, "documents")
+    d = docs.select("source", "doc_id",
+                    F.size(F.split("text", " ")).alias("n_tok"))
+    w = (W.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    c = d.withColumn("cum_before",
+                     F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (c.groupBy(
+                "source",
+                F.floor(F.col("cum_before") / PACK_TARGET)
+                 .cast("bigint").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("tokens_in_bin")))
+
+
+@register(
+    "split_leakage_check",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT a.split AS split_a, b.split AS split_b,
+           COUNT(*) AS n_shared_fingerprints
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.split < b.split
+    GROUP BY 1, 2
+    """,
+    tags=("corpus", "split", "dedup", "contamination"),
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination detector: normalized-content
+    fingerprints that appear in more than one split. The curation step
+    every eval pipeline needs before trusting held-out numbers —
+    hash-based splits are doc_id-disjoint but NOT content-disjoint when
+    the corpus contains near-identical documents.
+
+    Scale: distinct (fingerprint, split) pairs — one shuffle on the
+    16-byte md5 — then a self-equi-join on the fingerprint; cluster
+    sizes per fingerprint are tiny (≤ number of splits), so the join
+    cannot go quadratic.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    fp = (docs.select(
+            F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+             .alias("fingerprint"),
+            assign_split("doc_id").alias("split"))
+          .distinct())
+    a = fp.select(F.col("fingerprint"), F.col("split").alias("split_a"))
+    b = fp.select(F.col("fingerprint").alias("fpb"),
+                  F.col("split").alias("split_b"))
+    return (a.join(b, (F.col("fingerprint") == F.col("fpb"))
+                   & (F.col("split_a") < F.col("split_b")))
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_fingerprints")))

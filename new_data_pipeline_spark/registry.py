@@ -85,10 +85,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "map_funcs",
     "struct_funcs",
     "array_higher_order",
+    # corpus preparation (chunking, repetition, packing, contamination)
+    "text_chunk_overlap",
+    "text_repetition_ratio",
+    "corpus_pack_sequences",
+    "split_leakage_check",
     # reshaping / time series
     "unpivot_stack",
     "string_agg_ordered",
-    "date_format_strings",
     "regex_surface",
     "timeseries_gapfill",
     # scalar function surface
@@ -96,17 +100,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "scalar_date_funcs",
     "scalar_math_conditional",
     "scalar_json_funcs",
-    "scalar_json_struct_agg",
     "scalar_array_funcs",
     # sampling / splits
     "split_train_test",
-    "split_kfold_assign",
     "sample_stratified_hash",
     # statistical aggregates
     "agg_stats_moments",
-    "agg_corr_regression",
     "agg_argmin_argmax",
     # ---- first-50 window boundary (positions above are 0-49) ----
+    "date_format_strings",
+    "scalar_json_struct_agg",
+    "split_kfold_assign",
+    "agg_corr_regression",
     "agg_bitwise_bool",
     "agg_exact_quantiles",
     # approximates without oracles (rows-only driver check)
