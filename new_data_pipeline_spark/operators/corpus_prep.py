@@ -246,3 +246,77 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("split_a") < F.col("split_b")))
             .groupBy("split_a", "split_b")
             .agg(F.count(F.lit(1)).alias("n_shared_fingerprints")))
+
+@register(
+    "corpus_e2e_curation",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ), kept AS (
+      SELECT * FROM sig
+      WHERE n_tok BETWEEN 10 AND 1000
+        AND CAST(n_distinct AS DOUBLE) / n_tok >= 0.3
+    ), keeper AS (
+      SELECT fingerprint, MIN(doc_id) AS keeper_id FROM kept GROUP BY 1
+    ), dedup AS (
+      SELECT k.* FROM kept k
+      JOIN keeper ON k.fingerprint = keeper.fingerprint
+                 AND k.doc_id = keeper.keeper_id
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'valid' ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tok), 6)
+             AS corpus_distinct_ratio
+    FROM dedup
+    GROUP BY 1, 2
+    """,
+    tags=("corpus", "pipeline", "composite"),
+)
+def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composable plan: quality
+    filter (length + distinct-token gates) → exact dedup (min-doc_id
+    keeper per normalized fingerprint) → hash split assignment → per
+    (split, lang) corpus report. A user of the reference runs these as
+    separate jobs with intermediate materializations; here Catalyst
+    sees one tree and pushes the quality filter beneath everything.
+
+    The report ratio is SUM(distinct)/SUM(tokens) — integer sums with
+    one final division — never an average of per-doc doubles, whose
+    summation order differs across engines.
+
+    Scale: one shuffle on the fingerprint (dedup), one on the report
+    keys; the filter prunes before both.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = docs.select(
+        "doc_id", "lang",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+         .alias("fingerprint"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"))
+    kept = sig.filter(
+        F.col("n_tok").between(10, 1000)
+        & (F.col("n_distinct").cast("double") / F.col("n_tok") >= 0.3))
+    keeper = (kept.groupBy("fingerprint")
+              .agg(F.min("doc_id").alias("keeper_id")))
+    dedup = kept.join(keeper,
+                      (kept["fingerprint"] == keeper["fingerprint"])
+                      & (kept["doc_id"] == keeper["keeper_id"])).select(kept["*"])
+    return (dedup
+            .groupBy(assign_split("doc_id").alias("split"), "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("total_tokens"),
+                 F.round(F.sum("n_distinct").cast("double")
+                         / F.sum("n_tok"), 6)
+                 .alias("corpus_distinct_ratio")))

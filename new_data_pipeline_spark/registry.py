@@ -83,13 +83,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     # complex types
     "lateral_explode",
     "map_funcs",
-    "struct_funcs",
     "array_higher_order",
     # corpus preparation (chunking, repetition, packing, contamination)
     "text_chunk_overlap",
     "text_repetition_ratio",
     "corpus_pack_sequences",
     "split_leakage_check",
+    "corpus_e2e_curation",
     # reshaping / time series
     "unpivot_stack",
     "string_agg_ordered",
@@ -108,6 +108,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_stats_moments",
     "agg_argmin_argmax",
     # ---- first-50 window boundary (positions above are 0-49) ----
+    "struct_funcs",
     "date_format_strings",
     "scalar_json_struct_agg",
     "split_kfold_assign",
