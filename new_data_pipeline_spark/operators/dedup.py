@@ -144,10 +144,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper")))
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH t AS (
+# The LSH pair pipeline as composable CTEs ending in ``pairs`` —
+# dedup_minhash_lsh projects it directly; dedup_cluster_components feeds
+# it into a recursive-CTE connected-components pass.
+_SQL_MINHASH_PAIR_CTES = f"""
+    t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), s AS (
       SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t
@@ -174,28 +175,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
-    FROM cand c
-    JOIN s sa ON sa.doc_id = c.doc_a
-    JOIN s sb ON sb.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-          / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_THRESHOLD}
-    """,
-    tags=("dedup", "minhash", "lsh"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MinHash + LSH banding, verified by exact
-    shingle Jaccard ≥ 0.8.
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.doc_a
+      JOIN s sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_THRESHOLD}
+    )"""
 
-    Pipeline: word-3-gram shingles → 8 minhashes → 4 bands × 2 rows →
-    band-bucket self-join for candidates → exact Jaccard on candidates
-    only. The md5-derived hash family replays identically in the DuckDB
-    oracle, so the *whole LSH pipeline* is hash-gated, not just its
-    output shape.
-    """
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH near-dup pair pipeline (doc_a, doc_b, jaccard) — shared
+    by ``dedup_minhash_lsh`` and the cluster-components pass."""
     docs = catalog.load(spark, sf_dir, "documents")
     # Persist the shingle sets: the plan consumes them four times (band
     # build ×2 via the self-join, Jaccard verify ×2) and recomputing the
@@ -231,6 +225,106 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .filter(jac >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash + LSH banding, verified by exact
+    shingle Jaccard ≥ 0.8.
+
+    Pipeline: word-3-gram shingles → 8 minhashes → 4 bands × 2 rows →
+    band-bucket self-join for candidates → exact Jaccard on candidates
+    only. The md5-derived hash family replays identically in the DuckDB
+    oracle, so the *whole LSH pipeline* is hash-gated, not just its
+    output shape.
+    """
+    return minhash_pairs(spark, sf_dir)
+
+
+MAX_CC_ITERS = 25  # label propagation rounds; converges in O(diameter)
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iters: int = MAX_CC_ITERS) -> DataFrame:
+    """Connected components by min-label propagation: every node starts
+    labeled with its own id; each round takes the min of its own and its
+    neighbors' labels; fixpoint = components labeled by their min node.
+
+    The iterative-DataFrame pattern (GraphX Pregel's shape without
+    GraphX): per round one equi-join + one map-side-combinable min
+    aggregation, an eager localCheckpoint to truncate lineage (an
+    unbounded iterative plan otherwise re-executes every prior round),
+    and a LIMIT-1 convergence probe. Rounds needed = graph diameter —
+    near-dup clusters are shallow (dozens of rounds at web scale).
+
+    Returns (id, label) for every node that appears in an edge.
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+           .distinct().localCheckpoint())
+    labels = (sym.select(F.col("u").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iters):
+        nbr = (sym.join(labels, sym["v"] == labels["id"])
+               .select(sym["u"].alias("id"), "label"))
+        merged = (labels.union(nbr)
+                  .groupBy("id").agg(F.min("label").alias("label"))
+                  .localCheckpoint())
+        changed = (merged.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = merged
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    ), labeled AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id, COUNT(*) AS n_members,
+           MAX(doc_id) AS max_member
+    FROM labeled GROUP BY cluster_id
+    """,
+    tags=("dedup", "cluster", "graph", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from the LSH pair list: connected
+    components over the pair graph (pair detection alone under-removes —
+    A~B and B~C must collapse to one keeper even when A~C missed the
+    Jaccard bar). Cluster id = min doc_id in the component; one summary
+    row per cluster.
+
+    The DuckDB oracle replays the component labels with a recursive CTE
+    over the SAME pair pipeline, so even the iterative algorithm is
+    value-gated, not just row-counted.
+    """
+    pairs = minhash_pairs(spark, sf_dir)
+    labels = connected_components(pairs)
+    return (labels.groupBy(F.col("label").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.max("id").alias("max_member")))
 
 
 @register(

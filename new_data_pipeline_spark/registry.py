@@ -48,7 +48,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # dedup family (SURVEY §2.2; all oracle-replayable)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_cluster_components",
     "dedup_simhash64_hamming",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -108,6 +108,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_stats_moments",
     "agg_argmin_argmax",
     # ---- first-50 window boundary (positions above are 0-49) ----
+    "dedup_simhash",
     "struct_funcs",
     "date_format_strings",
     "scalar_json_struct_agg",

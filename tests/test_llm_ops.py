@@ -178,3 +178,14 @@ def test_cap_hot_buckets_no_op_on_gated_corpus(spark):
     docs = engine.QUERIES["dedup_minhash_lsh"].fn(spark, SF_DIR)
     oracle_free = engine.QUERIES["dedup_simhash64_hamming"].fn(spark, SF_DIR)
     assert docs.count() >= 0 and oracle_free.count() >= 0
+
+
+def test_connected_components_planted_graph(spark):
+    """Chain a-b-c-d plus isolated pair e-f: one 4-component labeled by
+    its min node, one 2-component — transitivity across pairs that were
+    never directly compared."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint")
+    labels = {r["id"]: r["label"]
+              for r in dedup.connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
