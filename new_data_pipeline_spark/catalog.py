@@ -48,13 +48,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-    # (spark.sql.legacy.parquet.nanosAsLong) — convert to a microsecond
-    # timestamp (integer DIV keeps int64 precision; float division would
-    # corrupt epoch-nanos above 2^53).
+    # Normalize event time to TIMESTAMP (LTZ under the pinned UTC session
+    # zone) whatever the parquet writer stored:
+    # - TIMESTAMP(NANOS): Spark reads it as long (nanosAsLong conf above)
+    #   — convert with integer DIV (float division would corrupt
+    #   epoch-nanos above 2^53);
+    # - plain timestamp[us] without isAdjustedToUTC: Spark infers
+    #   TIMESTAMP_NTZ, which event-time ops (withWatermark) and the
+    #   unix_* family reject — cast is wall-clock-preserving under UTC.
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

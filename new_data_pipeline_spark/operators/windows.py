@@ -289,12 +289,16 @@ def sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     guide's sessionization pattern claims."""
     events = catalog.load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = 30 * 60 * 1_000_000  # exact µs, not truncated seconds
+    # interval arithmetic: µs-exact (unlike unix_timestamp's truncated
+    # seconds) and valid for both TIMESTAMP and TIMESTAMP_NTZ inputs —
+    # events.ts reads as NTZ from plain timestamp[us] parquet, which the
+    # unix_micros() family rejects at analysis time
     marked = events.select(
         "user_id", "ts", "event_id",
         F.when(F.lag("ts").over(w).isNull()
-               | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                  > gap_us), 1).otherwise(0).alias("is_new"))
+               | (F.col("ts") - F.lag("ts").over(w)
+                  > F.expr("INTERVAL 30 MINUTES")), 1)
+         .otherwise(0).alias("is_new"))
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return marked.select(
         "user_id",

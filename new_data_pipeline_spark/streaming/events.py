@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 from new_data_pipeline_spark.functions.exact import money
 
 
+def _event_time(events: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to TIMESTAMP: plain timestamp[us] parquet reads
+    as TIMESTAMP_NTZ, which EventTimeWatermark rejects outright. The
+    cast is wall-clock-preserving under the engine's pinned UTC session
+    zone and a no-op when ts is already TIMESTAMP. Streaming sources
+    don't pass through catalog.load, so the builders normalize here."""
+    if events.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        return events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events
+
+
 def tumbling_counts(events: DataFrame, width: str = "1 hour",
                     watermark: str | None = None) -> DataFrame:
     """Tumbling-window counts/sums per event_type.
@@ -35,6 +46,7 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour",
     the max observed ts and drops later-arriving rows (late-data
     policy); in batch mode it is a no-op and every window closes.
     """
+    events = _event_time(events)
     src = events.withWatermark("ts", watermark) if watermark else events
     return (src.groupBy(F.window("ts", width).alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -48,6 +60,7 @@ def sliding_counts(events: DataFrame, width: str = "1 hour",
                    slide: str = "30 minutes",
                    watermark: str | None = None) -> DataFrame:
     """Sliding windows: each event lands in width/slide windows."""
+    events = _event_time(events)
     src = events.withWatermark("ts", watermark) if watermark else events
     return (src.groupBy(F.window("ts", width, slide).alias("w"))
             .agg(F.count(F.lit(1)).alias("n_events"))
@@ -59,6 +72,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
                watermark: str | None = None) -> DataFrame:
     """Session windows per user: events within ``gap`` of each other
     merge; session end = last event + gap (session_window semantics)."""
+    events = _event_time(events)
     src = events.withWatermark("ts", watermark) if watermark else events
     return (src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -123,6 +137,6 @@ def dedup_keep_first(events: DataFrame, keys: list[str],
     dropDuplicates, exact.
     """
     if watermark and events.isStreaming:
-        return (events.withWatermark("ts", watermark)
+        return (_event_time(events).withWatermark("ts", watermark)
                 .dropDuplicatesWithinWatermark(keys))
     return events.dropDuplicates(keys)
