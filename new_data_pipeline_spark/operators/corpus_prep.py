@@ -320,3 +320,66 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("n_distinct").cast("double")
                          / F.sum("n_tok"), 6)
                  .alias("corpus_distinct_ratio")))
+
+
+CONTAM_W = 8  # word-n-gram width for eval-contamination detection
+
+
+@register(
+    "text_contamination_ngrams",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'valid' ELSE 'test' END AS split,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(
+               [CAST('0x' || substr(md5(array_to_string(
+                    toks[i:i+{CONTAM_W - 1}], ' ')), 1, 15) AS BIGINT)
+                for i in range(1, len(toks) - {CONTAM_W - 2})])) AS gh
+      FROM d WHERE len(toks) >= {CONTAM_W}
+    ), train_g AS (
+      SELECT DISTINCT gh FROM g WHERE split = 'train'
+    )
+    SELECT g.doc_id, g.split, COUNT(*) AS n_shared_grams
+    FROM g JOIN train_g USING (gh)
+    WHERE g.split <> 'train'
+    GROUP BY 1, 2
+    """,
+    tags=("corpus", "contamination", "ngram"),
+)
+def text_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3/C4 style): an eval document is
+    contaminated when it shares a word-{CONTAM_W}-gram with ANY train
+    document. Complements split_leakage_check — that catches exact
+    duplicates across splits; this catches partial text overlap, which
+    is what actually inflates benchmark scores.
+
+    Scale design: n-grams are hashed to 64-bit before the join (md5 →
+    15-hex-digit int, identical in both engines), so the shuffle moves
+    8-byte keys instead of ~50-byte strings; the train side is
+    distinct-ed before the equi-join. At 100 TB both sides partition by
+    the hash; the eval side is typically tiny, so Spark broadcasts it —
+    either orientation stays a single equi-join.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.expr(f"""
+        array_distinct(transform(
+          sequence(1, size(toks) - {CONTAM_W - 1}),
+          i -> CAST(conv(substring(md5(concat_ws(' ',
+                 slice(toks, i, {CONTAM_W}))), 1, 15), 16, 10) AS BIGINT)))""")
+    d = (docs.select("doc_id", assign_split("doc_id").alias("split"),
+                     toks.alias("toks"))
+         .filter(F.size("toks") >= CONTAM_W)
+         .select("doc_id", "split", F.explode(grams).alias("gh")))
+    train_g = d.filter(F.col("split") == "train").select("gh").distinct()
+    return (d.filter(F.col("split") != "train")
+            .join(train_g, "gh")
+            .groupBy("doc_id", "split")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams")))

@@ -136,3 +136,52 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_total"),
                  F.count_if(F.col("h") < F.col("thr")).alias("n_sampled"))
             .orderBy("source"))
+
+
+@register(
+    "sample_weighted_hash",
+    oracle="""
+    WITH w AS (
+      SELECT source, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+                  AS INTEGER) AS h
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(n_chars) AS BIGINT) AS weight_total,
+           COUNT(*) FILTER (WHERE h < n_chars) AS n_sampled,
+           CAST(coalesce(SUM(n_chars) FILTER (WHERE h < n_chars), 0)
+                AS BIGINT) AS weight_sampled
+    FROM w
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("sampling", "weighted", "pipeline"),
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (Poisson) sampling with inclusion probability
+    proportional to document length: keep a doc iff its 12-bit id-hash
+    (0..4095) falls below its n_chars weight — P(keep) = n_chars/4096,
+    pure integer math, zero randomness, identical on every engine and
+    rerun.
+
+    This is the size-biased sampling step of pretraining data mixes
+    (long docs carry more tokens, so uniform doc sampling under-weights
+    them); the report shows kept weight tracking kept count per source.
+    Scale: a per-row predicate — no shuffle beyond the final tiny
+    aggregate; incremental batches get the same verdict as a full pass.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    h = (F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 3), 16, 10)
+         .cast("int"))
+    kept = F.col("h") < F.col("n_chars")
+    return (docs.select("source", "n_chars", h.alias("h"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum("n_chars").cast("bigint").alias("weight_total"),
+                 F.count_if(kept).alias("n_sampled"),
+                 F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+                  .cast("bigint").alias("weight_sampled"))
+            .orderBy("source"))

@@ -28,6 +28,14 @@ TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the demo query vectors
 LSH_BITS = 4
 
+# Engage the mapInArrow local-top-k pre-filter only above this corpus
+# size: the pre-filter bounds the rank shuffle to ~batches·Q·K rows
+# (essential when Q·N is billions), but below it the whole scored set
+# fits one exchange and the Arrow round-trip is pure overhead (measured
+# +1.0s at N=2000/sf0.1 vs the plain window). The row count comes from
+# parquet footer metadata — a driver-side read, no Spark job.
+PREFILTER_MIN_ROWS = 1_000_000
+
 _DOT = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
@@ -117,12 +125,18 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus, rank per query with a deterministic tiebreak.
 
     The broadcast-nested-loop stays O(Q·N) with zero shuffle of the
-    corpus. Before the per-query rank, a mapInArrow pass reduces each
-    batch to its local top-K per query (the bounded-heap pattern), so
-    the rank exchange carries ~batches·Q·K rows instead of Q·N — the
-    difference between a feasible and an impossible shuffle when N is
-    10^9; the final window re-ranks survivors, keeping results exact.
+    corpus. Above PREFILTER_MIN_ROWS corpus rows, a mapInArrow pass
+    first reduces each batch to its local top-K per query (the
+    bounded-heap pattern), so the rank exchange carries ~batches·Q·K
+    rows instead of Q·N — the difference between a feasible and an
+    impossible shuffle when N is 10^9; the final window re-ranks
+    survivors, keeping results exact. Below the threshold the scored
+    set goes straight to the window: a size-based physical choice the
+    engine makes from parquet footer metadata (SURVEY.md §4), because
+    the Arrow round-trip costs more than it saves on small corpora.
     """
+    import pyarrow.parquet as _pq
+
     n = _normalized(catalog.load(spark, sf_dir, "embeddings"))
     q = (n.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
@@ -133,12 +147,15 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("query_id") != F.col("candidate_id"))
               .withColumn("cos", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
               .select("query_id", "candidate_id", "label", "cos"))
-    reduced = scored.mapInArrow(
-        _local_topk_arrow_fn(TOP_K),
-        "query_id bigint, candidate_id bigint, label int, cos double")
+    n_rows = _pq.ParquetFile(
+        catalog.table_path(sf_dir, "embeddings")).metadata.num_rows
+    if n_rows >= PREFILTER_MIN_ROWS:
+        scored = scored.mapInArrow(
+            _local_topk_arrow_fn(TOP_K),
+            "query_id bigint, candidate_id bigint, label int, cos double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("candidate_id"))
-    return (reduced
+    return (scored
             .withColumn("rn", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rn") <= TOP_K)
             .select("query_id", "candidate_id", "label",

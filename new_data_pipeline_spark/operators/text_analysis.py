@@ -451,3 +451,83 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "bigram")
             .limit(20))
+
+
+HH_SHARE = 0.005   # heavy hitter = token holding > 0.5% of all tokens
+HH_CAPACITY = 400  # Misra-Gries counters per partition; N/400 < 0.5%·N
+
+
+def _misra_gries_fn(capacity: int):
+    """Per-partition Misra-Gries summary over a token stream.
+
+    Maintains at most ``capacity`` counters; on overflow subtracts the
+    smallest surviving value from every counter and drops the
+    non-positive (the batched decrement). Any token whose true count in
+    the partition exceeds n_partition/capacity survives, so the union
+    of partition summaries is a superset of every token with global
+    share > 1/capacity — the exact-recount pass then filters precisely.
+
+    Returned as a closure so cloudpickle serializes it by value (the
+    grading driver's Python workers cannot import this package).
+    """
+    def summarize(iterator):
+        import numpy as np
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in iterator:
+            for w, c in pdf["w"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > capacity:
+                vals = np.sort(np.fromiter(counters.values(), dtype=np.int64))
+                m = int(vals[len(vals) - capacity - 1])
+                counters = {w: n - m for w, n in counters.items() if n > m}
+        # dtype=object: an empty partition must still yield a
+        # string-convertible column, not pandas' default float64
+        yield pd.DataFrame({"w": pd.Series(list(counters), dtype=object)})
+
+    return summarize
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), total AS (
+      SELECT COUNT(*) AS n FROM toks
+    )
+    SELECT w, COUNT(*) AS cnt,
+           round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(total.n), 6) AS share
+    FROM toks, total
+    GROUP BY w
+    HAVING COUNT(*) > {HH_SHARE} * ANY_VALUE(total.n)
+    """,
+    tags=("text", "heavy-hitters", "sketch"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (> 0.5% token share) in two bounded-memory
+    passes: per-partition Misra-Gries summaries (zero shuffle, ≤ 400
+    counters per task) propose candidates; a broadcast semi-join +
+    recount gives their exact counts. Identical output to a full
+    groupBy, but the shuffle carries only candidate tokens — on a
+    100 TB corpus with billions of distinct tokens that is the
+    difference between shuffling the vocabulary and shuffling a
+    few hundred rows.
+
+    The oracle is the plain exact SQL — the MG candidate pass is
+    provably a superset of the heavy hitters, so both plans agree
+    bit-for-bit.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    cands = (toks.mapInPandas(_misra_gries_fn(HH_CAPACITY), "w string")
+             .distinct())
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (toks.join(F.broadcast(cands), "w", "left_semi")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") > HH_SHARE * F.col("n"))
+            .select("w", "cnt",
+                    F.round(F.col("cnt").cast("double") / F.col("n"), 6)
+                     .alias("share")))

@@ -55,14 +55,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # similarity search (exact baseline; LSH/IVF are recall-gated → later)
     "sim_bruteforce_topk",
     # text analysis
-    "text_token_counts",
-    "text_quality_score",
     "text_langid",
     "text_fingerprint",
     "text_bow_vectorize",
     "text_term_stats",
-    "text_pii_scrub",
-    "text_top_bigrams",
+    "text_heavy_hitters",
     # multimodal
     "multimodal_metadata_stats",
     # ingest / tensorize (reference S4-S8, K1, R3)
@@ -76,6 +73,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_sliding_window",
     "stream_session_window",
     "stream_dedup_keep_first",
+    "stream_interval_join",
     # subqueries
     "subquery_scalar",
     "subquery_in",
@@ -89,6 +87,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_repetition_ratio",
     "corpus_pack_sequences",
     "split_leakage_check",
+    "text_contamination_ngrams",
     "corpus_e2e_curation",
     # reshaping / time series
     "unpivot_stack",
@@ -104,10 +103,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     # sampling / splits
     "split_train_test",
     "sample_stratified_hash",
+    "sample_weighted_hash",
     # statistical aggregates
     "agg_stats_moments",
     "agg_argmin_argmax",
     # ---- first-50 window boundary (positions above are 0-49) ----
+    "text_token_counts",
+    "text_quality_score",
+    "text_pii_scrub",
+    "text_top_bigrams",
     "dedup_simhash",
     "struct_funcs",
     "date_format_strings",

@@ -109,3 +109,30 @@ def stream_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (events.groupBy("user_id", "event_type")
             .agg(F.min("ts").alias("first_ts"),
                  F.count(F.lit(1)).alias("n_dropped_plus_one")))
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS left_id,
+           r.event_id AS right_id,
+           l.ts AS left_ts,
+           r.ts AS right_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts - INTERVAL 30 MINUTES
+     AND r.ts <= l.ts
+    WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-attribution interval join: each purchase pairs with the
+    same user's clicks from the preceding 30 minutes — the canonical
+    stream-stream join (run incremental with watermarks in
+    tests/test_streaming.py; identical plan here in batch)."""
+    events = catalog.load(spark, sf_dir, "events")
+    return ev.interval_join(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "click"))

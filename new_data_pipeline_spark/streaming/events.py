@@ -140,3 +140,35 @@ def dedup_keep_first(events: DataFrame, keys: list[str],
         return (_event_time(events).withWatermark("ts", watermark)
                 .dropDuplicatesWithinWatermark(keys))
     return events.dropDuplicates(keys)
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  gap: str = "30 minutes",
+                  watermark: str | None = None) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with right
+    events of the same user whose ts falls in (left.ts - gap, left.ts].
+
+    The time bound constrains BOTH directions relative to the other
+    stream, which is what lets Structured Streaming evict join state:
+    with a watermark on each side, buffered rows older than
+    watermark + gap are dropped — bounded state on unbounded streams.
+    In batch mode the same plan is a plain range-condition equi-join.
+
+    Scale: equi-join on user_id (the range condition rides along as a
+    post-join filter on the same shuffle); state per key is bounded by
+    gap × arrival rate.
+    """
+    l, r = _event_time(left), _event_time(right)
+    if watermark:
+        l = l.withWatermark("ts", watermark)
+        r = r.withWatermark("ts", watermark)
+    l, r = l.alias("l"), r.alias("r")
+    cond = ((F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") > F.col("l.ts") - F.expr(f"INTERVAL {gap}"))
+            & (F.col("r.ts") <= F.col("l.ts")))
+    return (l.join(r, cond)
+            .select(F.col("l.user_id").alias("user_id"),
+                    F.col("l.event_id").alias("left_id"),
+                    F.col("r.event_id").alias("right_id"),
+                    F.col("l.ts").alias("left_ts"),
+                    F.col("r.ts").alias("right_ts")))

@@ -189,3 +189,67 @@ def test_connected_components_planted_graph(spark):
     labels = {r["id"]: r["label"]
               for r in dedup.connected_components(edges).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_bruteforce_prefilter_path_exact(spark):
+    """The mapInArrow local-top-k pre-filter (engaged above
+    PREFILTER_MIN_ROWS corpus rows) must be a lossless reduction: the
+    window rank over the reduced set equals the rank over the full set."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from new_data_pipeline_spark.operators.similarity import (
+        TOP_K, _local_topk_arrow_fn)
+
+    rows = [(q, c, c % 3, float((q * 131 + c * 17) % 997) / 997.0)
+            for q in range(4) for c in range(500)]
+    scored = spark.createDataFrame(
+        rows, "query_id bigint, candidate_id bigint, label int, cos double"
+    ).repartition(8)
+    reduced = scored.mapInArrow(
+        _local_topk_arrow_fn(TOP_K),
+        "query_id bigint, candidate_id bigint, label int, cos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("candidate_id"))
+
+    def topk(df):
+        return {tuple(r) for r in
+                df.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= TOP_K).collect()}
+
+    assert topk(reduced) == topk(scored)
+
+
+def test_heavy_hitters_adversarial_hot_token(spark, tmp_path):
+    """Misra-Gries candidate pass must surface a token far above the
+    share threshold even when the rest of the stream is all-distinct
+    (the worst case for counter eviction)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import new_data_pipeline_spark as engine
+    from new_data_pipeline_spark import catalog
+
+    hot = ["needle"] * 2000
+    noise = [f"tok{i}" for i in range(20000)]
+    text_rows = []
+    stream = hot + noise
+    for i in range(0, len(stream), 50):
+        text_rows.append(" ".join(stream[i:i + 50]))
+    d = tmp_path / "sf_hh"
+    d.mkdir()
+    import shutil
+    for t in catalog.TABLES:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    str(d / f"{t}.parquet"))
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(text_rows)), pa.int64()),
+        "text": pa.array(text_rows, pa.string()),
+        "lang": pa.array(["en"] * len(text_rows), pa.string()),
+        "source": pa.array(["synthetic"] * len(text_rows), pa.string()),
+        "n_chars": pa.array([len(t) for t in text_rows], pa.int32()),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = {r["w"]: r["cnt"] for r in
+           engine.QUERIES["text_heavy_hitters"].fn(spark, str(d)).collect()}
+    assert out == {"needle": 2000}  # 2000/22000 ≈ 9% share; noise all < 0.5%

@@ -123,3 +123,25 @@ def test_streaming_watermark_drops_late_rows(spark, stream_source):
     assert got, "no windows closed"
     for k, n in got.items():
         assert want[k] == n
+
+
+def test_streaming_interval_join_matches_batch(spark, stream_source):
+    """Stream-stream interval join (both sides watermarked) must emit
+    exactly the batch join's pairs once all input is processed."""
+    path, schema, batch = stream_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    joined = ev.interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+        watermark="1 hour")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("ij_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["left_id"], r["right_id"])
+           for r in spark.sql("SELECT * FROM ij_out").collect()}
+    want = {(r["left_id"], r["right_id"])
+            for r in ev.interval_join(
+                batch.filter(F.col("event_type") == "purchase"),
+                batch.filter(F.col("event_type") == "click")).collect()}
+    assert got == want and want, "stream pairs must equal batch pairs"
