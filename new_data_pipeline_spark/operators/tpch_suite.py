@@ -478,3 +478,49 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.sum(money("c_acctbal")).cast("double").alias("totacctbal"))
             .orderBy("c_mktsegment"))
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("composite", "star-join", "tpch"),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue by nation where the supplying supplier and the
+    ordering customer share a nation (the "local supplier" constraint —
+    a second equi-condition on the supplier join, not a new join).
+
+    Plan shape at scale: lineitem⋈orders⋈customer shuffle on their keys
+    (bucketing co-locates them at 100 TB); supplier joins on
+    (l_suppkey, c_nationkey = s_nationkey) — the nation equality rides
+    the same hash join as an extra key; nation and region broadcast.
+    """
+    customer, orders, lineitem, supplier, nation, region = catalog.load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region")
+    return (lineitem
+            .join(orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.sum(_rev()).cast("double").alias("revenue")))
