@@ -43,5 +43,6 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.text_analysis  # noqa: F401
     import new_data_pipeline_spark.operators.corpus_prep  # noqa: F401
     import new_data_pipeline_spark.operators.multimodal  # noqa: F401
+    import new_data_pipeline_spark.operators.profiling  # noqa: F401
     import new_data_pipeline_spark.sources.ingest_queries  # noqa: F401
     import new_data_pipeline_spark.streaming.event_queries  # noqa: F401

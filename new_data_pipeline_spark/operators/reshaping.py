@@ -189,3 +189,41 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
                     F.last("sum_value", ignorenulls=True).over(w)
                     .cast("double").alias("filled_sum")))
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events
+    """,
+    tags=("temporal", "scd2", "window"),
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change stream: each
+    event opens a validity interval [valid_from, valid_to) closed by the
+    user's next event; the open interval (valid_to IS NULL) is the
+    current state. The warehouse-standard temporal-dimension layout —
+    an as-of join against it answers "what was the user's state at t".
+
+    Scale: one keyed window per user partition (shuffle on user_id,
+    sort within); no self-join, no driver state. At 100 TB the events
+    table is date-partitioned and the dimension rebuild is incremental
+    per partition with a carry-over row per user.
+    """
+    from pyspark.sql import Window as W
+    events = catalog.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"))

@@ -89,11 +89,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "split_leakage_check",
     "text_contamination_ngrams",
     "corpus_e2e_curation",
-    # reshaping / time series
+    # reshaping / time series / temporal modeling
     "unpivot_stack",
-    "string_agg_ordered",
-    "regex_surface",
+    "scd2_user_state",
     "timeseries_gapfill",
+    # data-quality audit
+    "profile_table_quality",
     # scalar function surface
     "scalar_string_funcs",
     "scalar_date_funcs",
@@ -112,6 +113,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "text_pii_scrub",
     "text_top_bigrams",
+    "string_agg_ordered",
+    "regex_surface",
     "dedup_simhash",
     "struct_funcs",
     "date_format_strings",

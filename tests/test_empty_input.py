@@ -33,6 +33,11 @@ def empty_sf_dir(tmp_path_factory):
     return str(d)
 
 
+# Queries whose output size is schema-derived, not data-derived: they
+# legitimately emit a fixed row set even over zero-row input.
+FIXED_ROWS = {"profile_table_quality": 6}  # one row per profiled column
+
+
 @pytest.mark.parametrize("spec", list(engine.QUERIES.values()),
                          ids=lambda s: s.name)
 def test_runs_on_empty_tables(spark, empty_sf_dir, spec):
@@ -41,4 +46,5 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, spec):
     # row over empty input — ANSI semantics — and unions of them (the
     # funnel report) a fixed handful; the sweep asserts the plan builds
     # and executes with no data-derived rows, not an exact zero
-    assert df.count() <= 3, f"{spec.name}: unexpected rows from empty input"
+    limit = FIXED_ROWS.get(spec.name, 3)
+    assert df.count() <= limit, f"{spec.name}: unexpected rows from empty input"
