@@ -56,7 +56,9 @@ def main() -> None:
 
     # Median of N runs per query: single runs on this VM show up to 10×
     # variance (BASELINE.md), which round 1 misread as ±30% regressions.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # 5 runs because contention spikes of 2-8s on this VM can span two
+    # consecutive runs — a median of 3 still passes one through.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = engine.QUERIES[name]

@@ -80,3 +80,31 @@ def test_no_unpartitioned_windows_anywhere(spark):
             if _UNPARTITIONED_WINDOW.search(line):
                 bad.append((name, line.strip()[:100]))
     assert not bad, f"unpartitioned windows: {bad}"
+
+
+def test_heavy_hitters_broadcast_recount_and_partial_agg(spark):
+    p = plan_text(spark, "text_heavy_hitters")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, \
+        "candidate recount must be a broadcast semi-join, not a shuffle"
+    assert "partial_count" in p, \
+        "recount must combine map-side before its shuffle"
+
+
+def test_profile_single_expand_pass(spark):
+    p = plan_text(spark, "profile_table_quality")
+    assert p.count("Location: InMemoryFileIndex") == 1, \
+        "profile must read the table exactly once"
+    assert "Expand" in p, \
+        "multi-column distinct must compile to one Expand pass"
+
+
+def test_q5_broadcasts_both_dims(spark):
+    p = plan_text(spark, "tpch_q5_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 2, \
+        "nation and region must broadcast"
+
+
+def test_contamination_joins_on_hashed_grams(spark):
+    p = plan_text(spark, "text_contamination_ngrams")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, \
+        "gram-overlap check must be an equi-join on the 64-bit gram hash"
