@@ -80,3 +80,58 @@ def profile_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct",
              "min_val", "max_val")
+
+
+@register(
+    "profile_referential_integrity",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_rows
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_without_supplier',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'customers_without_orders',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey))
+    """,
+    tags=("profiling", "quality", "integrity"),
+)
+def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphaned fact rows per
+    foreign key (hard errors) plus unreferenced dimension rows
+    (coverage signal). The check a 100 TB ingest runs after every load —
+    silent FK breakage is how joins start dropping revenue.
+
+    Scale: each check is a left-anti join on the FK; dimension sides
+    broadcast when small, fact-fact (lineitem→orders) shuffles on the
+    key that bucketing co-locates at scale. Four independent counts
+    union into one 4-row report.
+    """
+    customer, orders, lineitem, supplier = catalog.load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier")
+
+    def orphans(name: str, fact: DataFrame, dim: DataFrame,
+                fk: str, pk: str) -> DataFrame:
+        return (fact.join(dim, fact[fk] == dim[pk], "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .select(F.lit(name).alias("check_name"), "n_rows"))
+
+    return (orphans("orders_without_customer", orders, customer,
+                    "o_custkey", "c_custkey")
+            .unionAll(orphans("lineitem_without_order", lineitem, orders,
+                              "l_orderkey", "o_orderkey"))
+            .unionAll(orphans("lineitem_without_supplier", lineitem, supplier,
+                              "l_suppkey", "s_suppkey"))
+            .unionAll(orphans("customers_without_orders", customer, orders,
+                              "c_custkey", "o_custkey")))

@@ -35,7 +35,10 @@ def empty_sf_dir(tmp_path_factory):
 
 # Queries whose output size is schema-derived, not data-derived: they
 # legitimately emit a fixed row set even over zero-row input.
-FIXED_ROWS = {"profile_table_quality": 6}  # one row per profiled column
+FIXED_ROWS = {
+    "profile_table_quality": 6,          # one row per profiled column
+    "profile_referential_integrity": 4,  # one row per FK check
+}
 
 
 @pytest.mark.parametrize("spec", list(engine.QUERIES.values()),

@@ -84,3 +84,24 @@ def test_range_sorted_write_prunes(spark, tmp_path):
     # correctness check (pruning itself shows as scan metrics, not plan)
     assert back.filter(F.col("doc_id") < 10).count() == \
         df.filter(F.col("doc_id") < 10).count()
+
+
+def test_date_partitioned_write_prunes_directories(spark, tmp_path):
+    """Hive-style partitionBy layout: a partition-key predicate must
+    prune directories at planning time (PartitionFilters in the scan),
+    not read-and-filter — the difference between scanning one day and
+    scanning 100 TB."""
+    events = catalog.load(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_by_day")
+    (events.withColumn("day", F.to_date("ts"))
+     .write.mode("overwrite").partitionBy("day").parquet(out))
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("day") == "1995-03-15")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "day" in p.split("PartitionFilters", 1)[1], \
+        "partition-key predicate must prune at the directory level"
+    want = events.filter(F.to_date("ts") == "1995-03-15").count()
+    assert one_day.count() == want
