@@ -145,3 +145,45 @@ def test_streaming_interval_join_matches_batch(spark, stream_source):
                 batch.filter(F.col("event_type") == "purchase"),
                 batch.filter(F.col("event_type") == "click")).collect()}
     assert got == want and want, "stream pairs must equal batch pairs"
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, stream_source, tmp_path):
+    """Kill a stream mid-input and restart from its checkpoint: the
+    restarted query must resume (not replay) and the sink must hold
+    every input row exactly once — the X1 completion/recovery contract
+    on engine state instead of server-process flags."""
+    path, schema, batch = stream_source
+    multi = str(tmp_path / "src")
+    batch.repartition(6).write.mode("overwrite").parquet(multi)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(multi)
+                .writeStream.format("parquet")
+                .option("path", sink).option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(processingTime="0 seconds")
+                .start())
+
+    q = start()
+    # wait for at least one (but not all) micro-batches, then kill
+    import time
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    done_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(sink)
+    # exactly-once holds whether the kill landed mid-input (restart
+    # resumes the remainder) or after it (restart replays nothing);
+    # done_batches tells which path this run exercised
+    assert done_batches >= 1
+    assert got.count() == batch.count(), "every row exactly once after recovery"
+    assert (got.select("event_id").distinct().count()
+            == batch.select("event_id").distinct().count())
