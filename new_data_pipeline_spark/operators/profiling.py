@@ -135,3 +135,82 @@ def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
                               "l_suppkey", "s_suppkey"))
             .unionAll(orphans("customers_without_orders", customer, orders,
                               "c_custkey", "o_custkey")))
+
+
+HIST_BUCKET_W = 50_000  # o_totalprice equi-width bucket size
+
+
+@register(
+    "profile_value_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / {HIST_BUCKET_W}) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / {HIST_BUCKET_W}) * {HIST_BUCKET_W}
+                AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("profiling", "histogram"),
+)
+def profile_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value distribution of order totals (one bucket per
+    50k): the shape check that catches unit regressions (cents vs
+    dollars) and truncated loads at a glance.
+
+    Scale: pure integer bucket math per row + one map-combinable
+    aggregation — the cheapest full-table distribution profile there
+    is; decimal-exact sums for hash parity and drift-free totals.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / HIST_BUCKET_W)
+    return (orders.groupBy(
+                bucket.cast("bigint").alias("bucket"),
+                (bucket * HIST_BUCKET_W).cast("double").alias("bucket_lo"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                  .cast("double").alias("total_value")))
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week, a.active_week,
+           CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT)
+             AS weeks_since,
+           COUNT(*) AS n_active_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "retention", "cohort"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted in every week they return — THE product-analytics query,
+    and the corpus-freshness query when "users" are data sources.
+
+    Scale: one aggregation for first-weeks (map-combinable MIN), one
+    distinct on (user, week), an equi-join on user_id (broadcast when
+    the cohort table is small), and a final keyed count. No windows, no
+    self-join on events.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    firsts = (events.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    activity = (events
+                .select("user_id", F.date_trunc("week", "ts").alias("active_week"))
+                .distinct())
+    weeks = (F.floor(F.datediff(F.to_date("active_week"),
+                                F.to_date("cohort_week")) / 7))
+    return (firsts.join(activity, "user_id")
+            .groupBy("cohort_week", "active_week",
+                     weeks.cast("bigint").alias("weeks_since"))
+            .agg(F.count(F.lit(1)).alias("n_active_users")))
