@@ -595,3 +595,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("vec_a") < F.col("vec_b")))
             .filter(cos >= 0.4)
             .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")))
+
+
+@register(
+    "dedup_apply_minhash",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    ), labeled AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    ), removed AS (
+      SELECT doc_id FROM labeled WHERE doc_id <> cluster_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(r.doc_id) AS n_removed,
+           COUNT(*) - COUNT(r.doc_id) AS n_kept
+    FROM documents d LEFT JOIN removed r USING (doc_id)
+    GROUP BY d.source
+    """,
+    tags=("dedup", "minhash", "pipeline", "apply"),
+)
+def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the near-dup verdicts: connected components over the LSH
+    pair graph pick one keeper (min doc_id) per cluster; every other
+    member is removed and the surviving corpus is reported per source.
+    Detection alone (dedup_minhash_lsh) is half the pipeline — this is
+    the half that changes the training set.
+
+    Scale: pairs + iterative components as in dedup_cluster_components;
+    the removal set (non-keepers) is a broadcastable fraction of the
+    corpus joined back as a left-anti filter — the corpus itself never
+    shuffles for the removal.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    labels = connected_components(minhash_pairs(spark, sf_dir))
+    removed = (labels.filter(F.col("id") != F.col("label"))
+               .select(F.col("id").alias("doc_id")))
+    return (docs.join(F.broadcast(removed).withColumn("__rm", F.lit(1)),
+                      "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("__rm").alias("n_removed"),
+                 (F.count(F.lit(1)) - F.count("__rm")).alias("n_kept")))
