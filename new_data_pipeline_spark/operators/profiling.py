@@ -177,10 +177,12 @@ def profile_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retention_cohorts",
     oracle="""
     WITH firsts AS (
-      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
       FROM events GROUP BY user_id
     ), activity AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
       FROM events
     )
     SELECT f.cohort_week, a.active_week,
@@ -203,6 +205,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on events.
     """
     events = catalog.load(spark, sf_dir, "events")
+    # TIMESTAMP-typed weeks on BOTH sides: DuckDB's date_trunc('week')
+    # yields DATE, Spark's yields TIMESTAMP — and the two gate styles
+    # disagree on DATE (pandas turns DuckDB DATE into a midnight
+    # Timestamp while Spark DateType stays a date object). A timestamp
+    # column converts identically on every path, so the oracle casts
+    # its weeks to TIMESTAMP and Spark keeps its native ones.
     firsts = (events.groupBy("user_id")
               .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
     activity = (events
