@@ -126,3 +126,31 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("meta.height").cast("bigint")
                        * F.col("meta.width") * F.col("meta.channels"))
                   .cast("bigint").alias("total_pixels")))
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 4) * 32 + 64 AS INTEGER) AS height,
+           CAST((doc_id % 3) * 64 + 64 AS INTEGER) AS width,
+           3 AS channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum([ascii(c) for c in string_split(text, '')])
+                AS DOUBLE) / octet_length(encode(text)) AS mean_byte
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "arrow"),
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow decode path under the VALUE gate: synthesize the
+    multimodal table, run the ``decode_images`` mapInPandas stage (the
+    production UDF contract with the codec body stubbed), and emit its
+    per-image statistics. The corpus is pure ASCII, so the stub's
+    byte-sum statistics replay exactly in SQL (ascii(c) per char =
+    payload byte), turning the decode *plumbing* — schema, Arrow batch
+    iteration, struct access — into a hash-gated component instead of a
+    rows-only check.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    return decode_images(synthesize_image_column(docs))

@@ -62,6 +62,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_heavy_hitters",
     # multimodal
     "multimodal_metadata_stats",
+    "multimodal_decode_stats",
     # ingest / tensorize (reference S4-S8, K1, R3)
     "ingest_key_assignment",
     "ingest_batch_assignment",
@@ -75,7 +76,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_dedup_keep_first",
     "stream_interval_join",
     # subqueries
-    "subquery_scalar",
     "subquery_in",
     "subquery_correlated_exists",
     # complex types
@@ -109,6 +109,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_stats_moments",
     "agg_argmin_argmax",
     # ---- first-50 window boundary (positions above are 0-49) ----
+    "subquery_scalar",
     "text_token_counts",
     "text_quality_score",
     "text_pii_scrub",
