@@ -222,3 +222,49 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cohort_week", "active_week",
                      weeks.cast("bigint").alias("weeks_since"))
             .agg(F.count(F.lit(1)).alias("n_active_users")))
+
+
+@register(
+    "anomaly_event_rate",
+    oracle="""
+    WITH rates AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT median(n) AS med FROM rates
+    ), dev AS (
+      SELECT user_id, n, abs(n - med) AS ad FROM rates, stats
+    ), mad AS (
+      SELECT median(ad) AS mad FROM dev
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(ad AS DOUBLE) AS abs_dev,
+           (ad > 3 * mad) AS is_anomaly
+    FROM dev, mad
+    """,
+    tags=("profiling", "anomaly", "robust-stats"),
+)
+def anomaly_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-statistics anomaly screen over per-user event rates:
+    flag users whose |rate − median| exceeds 3×MAD (median absolute
+    deviation). Median/MAD instead of mean/stddev because the outliers
+    being hunted poison the moments that would detect them.
+
+    Parity: medians interpolate identically ((a+b)/2 on even counts —
+    exact in binary for integer inputs) so the gate is hash-exact.
+    Scale: rates are one map-combinable count; the two scalar medians
+    broadcast back. Exact single-group percentile materializes its
+    group in one task — at billions of users switch the scalar to
+    approx_percentile (same plan shape, bounded memory).
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    rates = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    med = rates.agg(F.expr("percentile(n, 0.5D)").alias("med"))
+    dev = (rates.crossJoin(F.broadcast(med))
+           .withColumn("ad", F.abs(F.col("n") - F.col("med"))))
+    mad = dev.agg(F.expr("percentile(ad, 0.5D)").alias("mad"))
+    return (dev.crossJoin(F.broadcast(mad))
+            .select("user_id",
+                    F.col("n").cast("bigint").alias("n_events"),
+                    F.col("ad").cast("double").alias("abs_dev"),
+                    (F.col("ad") > 3 * F.col("mad")).alias("is_anomaly")))
