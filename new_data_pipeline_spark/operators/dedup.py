@@ -357,25 +357,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (digit ≥ 8 votes +1, else −1 per position); docs sharing a signature
     are near-dup candidates.
 
-    Scale: the signature is a pure per-row expression; clustering is one
-    groupBy on a 16-bit key. (Production widens to 64 bits + Hamming-
-    neighbor probing; the pipeline shape is identical.)
+    Signature built RELATIONALLY (explode distinct tokens → one md5 per
+    token → 16 map-combinable CASE sums per doc), the same shape as the
+    64-bit variant below: the HOF-aggregate form (aggregate over toks
+    per position) hits Catalyst's projection-collapse recompute — each
+    of the 16 positions re-evaluated the md5 transform, measured 30 s
+    vs 2 s at sf0.1. Clustering is one groupBy on the 16-bit key.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    t = docs.select("doc_id",
-                    F.array_distinct(F.split("text", " ")).alias("toks"))
-    bit_sums = F.expr("""
-        transform(sequence(1, 16), p ->
-          aggregate(toks, 0,
-            (acc, w) -> acc + CASE WHEN instr('89abcdef',
-                                             substring(md5(w), p, 1)) > 0
-                                   THEN 1 ELSE -1 END))""")
-    sums = t.select("doc_id", bit_sums.alias("bit_sums"))
-    simhash = F.expr("""
-        CAST(aggregate(sequence(1, 16), 0L,
-          (acc, d) -> acc + CASE WHEN element_at(bit_sums, d) > 0
-                                 THEN shiftleft(1L, d - 1) ELSE 0L END)
-             AS BIGINT)""")
+    toks = (docs
+            .select("doc_id",
+                    F.explode(F.array_distinct(F.split("text", " ")))
+                    .alias("w"))
+            .select("doc_id", F.md5("w").alias("hx")))
+    votes = [F.sum(
+        F.when(F.conv(F.substring("hx", p + 1, 1), 16, 10)
+                .cast("int") >= 8, 1).otherwise(-1)).alias(f"s{p}")
+        for p in range(16)]
+    sums = toks.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for p in range(16):
+        term = (F.when(F.col(f"s{p}") > 0, F.lit(1 << p).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint")))
+        simhash = term if simhash is None else simhash + term
     return (sums.select(simhash.alias("simhash"), "doc_id")
             .groupBy("simhash")
             .agg(F.count(F.lit(1)).alias("n_docs"),
