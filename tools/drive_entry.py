@@ -1,0 +1,78 @@
+"""Drive the grading-driver contract end-to-end with a BARE session.
+
+Mirrors the driver: bare SparkSession (no engine configs beyond what the
+driver itself would set), sf0.01 oracle comparison via DuckDB, md5 over
+sorted stringified rows.
+"""
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as e
+
+spark = (SparkSession.builder.master("local[8]")
+         .appName("verify")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+rows = e.entry(spark).collect()
+print(f"SMOKE entry(): {len(rows)} rows", flush=True)
+assert len(rows) > 0
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+qs, oracles = e.queries(), e.oracle_sql()
+
+
+def canon(cols, rows):
+    ix = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(",".join(str(r[i]) for i in ix) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+fails = []
+for name, fn in qs.items():
+    if name not in oracles:
+        try:
+            df = fn(spark, SF)
+            n = len(df.limit(3).collect())
+            print(f"RUNS  {name} (no oracle, {n}+ rows)", flush=True)
+        except Exception as ex:
+            fails.append(name)
+            print(f"ERROR {name}: {str(ex)[:140]}", flush=True)
+        continue
+    try:
+        sdf = fn(spark, SF)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        ores = con.execute(oracles[name])
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_n = len(srows) == len(orows)
+        ok_hash = ok_cols and ok_n and canon(scols, srows) == canon(ocols, orows)
+        if ok_hash:
+            print(f"MATCH {name} ({len(srows)} rows)", flush=True)
+        else:
+            fails.append(name)
+            print(f"MISMATCH {name}: cols={ok_cols} n={ok_n} "
+                  f"spark_n={len(srows)} oracle_n={len(orows)}", flush=True)
+    except Exception as ex:
+        fails.append(name)
+        print(f"ERROR {name}: {str(ex)[:140]}", flush=True)
+
+print(f"\nTOTAL {len(qs)} queries, {len(fails)} failures: {fails}")
+sys.exit(1 if fails else 0)
