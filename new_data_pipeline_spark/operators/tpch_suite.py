@@ -524,3 +524,50 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
                   F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("n_name")
             .agg(F.sum(_rev()).cast("double").alias("revenue")))
+
+
+@register(
+    "report_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n_name, SUM({_REV}) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ), total AS (
+      SELECT SUM(revenue) AS t FROM rev
+    )
+    SELECT n_name,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(revenue AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM rev, total
+    """,
+    tags=("report", "percent-of-total", "composite"),
+)
+def report_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total report: each nation's revenue share of the
+    whole. The total is folded in as a cross-joined 1-row aggregate of
+    the SAME subtree — NOT an unpartitioned window (which serializes
+    the table onto one task) and NOT a driver-side collect; Catalyst
+    plans one scan feeding both the grouped and the global aggregate.
+
+    Parity: both operands go decimal→double BEFORE the division, so
+    the share is one IEEE double division in both engines.
+    """
+    lineitem, orders, customer, nation = catalog.load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    rev = (lineitem
+           .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(nation),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("n_name")
+           .agg(F.sum(_rev()).alias("revenue")))
+    total = rev.agg(F.sum("revenue").alias("t"))
+    return (rev.crossJoin(F.broadcast(total))
+            .select("n_name",
+                    F.col("revenue").cast("double").alias("revenue"),
+                    (F.col("revenue").cast("double") / F.col("t").cast("double"))
+                     .alias("share")))
