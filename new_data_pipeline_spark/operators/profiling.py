@@ -268,3 +268,48 @@ def anomaly_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("bigint").alias("n_events"),
                     F.col("ad").cast("double").alias("abs_dev"),
                     (F.col("ad") > 3 * F.col("mad")).alias("is_anomaly")))
+
+
+ROLLING_WEEKS = 4  # 28-day active-user window, sliding weekly
+
+
+@register(
+    "active_users_rolling",
+    oracle=f"""
+    WITH weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events
+    ), contrib AS (
+      SELECT user_id, wk + (7 * o.n) * INTERVAL 1 DAY AS window_week
+      FROM weeks, range(0, {ROLLING_WEEKS}) AS o(n)
+    )
+    SELECT window_week, COUNT(DISTINCT user_id) AS n_active_4w
+    FROM contrib
+    GROUP BY window_week
+    """,
+    tags=("analytics", "rolling", "distinct"),
+)
+def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 4-week active users per week (the MAU curve): each
+    (user, activity-week) pair contributes to the {ROLLING_WEEKS}
+    window-weeks it keeps the user "active" in — the explode-into-
+    windows construction, the only shape that computes sliding DISTINCT
+    counts distributively (a window frame cannot, because distinct
+    doesn't decompose over frames).
+
+    Scale: the distinct (user, week) pre-aggregation shrinks events by
+    the user's weekly event rate BEFORE the 4× explode; the final
+    count-distinct shuffles (window_week, user) pairs once.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    weeks = (events
+             .select("user_id", F.date_trunc("week", "ts").alias("wk"))
+             .distinct())
+    contrib = weeks.select(
+        "user_id",
+        F.explode(F.array(*[
+            F.col("wk") + F.expr(f"INTERVAL {7 * n} DAYS")
+            for n in range(ROLLING_WEEKS)])).alias("window_week"))
+    return (contrib.groupBy("window_week")
+            .agg(F.countDistinct("user_id").alias("n_active_4w")))
