@@ -543,7 +543,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr(f"""array_distinct(transform(
                      sequence(1, length(text) - {NGRAM_W - 1}),
                      i -> substring(text, i, {NGRAM_W})))""").alias("grams")))
-    g = cap_hot_buckets(g, ["block_key"])
+    # persist BEFORE the cap: the bucket-count aggregate and both join
+    # sides otherwise rebuild the ~(len·W)-byte gram arrays from the
+    # scan (measured 4.6 s → 3.0 s at sf0.1); same rationale as the
+    # minhash shingle persist above
+    g = cap_hot_buckets(g.persist(), ["block_key"])
     a = g.select(F.col("doc_id").alias("doc_a"), "block_key",
                  F.col("grams").alias("grams_a"))
     b = g.select(F.col("doc_id").alias("doc_b"),
