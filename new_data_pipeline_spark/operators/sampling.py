@@ -185,3 +185,45 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
                   .cast("bigint").alias("weight_sampled"))
             .orderBy("source"))
+
+
+@register(
+    "mix_temperature_weights",
+    oracle="""
+    WITH w AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(round(sqrt(COUNT(*)), 6) AS DECIMAL(20,6)) AS w
+      FROM documents GROUP BY source
+    ), total AS (
+      SELECT SUM(w) AS t FROM w
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(w AS DOUBLE) AS weight,
+           CAST(w AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM w, total
+    """,
+    tags=("sampling", "mixture", "pipeline"),
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights (alpha = 0.5): sample
+    share proportional to sqrt(corpus size) — the standard pretraining
+    rebalance that up-weights small sources without letting the largest
+    dominate. alpha=0.5 keeps the gate exact: sqrt is IEEE correctly
+    rounded in both engines (a general pow() is not), and the weights
+    are rounded into DECIMAL before summing, so the total is
+    order-independent — float sums across partitions are not.
+
+    Scale: one map-combinable count per source + a broadcast scalar
+    total. The share column divides two exact decimals as doubles.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    w = (docs.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"))
+         .withColumn("w", F.round(F.sqrt(F.col("n_docs")), 6)
+                           .cast("decimal(20,6)")))
+    total = w.agg(F.sum("w").alias("t"))
+    return (w.crossJoin(F.broadcast(total))
+            .select("source", F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("w").cast("double").alias("weight"),
+                    (F.col("w").cast("double") / F.col("t").cast("double"))
+                     .alias("share")))

@@ -136,3 +136,30 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.interval_join(
         events.filter(F.col("event_type") == "purchase"),
         events.filter(F.col("event_type") == "click"))
+
+
+@register(
+    "stream_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(round(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch projection of the custom stateful operator
+    (streaming/events.running_user_stats, applyInPandasWithState):
+    per-user lifetime event count + value total. In streaming the same
+    numbers accumulate in the state store across micro-batches
+    (equivalence pinned in tests/test_streaming.py); batch computes
+    them as one decimal-exact aggregation.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    return (events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+                  .cast("double").alias("total_value")))
