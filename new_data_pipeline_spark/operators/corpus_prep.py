@@ -383,3 +383,34 @@ def text_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(train_g, "gh")
             .groupBy("doc_id", "split")
             .agg(F.count(F.lit(1)).alias("n_shared_grams")))
+
+
+@register(
+    "curriculum_rank_global",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+             AS curriculum_rank
+    FROM documents
+    """,
+    tags=("corpus", "curriculum", "global-rank"),
+)
+def curriculum_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a GLOBAL, contiguous 1-based rank of the
+    corpus (longest docs first — the stand-in for any quality score) —
+    the export ordering a curriculum-training loader consumes.
+
+    Built on the distributed range-partition rank
+    (sources/tensorize.global_row_number — the reference-K1 keying
+    machinery), NOT a bare ``row_number() OVER (ORDER BY ...)``: the
+    windowed form sorts the entire corpus in ONE task, this one sorts
+    each range in parallel and offsets by cumulative range counts, so
+    the same query survives a 100x scale-up.
+    """
+    from new_data_pipeline_spark.sources.tensorize import global_row_number
+    docs = catalog.load(spark, sf_dir, "documents")
+    ranked, _ = global_row_number(
+        docs.select("doc_id", "n_chars"),
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+        key_col="curriculum_rank")
+    return ranked.select("doc_id", F.col("curriculum_rank").cast("bigint"))
