@@ -313,3 +313,47 @@ def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             for n in range(ROLLING_WEEKS)])).alias("window_week"))
     return (contrib.groupBy("window_week")
             .agg(F.countDistinct("user_id").alias("n_active_4w")))
+
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS first_week
+      FROM events GROUP BY user_id
+    ), per_week AS (
+      SELECT first_week AS week, COUNT(*) AS n_new FROM firsts GROUP BY 1
+    )
+    SELECT week,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(SUM(n_new) OVER (ORDER BY week
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_total_users
+    FROM per_week
+    """,
+    tags=("analytics", "cumulative", "distinct"),
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users per week (the all-time growth curve).
+    Running COUNT(DISTINCT) does not decompose over window frames, so
+    the plan transforms it: distinct-count becomes each user's FIRST
+    week (one aggregation), and the cumulative curve is a running SUM
+    of the tiny per-week new-user series — sums decompose where
+    distincts cannot.
+
+    Scale: the heavy aggregation keys on user_id (map-combinable MIN);
+    the window runs over one row per week — thousands of rows at any
+    corpus size, safe even unpartitioned.
+    """
+    from pyspark.sql import Window as W
+    events = catalog.load(spark, sf_dir, "events")
+    firsts = (events.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("first_week")))
+    per_week = (firsts.groupBy(F.col("first_week").alias("week"))
+                .agg(F.count(F.lit(1)).alias("n_new")))
+    w = W.orderBy("week").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_week.select(
+        "week",
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("n_total_users"))
