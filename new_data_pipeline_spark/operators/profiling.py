@@ -357,3 +357,48 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         F.col("n_new").cast("bigint").alias("n_new_users"),
         F.sum("n_new").over(w).cast("bigint").alias("n_total_users"))
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || t1 || ' > ' || t2 AS path,
+           COUNT(*) AS n
+    FROM seq
+    WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+    tags=("analytics", "sequence", "path"),
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 20 most common 3-step event-type
+    sequences across users (click > view > purchase ...), the sequence
+    analysis behind funnel discovery — here over user journeys, in a
+    corpus pipeline over document-processing stage logs.
+
+    Scale: one keyed window per user (shuffle on user_id, sort within)
+    builds the trigram per row via LEAD — no self-joins; counting is
+    map-combinable and the top-20 is a TakeOrdered merge, not a global
+    sort.
+    """
+    from pyspark.sql import Window as W
+    events = catalog.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"))
+    return (seq.filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+            .select(F.concat_ws(" > ", "event_type", "t1", "t2").alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "path")
+            .limit(20))
