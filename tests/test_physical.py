@@ -105,3 +105,36 @@ def test_date_partitioned_write_prunes_directories(spark, tmp_path):
         "partition-key predicate must prune at the directory level"
     want = events.filter(F.to_date("ts") == "1995-03-15").count()
     assert one_day.count() == want
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    events = catalog.load(spark, SF_DIR, "events")
+    out = str(tmp_path / "many_small")
+    events.repartition(32).write.mode("overwrite").parquet(out)
+    import os
+    n_before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_before >= 32
+    n_after = physical.compact(spark, out, target_files=4,
+                               sort_within_by="ts")
+    assert n_after <= 4
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # sorted-within-file: ts min/max footers stay selective
+    assert back.select(F.min("ts")).first()[0] == \
+        events.select(F.min("ts")).first()[0]
+
+
+def test_targeted_deletion_rewrite(spark, tmp_path):
+    """Right-to-be-forgotten: delete one user's rows via copy-on-write
+    rewrite; everything else survives byte-identical."""
+    events = catalog.load(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_del")
+    events.write.mode("overwrite").parquet(out)
+    victim = events.select("user_id").first()[0]
+    n_victim = events.filter(F.col("user_id") == victim).count()
+    assert n_victim > 0
+    n_deleted = physical.delete_rows(spark, out, f"user_id = {victim}")
+    assert n_deleted == n_victim
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("user_id") == victim).count() == 0
+    assert back.count() == events.count() - n_victim
