@@ -138,3 +138,19 @@ def test_targeted_deletion_rewrite(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.filter(F.col("user_id") == victim).count() == 0
     assert back.count() == events.count() - n_victim
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Column-added schema evolution: a table directory whose newer
+    files carry an extra column must read as the union schema with
+    nulls for old files (mergeSchema) — the ingest reality when an
+    upstream adds a field mid-stream."""
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    v1.write.parquet(base + "/batch=1")
+    v2 = spark.createDataFrame([(3, "c", 9.5)], "k long, v string, score double")
+    v2.write.parquet(base + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"k", "v", "score", "batch"}
+    rows = {r["k"]: r["score"] for r in merged.collect()}
+    assert rows[3] == 9.5 and rows[1] is None and rows[2] is None
