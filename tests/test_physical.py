@@ -154,3 +154,49 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "score", "batch"}
     rows = {r["k"]: r["score"] for r in merged.collect()}
     assert rows[3] == 9.5 and rows[1] is None and rows[2] is None
+
+
+def _files_pruned_by(path, col, value):
+    """Fraction of parquet files whose [min,max] footer stats exclude
+    ``col = value`` — what a reader's file-level pruning skips."""
+    import os
+    import pyarrow.parquet as pq
+    files = [os.path.join(path, f) for f in os.listdir(path)
+             if f.endswith(".parquet")]
+    pruned = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = min(md.row_group(i).column(
+            next(j for j in range(md.num_columns)
+                 if md.row_group(i).column(j).path_in_schema == col)).statistics.min
+            for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(
+            next(j for j in range(md.num_columns)
+                 if md.row_group(i).column(j).path_in_schema == col)).statistics.max
+            for i in range(md.num_row_groups))
+        if value < lo or value > hi:
+            pruned += 1
+    return pruned / len(files)
+
+
+def test_morton_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order write: footer stats must prune files for predicates on
+    EITHER interleaved column; a 1-D sort serves only its own column."""
+    orders = catalog.load(spark, SF_DIR, "orders")
+    zpath = str(tmp_path / "orders_z")
+    physical.write_morton_sorted(orders, zpath, "o_custkey", "o_orderkey",
+                                 n_files=16)
+    lpath = str(tmp_path / "orders_linear")
+    physical.write_range_sorted(orders, lpath, "o_custkey", n_files=16)
+
+    probe = orders.select("o_custkey", "o_orderkey").first()
+    ck, ok = probe["o_custkey"], probe["o_orderkey"]
+    z_ck, z_ok = (_files_pruned_by(zpath, "o_custkey", ck),
+                  _files_pruned_by(zpath, "o_orderkey", ok))
+    l_ok = _files_pruned_by(lpath, "o_orderkey", ok)
+    # Z-order serves both dimensions...
+    assert z_ck >= 0.5 and z_ok >= 0.5, (z_ck, z_ok)
+    # ...whereas the 1-D layout cannot prune the other column
+    assert l_ok <= z_ok
+    # and rows are intact
+    assert spark.read.parquet(zpath).count() == orders.count()
