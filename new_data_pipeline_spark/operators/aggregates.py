@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from new_data_pipeline_spark import catalog
-from new_data_pipeline_spark.functions.exact import dsum, oracle_dsum
+from new_data_pipeline_spark.functions.exact import dsum, money, oracle_dsum
 from new_data_pipeline_spark.registry import register
 
 
@@ -95,14 +95,24 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy: (flag,status) → (flag) → () with GROUPING flags
-    so NULL group keys are distinguishable from real NULLs."""
+    so NULL group keys are distinguishable from real NULLs.
+
+    Pre-aggregates per (flag, status) BEFORE the rollup: Expand
+    multiplies its input by the number of grouping sets (3×), so feeding
+    it the ~6-row leaf aggregate instead of every lineitem row keeps the
+    expensive pass a plain map-side-combinable groupBy. sum/count are
+    decomposable (decimal re-sum is exact), so results are identical.
+    """
     lineitem = catalog.load(spark, sf_dir, "lineitem")
+    leaf = (lineitem.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(money("l_quantity")).alias("_qty"),
+                 F.count(F.lit(1)).alias("_n")))
     return (
-        lineitem.rollup("l_returnflag", "l_linestatus")
+        leaf.rollup("l_returnflag", "l_linestatus")
         .agg(F.grouping("l_returnflag").cast("integer").alias("g_flag"),
              F.grouping("l_linestatus").cast("integer").alias("g_status"),
-             dsum("l_quantity", "sum_qty"),
-             F.count(F.lit(1)).alias("n_rows"))
+             F.sum("_qty").cast("double").alias("sum_qty"),
+             F.sum("_n").alias("n_rows"))
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
                 "sum_qty", "n_rows")
     )

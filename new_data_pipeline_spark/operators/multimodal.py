@@ -136,8 +136,10 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((doc_id % 3) * 64 + 64 AS INTEGER) AS width,
            3 AS channels,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(list_sum([ascii(c) for c in string_split(text, '')])
-                AS DOUBLE) / octet_length(encode(text)) AS mean_byte
+           CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                ELSE CAST(list_sum([ascii(c) for c in string_split(text, '')])
+                          AS DOUBLE) / octet_length(encode(text))
+           END AS mean_byte
     FROM documents
     """,
     tags=("multimodal", "decode", "arrow"),

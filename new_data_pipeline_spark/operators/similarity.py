@@ -147,8 +147,20 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("query_id") != F.col("candidate_id"))
               .withColumn("cos", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
               .select("query_id", "candidate_id", "label", "cos"))
-    n_rows = _pq.ParquetFile(
-        catalog.table_path(sf_dir, "embeddings")).metadata.num_rows
+    # Footer probe must never fail the query: the driver regenerates
+    # testdata between rounds and a table may become a Spark-written
+    # DIRECTORY of part files instead of a single .parquet. Fall back to
+    # a dataset row count, then to engaging the prefilter (which only
+    # costs an Arrow pass — exactness is unaffected either way).
+    emb_path = catalog.table_path(sf_dir, "embeddings")
+    try:
+        n_rows = _pq.ParquetFile(emb_path).metadata.num_rows
+    except Exception:
+        try:
+            import pyarrow.dataset as _pads
+            n_rows = _pads.dataset(emb_path, format="parquet").count_rows()
+        except Exception:
+            n_rows = PREFILTER_MIN_ROWS
     if n_rows >= PREFILTER_MIN_ROWS:
         scored = scored.mapInArrow(
             _local_topk_arrow_fn(TOP_K),

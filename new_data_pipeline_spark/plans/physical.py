@@ -108,13 +108,29 @@ def compact(spark: SparkSession, path: str, target_files: int,
         out = out.sortWithinPartitions(sort_within_by)
     staging = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(staging)
-    import shutil
-    backup = path.rstrip("/") + "__precompact"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    _swap_in(path, staging, backup=path.rstrip("/") + "__precompact")
     return sum(1 for f in os.listdir(path)
                if f.endswith(".parquet") and not f.startswith("_"))
+
+
+def _swap_in(path: str, staging: str, backup: str) -> None:
+    """Replace ``path`` with ``staging``, restoring the original on any
+    failure. The staging directory is verified (Spark's _SUCCESS marker
+    plus ≥1 part file) BEFORE the original moves, and the backup is only
+    discarded after the new directory is confirmed in place — so no
+    crash point leaves the table missing or truncated."""
+    import shutil
+    entries = os.listdir(staging)
+    if "_SUCCESS" not in entries or not any(
+            f.endswith(".parquet") for f in entries):
+        raise IOError(f"staging dir {staging} incomplete; table untouched")
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)
+        raise
+    shutil.rmtree(backup)
 
 
 def delete_rows(spark: SparkSession, path: str, predicate: str) -> int:
@@ -130,15 +146,14 @@ def delete_rows(spark: SparkSession, path: str, predicate: str) -> int:
     operation with the identical API.
     """
     df = spark.read.parquet(path)
-    keep = df.filter(f"NOT ({predicate})")
+    # coalesce(pred, false): rows where the predicate is NULL (e.g. a
+    # NULL user_id under "user_id = 5") did NOT match and must be KEPT —
+    # a bare NOT(pred) would silently delete them.
+    keep = df.filter(f"NOT coalesce(({predicate}), false)")
     n_before = df.count()
     staging = path.rstrip("/") + "__deleting"
     keep.write.mode("overwrite").parquet(staging)
-    import shutil
-    backup = path.rstrip("/") + "__predelete"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    _swap_in(path, staging, backup=path.rstrip("/") + "__predelete")
     return n_before - spark.read.parquet(path).count()
 
 
@@ -170,6 +185,9 @@ def write_morton_sorted(df: DataFrame, path: str, col_a: str, col_b: str,
     both dimensions, in stock parquet."""
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)).first()
+    if lo_a is None or lo_b is None:  # empty input: nothing to cluster
+        df.write.mode("overwrite").parquet(path)
+        return
     grid = (1 << bits) - 1
 
     def scaled(c: str, lo, hi) -> F.Column:
