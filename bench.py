@@ -24,7 +24,9 @@ from new_data_pipeline_spark.session import get_spark
 
 # Representative of every operator family (SURVEY.md §2): star join,
 # wide agg, big outer join, window frames, top-k, rollup, as-of join,
-# MinHash LSH dedup, cosine top-k, term stats, sessionization.
+# MinHash LSH dedup, cosine top-k, term stats, sessionization — plus
+# (round 3) the heavy curation pipelines added in round 2, so a
+# regression there is as visible as dedup_simhash64_hamming's was.
 HEADLINE = (
     "flagship_revenue_by_nation",
     "pricing_summary",
@@ -39,6 +41,10 @@ HEADLINE = (
     "text_term_stats",
     "text_bow_vectorize",
     "stream_session_window",
+    "text_contamination_ngrams",
+    "corpus_e2e_curation",
+    "dedup_cluster_components",
+    "text_heavy_hitters",
 )
 
 

@@ -193,9 +193,55 @@ def lsh_bucket_expr(vec_col: str, bits: int = LSH_BITS):
     return F.expr(" + ".join(bit_exprs)).cast("int")
 
 
+def _oracle_bucket_terms() -> str:
+    """DuckDB replay of :func:`lsh_bucket_expr`: the hyperplane family
+    is md5-derived, so the bucket id is a deterministic function of the
+    vector — the whole APPROXIMATE pipeline becomes oracle-replayable
+    (same device as the MinHash oracle), not just recall-gated."""
+    terms = []
+    for p in range(LSH_BITS):
+        coef = (f"[CAST(CAST('0x' || substr(md5('{p}|' || j), 1, 8) AS BIGINT)"
+                f" AS DOUBLE) / 2147483648.0 - 1.0 for j in range(1, len(v) + 1)]")
+        dot = (f"list_sum(list_zip(v, {coef})"
+               f".apply(t -> t[1] * t[2]))")
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+_ORACLE_NORM = """
+    e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e
+    )"""
+
+
 @register(
     "sim_lsh_topk",
-    oracle=None,  # approximate by design; recall gated in tests/test_similarity.py
+    oracle=f"""
+    WITH {_ORACLE_NORM}, b AS (
+      SELECT *, {_oracle_bucket_terms()} AS bucket FROM n
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+             unnest([bucket,
+                     {', '.join(f'xor(bucket, {1 << p})' for p in range(LSH_BITS))}])
+               AS probe
+      FROM b WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS candidate_id, c.label,
+             list_sum([q.qv[i] * c.v[i] for i in range(1, len(q.qv) + 1)])
+               / (q.qn * c.nrm) AS cos
+      FROM q JOIN b c ON q.probe = c.bucket AND q.query_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, candidate_id, label, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, candidate_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, candidate_id, label,
+           round(cos, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
     tags=("similarity", "lsh", "approx"),
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +253,10 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an equi-join (shuffle on bucket id) instead of a broadcast scan.
     Multi-probe trades a constant candidate-factor for recall without
     adding hash tables — the standard LSH knob.
+
+    Correctness: recall vs brute force is gated in tests, AND the whole
+    approximate pipeline is hash-gated against a DuckDB replay (the
+    hyperplanes are md5-derived, so "approximate" ≠ "unverifiable").
     """
     n = _normalized(catalog.load(spark, sf_dir, "embeddings"))
     n = n.withColumn("bucket", lsh_bucket_expr("v"))
@@ -239,7 +289,43 @@ IVF_NPROBE = 3
 
 @register(
     "sim_ivf_topk",
-    oracle=None,  # approximate by design; recall gated in tests/test_ml_variants.py
+    oracle=f"""
+    WITH {_ORACLE_NORM}, cents AS (
+      SELECT vec_id AS cent_id, v AS cent_v, nrm AS cent_n
+      FROM n WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_RESIDUE}
+    ), sc AS (
+      SELECT n.vec_id, n.label, n.v, n.nrm, cents.cent_id,
+             list_sum([n.v[i] * cents.cent_v[i]
+                       for i in range(1, len(n.v) + 1)])
+               / (n.nrm * cents.cent_n) AS ccos
+      FROM n CROSS JOIN cents
+    ), ra AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY ccos DESC, cent_id) AS arn
+      FROM sc
+    ), assigned AS (
+      SELECT vec_id AS candidate_id, label, cent_id AS cell,
+             v AS cv, nrm AS cn
+      FROM ra WHERE arn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell, v AS qv, nrm AS qn
+      FROM ra WHERE vec_id < {N_QUERIES} AND arn <= {IVF_NPROBE}
+    ), scored AS (
+      SELECT query_id, candidate_id, label,
+             list_sum([qv[i] * cv[i] for i in range(1, len(qv) + 1)])
+               / (qn * cn) AS cos
+      FROM probes JOIN assigned USING (cell)
+      WHERE query_id <> candidate_id
+    ), ranked AS (
+      SELECT query_id, candidate_id, label, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, candidate_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, candidate_id, label,
+           round(cos, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
     tags=("similarity", "ivf", "approx"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,11 +85,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "event_path_trigrams",
     # stateful-streaming batch twin
     "stream_running_totals",
-    # approximates: rows-only / recall-proxy driver checks (never graded)
-    "agg_hll_sketch",
-    "agg_hll_mergeable_rollup",
+    # never graded: sim_lsh/sim_ivf now carry full pipeline-replay
+    # oracles (md5-derived hyperplanes/centroids are deterministic);
+    # HLL and TF-IDF remain rows-only (engine-specific sketch bytes,
+    # libm-log divergence)
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "agg_hll_sketch",
+    "agg_hll_mergeable_rollup",
     "text_tfidf",
     # ---- 17 highest-risk backfill (green in r1/r2; re-verify on fresh testdata)
     "agg_collect_sorted",
