@@ -9,9 +9,11 @@ with cv2 in the reader thread (serialize.py:34). Here the payload is a
 source convention), and decode/resize/frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the actual pixel decode is
-STUBBED with a deterministic fake (documented below); the Spark-side
-plumbing — schema, batch iteration, partitioning — is real and tested.
+The container has no native image/audio codecs (no cv2/PIL), but PNG
+needs only stdlib zlib: ``decode_images`` really decodes PNG payloads
+(functions/png_codec.py) and falls back to deterministic byte stats for
+foreign formats. The Spark-side plumbing — schema, batch iteration,
+partitioning — is identical on both paths.
 
 Scale design: binary payloads ride normal parquet columns (dictionary-
 off, large row groups); metadata predicates (width ≥ X) prune via
@@ -51,26 +53,46 @@ def synthesize_image_column(docs: DataFrame) -> DataFrame:
 
 def decode_images(df: DataFrame, payload_col: str = "payload",
                   meta_col: str = "meta") -> DataFrame:
-    """Arrow-batched 'decode': mapInPandas over (payload, meta) batches.
+    """Arrow-batched decode: mapInPandas over (payload, meta) batches.
 
-    STUB: a real build calls cv2.imdecode / PIL here (libs absent in
-    this container); the deterministic fake computes byte statistics so
-    tests can pin the batch plumbing end-to-end. The UDF contract
-    (schema in/out, batch iteration, no driver collect) is production-
-    shaped.
+    PNG payloads get a REAL pixel decode (pure-stdlib codec,
+    functions/png_codec.py — signature check, IDAT inflate, all five
+    scanline unfilters) and report decoded geometry + pixel statistics.
+    Non-PNG payloads fall back to deterministic byte statistics with
+    metadata passthrough (cv2/PIL absent in this container; a real
+    deployment registers its codec in _DECODERS behind the same
+    signature). Either way the UDF contract — schema in/out, Arrow
+    batch iteration, no driver collect — is the production shape.
     """
+    from new_data_pipeline_spark.functions.png_codec import decode_png, is_png
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
             meta = pdf[meta_col]
+            heights, widths, chans, n_bytes, means = [], [], [], [], []
+            for m, b in zip(meta, payloads):
+                b = bytes(b)
+                if is_png(b):
+                    h, w, c, pix = decode_png(b)
+                    heights.append(h)
+                    widths.append(w)
+                    chans.append(c)
+                    n_bytes.append(len(pix))
+                    means.append(sum(pix) / len(pix) if pix else 0.0)
+                else:
+                    heights.append(m["height"])
+                    widths.append(m["width"])
+                    chans.append(m["channels"])
+                    n_bytes.append(len(b))
+                    means.append(sum(b) / len(b) if len(b) else 0.0)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "height": [m["height"] for m in meta],
-                "width": [m["width"] for m in meta],
-                "channels": [m["channels"] for m in meta],
-                "n_bytes": payloads.map(len),
-                "mean_byte": payloads.map(
-                    lambda b: (sum(b) / len(b)) if len(b) else 0.0),
+                "height": heights,
+                "width": widths,
+                "channels": chans,
+                "n_bytes": n_bytes,
+                "mean_byte": means,
             })
 
     return df.mapInPandas(batches, schema=IMG_META_SCHEMA)
