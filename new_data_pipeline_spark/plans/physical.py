@@ -157,6 +157,68 @@ def delete_rows(spark: SparkSession, path: str, predicate: str) -> int:
     return n_before - spark.read.parquet(path).count()
 
 
+def runtime_bloom_pruned_join(fact: DataFrame, dim: DataFrame,
+                              fact_key: str, dim_key: str,
+                              how: str = "inner") -> DataFrame:
+    """Semi-join reduction via Catalyst's runtime Bloom filter: a Bloom
+    filter built from the (filtered) dim side's join keys is injected as
+    a ``might_contain`` predicate on the fact side, dropping fact rows
+    whose key cannot match BEFORE they are shuffled.
+
+    At 100 TB this is the difference between shuffling all of lineitem
+    and shuffling only the ~20% that survive a selective orders filter —
+    the shuffle write (the scale bottleneck) shrinks by the dim filter's
+    selectivity. Catalyst injects the filter only when the dim side is
+    too big to broadcast BY SIZE (a broadcast join already avoids the
+    fact-side shuffle — the MERGE hint alone does not trigger it) and
+    the fact scan exceeds ``applicationSideScanSizeThreshold`` (default
+    10 GB — correct at scale; tests lower both thresholds to exercise
+    the rule on small data).
+
+    Results are identical to a plain join — the Bloom filter admits
+    false positives, never false negatives, and the join condition
+    re-checks every surviving row.
+    """
+    spark = fact.sparkSession
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true", \
+        "runtime bloom filter injection is disabled in this session"
+    return fact.hint("merge").join(dim, fact[fact_key] == dim[dim_key], how)
+
+
+def executed_scan_filter_rows(df: DataFrame) -> list[tuple[str, int]]:
+    """Post-execution metrics probe: walk the final (adaptive) physical
+    plan and return ``(node_description, numOutputRows)`` for every scan
+    and filter node. Lets tests assert a runtime filter actually DROPPED
+    rows (filter output < scan output) rather than merely appearing in
+    the plan text. Diagnostic-only — O(plan nodes) py4j calls."""
+    plan = df._jdf.queryExecution().executedPlan()
+    out: list[tuple[str, int]] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if "Scan" in name or name == "Filter":
+            metrics = node.metrics()
+            it = metrics.iterator()
+            rows = None
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    rows = kv._2().value()
+            if rows is not None:
+                out.append((node.simpleString(200), int(rows)))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        for hidden in ("executedPlan", "plan"):  # AQE / QueryStageExec
+            try:
+                walk(getattr(node, hidden)())
+            except Exception:
+                pass
+
+    walk(plan)
+    return out
+
+
 def morton_code(col_a: F.Column, col_b: F.Column, bits: int = 16) -> F.Column:
     """Interleave the low ``bits`` of two non-negative int columns into
     one Z-order (Morton) key: sorting by it clusters rows that are
