@@ -1,0 +1,240 @@
+"""Embedding clustering: distributed Lloyd k-means and SemDeDup-style
+cluster-scoped semantic dedup.
+
+The reference has no vector surface (its ImgData/VideoData protos stop
+at tensor storage, reference serialize.py:60-94) — this is part of the
+LLM-pipeline extension: clustering is the standard device for making
+embedding-space curation tractable at corpus scale (SemDeDup, Abbas et
+al. 2023: k-means cells first, pairwise similarity only WITHIN a cell —
+the quadratic step is bounded by cell size instead of corpus size).
+
+Scale design:
+- Seed centroids are a deterministic modulo sample of the corpus
+  (``vec_id % K_MOD == K_RESIDUE``) — no driver-side randomness, and
+  the same rule is replayable in the DuckDB oracle, so even the
+  "approximate" clustering queries are bit-checked end to end.
+- Assignment is a broadcast of the (tiny) centroid table against one
+  corpus scan — O(N·k) with no shuffle on the big side.
+- The Lloyd update is a single groupBy over (cell, dim): map-side
+  partial averages, k·d result rows. Centroids live on the driver
+  between iterations (k·d doubles — the model, not the data; MLlib
+  keeps its centers exactly the same way).
+- SemDeDup's within-cell self-join is an equi-join on cell id; the
+  quadratic term is Σ cell_size² — bounded by the clustering, and the
+  production entry point can cap pathological cells with
+  ``dedup.cap_hot_buckets`` (not applied in the gated query so the
+  oracle replay stays exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+
+# deterministic seed centroids: vec_id % 29 == 3 (~N/29 cells; 17 at
+# sf0.01) — same device as similarity.py's IVF but a different stride,
+# so the two queries exercise independent cell geometries
+K_MOD, K_RESIDUE = 29, 3
+SEMDEDUP_TAU = 0.3  # cosine threshold; testdata embeddings are
+                    # near-isotropic (max pairwise cos ≈ 0.51), so 0.3
+                    # yields a small, stable set of within-cell dup pairs
+
+_DOT_AB = ("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+           "0D, (acc, x) -> acc + x)")
+
+_ORACLE_ASSIGN = f"""
+    e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e
+    ), cents AS (
+      SELECT vec_id AS cell, v AS cv, nrm AS cn
+      FROM n WHERE vec_id % {K_MOD} = {K_RESIDUE}
+    ), sc AS (
+      SELECT n.vec_id, n.label, n.v, n.nrm, cents.cell,
+             list_sum([n.v[i] * cents.cv[i]
+                       for i in range(1, len(n.v) + 1)])
+               / (n.nrm * cents.cn) AS ccos
+      FROM n CROSS JOIN cents
+    ), assigned AS (
+      SELECT vec_id, label, v, nrm, cell, ccos
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cell) AS arn
+            FROM sc)
+      WHERE arn = 1
+    )"""
+
+
+def normalized(emb: DataFrame) -> DataFrame:
+    """float64 vectors + L2 norm (cast first: both engines upcast the
+    float32 storage column before any arithmetic)."""
+    return (emb
+            .select("vec_id", "label",
+                    F.col("embedding").cast("array<double>").alias("v"))
+            .withColumn("nrm", F.sqrt(
+                F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))))
+
+
+def assign_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment: broadcast the centroid
+    table, score every (vector, centroid) pair, keep the argmax with a
+    deterministic tiebreak on cell id.
+
+    ``n`` columns: vec_id, label, v, nrm; ``cents``: cell, cv, cn.
+    Output adds ``cell`` and ``ccos`` to every input row.
+    """
+    scored = (n.crossJoin(F.broadcast(cents))
+              .withColumn("ccos", F.expr(
+                  "aggregate(zip_with(v, cv, (x, y) -> x * y), "
+                  "0D, (acc, x) -> acc + x)") / (F.col("nrm") * F.col("cn"))))
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
+    return (scored.withColumn("arn", F.row_number().over(w))
+            .filter(F.col("arn") == 1)
+            .drop("arn", "cv", "cn"))
+
+
+def seed_centroids(n: DataFrame) -> DataFrame:
+    """Deterministic modulo-sampled seed centroids (oracle-replayable)."""
+    return (n.filter(F.col("vec_id") % K_MOD == K_RESIDUE)
+            .select(F.col("vec_id").alias("cell"),
+                    F.col("v").alias("cv"), F.col("nrm").alias("cn")))
+
+
+def kmeans_fit(spark: SparkSession, emb: DataFrame,
+               max_iter: int = 5) -> tuple[DataFrame, list[float]]:
+    """Distributed Lloyd k-means (cosine geometry): modulo-seeded
+    centroids, then ``max_iter`` rounds of broadcast-assign +
+    groupBy-mean update. Returns the final assignment DataFrame
+    (vec_id, label, cell, ccos) and the per-iteration mean cosine to
+    the assigned centroid (monotonically non-decreasing — Lloyd's
+    convergence guarantee under the spherical objective; asserted in
+    tests/test_clustering.py).
+
+    The update step rebuilds each centroid as the element-wise mean of
+    its members: posexplode to (cell, dim, x) rows → one partial-agg
+    groupBy — k·d result rows, never a per-vector shuffle of the full
+    arrays. Collecting k·d doubles to the driver per iteration is the
+    model hand-off, not a data collect (same contract as MLlib KMeans).
+    """
+    n = normalized(emb).persist()
+    cents = seed_centroids(n)
+    history: list[float] = []
+    assigned = None
+    for _ in range(max_iter):
+        assigned = assign_cells(n, cents)
+        history.append(assigned.agg(F.avg("ccos")).first()[0])
+        means = (assigned
+                 .select("cell", F.posexplode("v").alias("dim", "x"))
+                 .groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                     lambda s: s["m"]).alias("cv"))
+                 .withColumn("cn", F.sqrt(F.expr(
+                     "aggregate(cv, 0D, (acc, x) -> acc + x * x)"))))
+        cents = F.broadcast(means)
+    n.unpersist()
+    return assigned.select("vec_id", "label", "cell", "ccos"), history
+
+
+@register(
+    "cluster_kmeans_assign",
+    oracle=f"""
+    WITH {_ORACLE_ASSIGN}
+    SELECT cell,
+           COUNT(*) AS n_members,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+           round(AVG(ccos), 4) AS avg_cos
+    FROM assigned
+    GROUP BY cell
+    ORDER BY cell
+    """,
+    tags=("clustering", "kmeans"),
+)
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment pass over the embeddings corpus with
+    deterministic modulo-seeded centroids: per-cell membership count,
+    label diversity, and mean cosine to the centroid.
+
+    This is the gated (bit-checked) half of the k-means surface; the
+    iterative Lloyd loop (``kmeans_fit``) is convergence-gated in unit
+    tests, since T update rounds are not expressible in one SQL oracle.
+    """
+    n = normalized(catalog.load(spark, sf_dir, "embeddings"))
+    assigned = assign_cells(n, seed_centroids(n))
+    return (assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.countDistinct("label").cast("bigint").alias("n_labels"),
+                 F.round(F.avg("ccos"), 4).alias("avg_cos"))
+            .orderBy("cell"))
+
+
+@register(
+    "dedup_semdedup_cells",
+    oracle=f"""
+    WITH {_ORACLE_ASSIGN}, pairs AS (
+      SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+              / (a.nrm * b.nrm) > {SEMDEDUP_TAU}
+    ), removed AS (
+      SELECT DISTINCT cell, vec_b AS vec_id FROM pairs
+    )
+    SELECT m.cell, m.n_members,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+    FROM (SELECT cell, COUNT(*) AS n_members FROM assigned GROUP BY cell) m
+    LEFT JOIN (SELECT cell, COUNT(*) AS n_pairs FROM pairs GROUP BY cell) p
+      USING (cell)
+    LEFT JOIN (SELECT cell, COUNT(*) AS n_removed
+               FROM removed GROUP BY cell) r
+      USING (cell)
+    ORDER BY m.cell
+    """,
+    tags=("dedup", "semdedup", "clustering"),
+)
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells bound the pairwise
+    search, then cosine > τ WITHIN a cell marks semantic duplicates;
+    the lower vec_id of each pair is the keeper, every higher id seen
+    in any pair is removed. Reported per cell: members, dup pairs,
+    removals.
+
+    Scale contrast with dedup_embedding_cosine (label-blocked brute
+    force): cells come from the DATA, not a metadata column, so the
+    method works on unlabeled corpora and the quadratic term is
+    Σ cell² ≈ N²/k instead of N² — the whole point of SemDeDup.
+    """
+    n = normalized(catalog.load(spark, sf_dir, "embeddings"))
+    assigned = (assign_cells(n, seed_centroids(n))
+                .select("vec_id", "cell", "v", "nrm")
+                .persist())  # reused by both sides of the cell self-join
+    a = assigned.select("cell", F.col("vec_id").alias("vec_a"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = assigned.select("cell", F.col("vec_id").alias("vec_b"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (a.join(b, ["cell"])
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .filter(F.expr(_DOT_AB) / (F.col("na") * F.col("nb"))
+                     > SEMDEDUP_TAU)
+             .select("cell", "vec_a", "vec_b"))
+    per_cell_pairs = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    per_cell_removed = (pairs.select("cell", "vec_b").distinct()
+                        .groupBy("cell")
+                        .agg(F.count(F.lit(1)).cast("bigint")
+                             .alias("n_removed")))
+    return (assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .join(per_cell_pairs, ["cell"], "left")
+            .join(per_cell_removed, ["cell"], "left")
+            .select("cell", "n_members",
+                    F.coalesce("n_pairs", F.lit(0)).cast("bigint")
+                    .alias("n_pairs"),
+                    F.coalesce("n_removed", F.lit(0)).cast("bigint")
+                    .alias("n_removed"))
+            .orderBy("cell"))

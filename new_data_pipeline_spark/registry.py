@@ -35,11 +35,13 @@ QUERIES: dict[str, QuerySpec] = {}
 # queries in ``queries()`` iteration order (verified rounds 1-2: each
 # CORRECTNESS_r{N} key set was exactly the first 50 entries), so the
 # window is re-aimed each round at whatever has never been driver-graded.
-# Round-3 aim: the 33 queries with no CORRECTNESS_r01/r02 entry lead
-# (union across rounds then covers all 132 registered queries), backfilled
-# with the 17 highest-risk previously-graded ones (array-emitting and
-# decimal-heavy oracles, plus the heavyweight dedup/curation pipelines most
-# sensitive to testdata regeneration). Invariants when editing this list:
+# Round-3 aim: the 33 queries with no CORRECTNESS_r01/r02 entry lead,
+# then the 5 queries ADDED in round 3 (cluster/fuzzy/incremental/salted)
+# — union across rounds then covers all 137 registered queries —
+# backfilled with the 12 highest-risk previously-graded ones
+# (array-emitting and decimal-heavy oracles, plus the heavyweight
+# dedup/curation pipelines most sensitive to testdata regeneration).
+# Invariants when editing this list:
 # - every registered query stays verified by the local mirror
 #   (tests/test_oracle_parity.py covers ALL registered oracles, not just
 #   the driver's 50);
@@ -94,12 +96,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_hll_sketch",
     "agg_hll_mergeable_rollup",
     "text_tfidf",
-    # ---- 17 highest-risk backfill (green in r1/r2; re-verify on fresh testdata)
+    # ---- 5 queries NEW this round (round 3) — graded on first exposure
+    "cluster_kmeans_assign",
+    "dedup_semdedup_cells",
+    "join_fuzzy_qgram",
+    "incremental_monthly_revenue",
+    "join_salted_skew",
+    # ---- 12 highest-risk backfill (green in r1/r2; re-verify on fresh
+    # testdata: array-emitting oracles + the heavy dedup/curation
+    # pipelines most sensitive to regeneration)
     "agg_collect_sorted",
     "scalar_array_funcs",
     "array_higher_order",
-    "map_funcs",
-    "lateral_explode",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
     "dedup_simhash64_hamming",
@@ -108,10 +116,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "sim_bruteforce_topk",
     "text_heavy_hitters",
     "multimodal_decode_stats",
-    "stream_session_window",
     "corpus_e2e_curation",
-    "timeseries_gapfill",
-    "scd2_user_state",
     # ---- first-50 window boundary (positions above are 0-49) ----
     # round-1/2-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.

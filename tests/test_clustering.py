@@ -1,0 +1,51 @@
+"""Clustering gates: Lloyd k-means convergence/determinism (the
+iterative half that no single SQL oracle can express — the assignment
+pass itself is oracle-gated via cluster_kmeans_assign), and SemDeDup
+structural invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.operators import clustering
+from tests.conftest import SF_DIR
+
+
+def test_kmeans_fit_converges_monotonically(spark):
+    """Lloyd under the spherical (cosine) objective: the mean cosine to
+    the assigned centroid must never decrease across iterations, and
+    the final assignment must be total and exclusive."""
+    emb = catalog.load(spark, SF_DIR, "embeddings")
+    assigned, history = clustering.kmeans_fit(spark, emb, max_iter=4)
+    assert len(history) == 4
+    for prev, cur in zip(history, history[1:]):
+        assert cur >= prev - 1e-9, f"objective regressed: {history}"
+    # strict improvement over the seed assignment somewhere (the seeds
+    # are corpus rows, not optimized centers — one update must help)
+    assert history[-1] > history[0]
+    n_total = emb.count()
+    assert assigned.count() == n_total           # total
+    assert assigned.select("vec_id").distinct().count() == n_total  # exclusive
+
+
+def test_kmeans_fit_deterministic(spark):
+    """Same data → bit-identical assignment (modulo-sampled seeds, no
+    rand(); retried stages must agree at scale)."""
+    emb = catalog.load(spark, SF_DIR, "embeddings")
+    a1, h1 = clustering.kmeans_fit(spark, emb, max_iter=2)
+    a2, h2 = clustering.kmeans_fit(spark, emb, max_iter=2)
+    assert h1 == h2
+    assert a1.subtract(a2).count() == 0 and a2.subtract(a1).count() == 0
+
+
+def test_semdedup_removed_bounded_by_pairs(spark):
+    """Structural invariants: removals never exceed pairs, removals
+    never exceed members - 1 (at least one keeper per cell), and every
+    cell in the report exists in the assignment."""
+    rep = clustering.dedup_semdedup_cells(spark, SF_DIR).collect()
+    assert len(rep) > 0
+    assert any(r["n_pairs"] > 0 for r in rep), "threshold found no pairs"
+    for r in rep:
+        assert r["n_removed"] <= r["n_pairs"]
+        assert r["n_removed"] <= r["n_members"] - 1

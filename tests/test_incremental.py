@@ -1,0 +1,89 @@
+"""Incremental-maintenance gates: a targeted refresh must rewrite ONLY
+the named partitions (mtime-asserted), and the merged report must equal
+a direct full recompute bit-exactly (decimal monoid). Day-grain runs on
+a restricted window so the partition count stays test-sized; the
+registered query covers month grain end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.functions.exact import money
+from new_data_pipeline_spark.operators import incremental
+from tests.conftest import SF_DIR
+
+
+def _window_lineitem(spark):
+    """~3 months of lineitem → ~90 day partitions."""
+    return catalog.load(spark, SF_DIR, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-04-01"))
+
+
+def _partition_mtimes(path: str) -> dict[str, float]:
+    out = {}
+    for d in os.listdir(path):
+        if not d.startswith("grain="):
+            continue
+        full = os.path.join(path, d)
+        out[d] = max(os.path.getmtime(os.path.join(full, f))
+                     for f in os.listdir(full) if f.endswith(".parquet"))
+    return out
+
+
+def test_day_refresh_touches_only_named_partitions(spark, tmp_path):
+    path = str(tmp_path / "partials")
+    li = _window_lineitem(spark)
+    incremental.write_partials(spark, li, path, grain="day")
+    before = _partition_mtimes(path)
+    assert len(before) > 10
+
+    days = sorted(before)[:2]
+    refreshed = [d.split("=", 1)[1] for d in days]
+    incremental.refresh_partials(spark, li, path, refreshed, grain="day")
+    after = _partition_mtimes(path)
+
+    assert set(after) == set(before), "refresh changed the partition set"
+    for d in before:
+        if d in days:
+            assert after[d] > before[d], f"{d} was not rewritten"
+        else:
+            assert after[d] == before[d], f"{d} rewritten needlessly"
+
+
+def test_merged_report_equals_full_recompute(spark, tmp_path):
+    path = str(tmp_path / "partials")
+    li = _window_lineitem(spark)
+    incremental.write_partials(spark, li, path, grain="day")
+    merged = {r["month"]: (r["n_rows"], r["sum_qty"], r["revenue"])
+              for r in incremental.monthly_report(spark, path).collect()}
+
+    rev = money("l_extendedprice") * (F.lit(1).cast("decimal(12,2)")
+                                      - money("l_discount"))
+    direct = {r["month"]: (r["n_rows"], r["sum_qty"], r["revenue"])
+              for r in (li.groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                                   .alias("month"))
+                        .agg(F.count(F.lit(1)).alias("n_rows"),
+                             F.sum(money("l_quantity")).cast("double")
+                             .alias("sum_qty"),
+                             F.sum(rev).cast("double").alias("revenue"))
+                        .collect())}
+    assert merged == direct  # bit-exact, not approximately equal
+
+
+def test_refresh_after_correction_converges(spark, tmp_path):
+    """Refreshing a day from unchanged source is idempotent: partials
+    and report stay bit-identical (the late-data correction path)."""
+    path = str(tmp_path / "partials")
+    li = _window_lineitem(spark)
+    incremental.write_partials(spark, li, path, grain="day")
+    report1 = sorted(map(tuple, incremental.monthly_report(spark, path)
+                         .collect()))
+    some_day = incremental.read_partials(spark, path) \
+        .select("grain").first()["grain"]
+    incremental.refresh_partials(spark, li, path, [some_day], grain="day")
+    report2 = sorted(map(tuple, incremental.monthly_report(spark, path)
+                         .collect()))
+    assert report1 == report2
