@@ -45,6 +45,7 @@ HEADLINE = (
     "corpus_e2e_curation",
     "dedup_cluster_components",
     "text_heavy_hitters",
+    "dedup_semdedup_cells",
 )
 
 

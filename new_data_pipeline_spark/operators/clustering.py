@@ -85,15 +85,22 @@ def assign_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
 
     ``n`` columns: vec_id, label, v, nrm; ``cents``: cell, cv, cn.
     Output adds ``cell`` and ``ccos`` to every input row.
+
+    The argmax is a ``max_by`` aggregate with lexicographic
+    (ccos, -cell) ordering, NOT a row_number window: the aggregate
+    partial-combines map-side, so the k-fanout collapses before the
+    shuffle and only one row per vector crosses the exchange — a
+    window would shuffle all N·k scored rows to sort them.
     """
     scored = (n.crossJoin(F.broadcast(cents))
               .withColumn("ccos", F.expr(
                   "aggregate(zip_with(v, cv, (x, y) -> x * y), "
                   "0D, (acc, x) -> acc + x)") / (F.col("nrm") * F.col("cn"))))
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
-    return (scored.withColumn("arn", F.row_number().over(w))
-            .filter(F.col("arn") == 1)
-            .drop("arn", "cv", "cn"))
+    return (scored.groupBy("vec_id")
+            .agg(F.expr("max_by(struct(label, v, nrm, cell, ccos), "
+                        "struct(ccos, -cell))").alias("b"))
+            .select("vec_id", "b.label", "b.v", "b.nrm",
+                    "b.cell", "b.ccos"))
 
 
 def seed_centroids(n: DataFrame) -> DataFrame:
