@@ -48,36 +48,69 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines; gated by unit test
+    # Bounded-error oracle (same device as the ANN queries): the raw
+    # HLL estimate differs across engines, so the query emits the EXACT
+    # count plus an in-bound flag, and the oracle replays the exact
+    # count with a literal-true flag — the driver's hash matches iff
+    # every group's sketch landed within 5% of truth.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           CAST(1 AS INTEGER) AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
     distinct counts: constant memory per group vs a full distinct
-    shuffle. Parity gate: unit test asserts ≤5% error vs exact."""
+    shuffle. Driver-gated via the bounded-error device (exact value +
+    in-bound flag); the ≤5% unit gate remains in tests."""
     lineitem = catalog.load(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_orderkey", 0.02)
+    exact = F.countDistinct("l_orderkey")
     return (
         lineitem.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-             F.countDistinct("l_orderkey").alias("exact_orders"))
+        .agg(exact.alias("exact_orders"),
+             (F.abs(approx - exact) <= 0.05 * exact)
+             .cast("int").alias("within_5pct"))
     )
 
 
 @register(
     "agg_percentile_approx",
-    oracle=None,  # sketch-based; error bound gated in tests/test_llm_ops.py
+    # Bounded-error oracle: percentile_approx guarantees the returned
+    # value's RANK is within n/accuracy of the target, i.e. the value
+    # lies between the exact quantiles at q ∓ 1/accuracy. The query
+    # emits flags checking that (with a 50× safety margin, 0.005) and
+    # the oracle replays literal-true flags — hash match iff both
+    # sketch outputs honored the bound in every group.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(1 AS INTEGER) AS median_in_bound,
+           CAST(1 AS INTEGER) AS p99_in_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("agg", "approx", "percentile"),
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (KLL-style sketch) — the 100 TB path for
     quantiles: constant memory, mergeable across partitions, vs the
-    exact percentile's full sort. Accuracy 1/10000."""
+    exact percentile's full sort. Accuracy 1/10000; driver-gated via
+    quantile-bracket flags against the exact percentile."""
     lineitem = catalog.load(spark, sf_dir, "lineitem")
+
+    def in_bound(q: float, alias: str):
+        approx = F.percentile_approx("l_extendedprice", q, 10000)
+        lo = F.expr(f"percentile(l_extendedprice, {max(q - 0.005, 0.0)})")
+        hi = F.expr(f"percentile(l_extendedprice, {min(q + 0.005, 1.0)})")
+        return ((approx >= lo) & (approx <= hi)).cast("int").alias(alias)
+
     return (lineitem.groupBy("l_returnflag")
-            .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
-                 .alias("approx_median_price"),
-                 F.percentile_approx("l_extendedprice", 0.99, 10000)
-                 .alias("approx_p99_price")))
+            .agg(in_bound(0.5, "median_in_bound"),
+                 in_bound(0.99, "p99_in_bound")))
 
 
 @register(

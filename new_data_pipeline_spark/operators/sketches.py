@@ -24,24 +24,52 @@ LG_K = 12  # 2^12 registers → ~1.6% relative standard error
 
 @register(
     "agg_hll_sketch",
-    oracle=None,  # estimate; error bound gated in tests/test_sketches.py
+    # Bounded-error oracle (same device as the ANN and
+    # approx_count_distinct gates): the Datasketches estimate is
+    # engine-specific, so the query emits the EXACT count plus an
+    # in-bound flag (≤5% ≈ 3σ at lg_k=12) and the oracle replays the
+    # exact count with a literal-true flag.
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS INTEGER) AS within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     tags=("aggregate", "sketch", "approx"),
 )
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via a Datasketches HLL sketch,
-    alongside the exact count the unit test compares against."""
+    driver-gated through the bounded-error device (exact count +
+    in-bound flag); the raw-estimate error bound stays unit-gated."""
     events = catalog.load(spark, sf_dir, "events")
+    approx = F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(LG_K)))
+    exact = F.count_distinct("user_id")
     return (events.groupBy("event_type")
-            .agg(F.hll_sketch_estimate(
-                F.hll_sketch_agg("user_id", F.lit(LG_K)))
-                .alias("approx_users"),
-                F.count_distinct("user_id").alias("exact_users"))
+            .agg(exact.alias("exact_users"),
+                 (F.abs(approx - exact) <= 0.05 * exact)
+                 .cast("int").alias("within_5pct"))
             .orderBy("event_type"))
 
 
 @register(
     "agg_hll_mergeable_rollup",
-    oracle=None,  # estimate; merge-consistency gated in tests/test_sketches.py
+    # The merge path under the same bounded-error gate, PLUS a
+    # merge-lossless flag: the union of per-day sketches must estimate
+    # exactly what a single whole-pass sketch estimates (HLL union is
+    # lossless at equal register width) — a property stronger than the
+    # error bound, now driver-checked instead of unit-only.
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT date_trunc('day', ts)) AS n_days_merged,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS INTEGER) AS within_5pct,
+           CAST(1 AS INTEGER) AS merge_lossless
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     tags=("aggregate", "sketch", "approx", "rollup"),
 )
 def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,16 +79,26 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This two-level plan is the 100 TB pattern: the expensive pass over
     raw events happens once at the fine grain; every coarser rollup
-    (type, week, global…) is a cheap merge of kilobyte sketches. The
-    unit test checks the merged estimate equals the single-pass estimate
-    (HLL union is lossless over the same register width).
+    (type, week, global…) is a cheap merge of kilobyte sketches.
     """
     events = catalog.load(spark, sf_dir, "events")
     daily = (events
              .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
              .agg(F.hll_sketch_agg("user_id", F.lit(LG_K)).alias("sketch")))
-    return (daily.groupBy("event_type")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-                 .alias("approx_users"),
-                 F.count(F.lit(1)).alias("n_days_merged"))
+    merged = (daily.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+                   .alias("approx_users"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_days_merged")))
+    whole = (events.groupBy("event_type")
+             .agg(F.hll_sketch_estimate(
+                 F.hll_sketch_agg("user_id", F.lit(LG_K)))
+                 .alias("whole_pass"),
+                 F.count_distinct("user_id").alias("exact_users")))
+    return (merged.join(whole, ["event_type"])
+            .select("event_type", "n_days_merged", "exact_users",
+                    (F.abs(F.col("approx_users") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users"))
+                    .cast("int").alias("within_5pct"),
+                    (F.col("approx_users") == F.col("whole_pass"))
+                    .cast("int").alias("merge_lossless"))
             .orderBy("event_type"))

@@ -204,16 +204,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_tfidf",
-    oracle=None,  # ln() is libm (engines differ in last ulp); golden unit test
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln((n.n + 1.0) / (dft.df + 1.0)) AS tfidf
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term AS top_term, round(tfidf, 6) AS top_tfidf
+    FROM ranked WHERE rn = 1
+    """,
     tags=("text", "tfidf"),
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over the corpus: tf(term,doc) · ln((N+1)/(df+1))
     (Spark ML's IDF convention — no additive shift), top term per doc.
 
-    Rows-only gate: idf needs ln(), whose last-ulp rounding is engine-
-    specific — semantics pinned by tests/test_llm_ops.py against a
-    numpy recomputation instead.
+    Oracled since round 3: ln() is libm, so engines can disagree in the
+    last ulp — but the emitted value is rounded to 6 dp (a boundary flip
+    needs the true value within ~1 ulp of a decimal rounding edge:
+    vanishingly unlikely for the irrational log products, verified MATCH
+    at sf0.001/0.01/0.1) and the top-term ranking only diverges on
+    sub-ulp tfidf near-ties between different (tf, df) pairs, which do
+    not occur. The numpy golden test in tests/test_llm_ops.py remains
+    the semantic pin.
 
     Scale: two aggregates (df per term, tf per doc-term) + a broadcast
     join of the term→idf table; no ML-fit state. The corpus size N is a

