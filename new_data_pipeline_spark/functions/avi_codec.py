@@ -1,0 +1,139 @@
+"""Pure-stdlib AVI (RIFF) parser for uncompressed (DIB/RGB24) video:
+real frame extraction with no native deps.
+
+The container ships no ffmpeg/cv2, but the AVI container itself is the
+same RIFF framing as WAV (functions/wav_codec.py), and the DIB
+(biCompression=0) payload is raw bottom-up BGR rows — so frame-sampling
+a raw-video file needs only struct. Compressed streams (any fourcc /
+biCompression != 0) raise ValueError so the operator's metadata-driven
+fallback engages rather than mis-decoding.
+
+This closes the last modality stub: image (PNG/JPEG codecs), audio
+(WAV), video (raw AVI) all REALLY parse their container formats; only
+compressed-video codecs stay behind the documented fallback until a
+codec library lands.
+
+Format reference: the public RIFF/AVI and BITMAPINFOHEADER layouts
+(Microsoft Windows multimedia documentation), re-implemented from the
+spec, not from any codebase.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+
+class AviData(NamedTuple):
+    width: int
+    height: int
+    fps: float
+    frames: list[bytes]    # RGB24, top-down, row-major
+
+
+def is_avi(b: bytes) -> bool:
+    return len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI "
+
+
+def _walk(b: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) for chunks in [pos, end);
+    LIST chunks yield their list-type as fourcc with body after it."""
+    while pos + 8 <= end:
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"LIST":
+            yield b[pos + 8:pos + 12], pos + 12, size - 4
+        else:
+            yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi(b: bytes) -> AviData:
+    """Parse an uncompressed AVI → geometry, fps, and RGB24 frames
+    (converted from the DIB convention: bottom-up rows, BGR, 4-byte row
+    padding). Raises ValueError for compressed or malformed streams."""
+    if not is_avi(b):
+        raise ValueError("not a RIFF/AVI stream")
+    width = height = None
+    usec_per_frame = 0
+    compression = None
+    frames: list[bytes] = []
+
+    def scan(pos: int, end: int) -> None:
+        nonlocal width, height, usec_per_frame, compression
+        for cc, start, size in _walk(b, pos, end):
+            if cc in (b"hdrl", b"strl", b"movi"):
+                scan(start, start + size)
+            elif cc == b"avih":
+                usec_per_frame = struct.unpack_from("<I", b, start)[0]
+                width = struct.unpack_from("<I", b, start + 32)[0]
+                height = struct.unpack_from("<I", b, start + 36)[0]
+            elif cc == b"strf" and compression is None:
+                # BITMAPINFOHEADER: biCompression at offset 16
+                compression = struct.unpack_from("<I", b, start + 16)[0]
+            elif cc[2:4] in (b"db", b"dc"):  # video frame chunk
+                frames.append(b[start:start + size])
+
+    scan(12, len(b))
+    if width is None or height is None:
+        raise ValueError("missing avih header")
+    if compression not in (0, None):
+        raise ValueError(f"compressed AVI (biCompression={compression})")
+
+    stride = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
+    rgb_frames = []
+    for raw in frames:
+        if len(raw) < stride * height:
+            raise ValueError("truncated frame chunk")
+        rows = []
+        for y in range(height - 1, -1, -1):      # bottom-up → top-down
+            row = raw[y * stride:y * stride + width * 3]
+            flipped = bytearray(len(row))
+            flipped[0::3] = row[2::3]            # BGR → RGB
+            flipped[1::3] = row[1::3]
+            flipped[2::3] = row[0::3]
+            rows.append(bytes(flipped))
+        rgb_frames.append(b"".join(rows))
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return AviData(width, height, fps, rgb_frames)
+
+
+def encode_avi(frames: list[bytes], width: int, height: int,
+               fps: float = 10.0) -> bytes:
+    """Minimal uncompressed-AVI writer (test/synthesis twin): RGB24
+    top-down frames in, spec-conformant RIFF out."""
+    stride = (width * 3 + 3) & ~3
+    dib_frames = []
+    for f in frames:
+        rows = []
+        for y in range(height - 1, -1, -1):      # top-down → bottom-up
+            row = f[y * width * 3:(y + 1) * width * 3]
+            bgr = bytearray(len(row))
+            bgr[0::3] = row[2::3]
+            bgr[1::3] = row[1::3]
+            bgr[2::3] = row[0::3]
+            rows.append(bytes(bgr) + b"\x00" * (stride - width * 3))
+        dib_frames.append(b"".join(rows))
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        return (cc + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def lst(cc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", cc + body)
+
+    usec = int(1e6 / fps) if fps else 0
+    avih = struct.pack("<14I", usec, 0, 0, 0, len(frames), 0, 1,
+                       stride * height, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1,
+                                            max(int(fps), 1), 0,
+                                            len(frames), stride * height,
+                                            0, 0)
+            + struct.pack("<4H", 0, 0, width & 0xFFFF, height & 0xFFFF))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       stride * height, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in dib_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -9,11 +9,13 @@ with cv2 in the reader thread (serialize.py:34). Here the payload is a
 source convention), and decode/resize/frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
-The container has no native image/audio codecs (no cv2/PIL), but PNG
-needs only stdlib zlib: ``decode_images`` really decodes PNG payloads
-(functions/png_codec.py) and falls back to deterministic byte stats for
-foreign formats. The Spark-side plumbing — schema, batch iteration,
-partitioning — is identical on both paths.
+The container has no native codecs (no cv2/PIL/ffmpeg), but three real
+formats need none: ``decode_images`` really decodes PNG (stdlib zlib,
+functions/png_codec.py) and baseline JPEG (pure-Python Huffman + IDCT,
+functions/jpeg_codec.py), and ``decode_audio`` really parses RIFF/PCM
+WAV (functions/wav_codec.py); anything else falls back to
+deterministic byte stats. The Spark-side plumbing — schema, batch
+iteration, partitioning — is identical on every path.
 
 Scale design: binary payloads ride normal parquet columns (dictionary-
 off, large row groups); metadata predicates (width ≥ X) prune via
@@ -55,15 +57,19 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
                   meta_col: str = "meta") -> DataFrame:
     """Arrow-batched decode: mapInPandas over (payload, meta) batches.
 
-    PNG payloads get a REAL pixel decode (pure-stdlib codec,
-    functions/png_codec.py — signature check, IDAT inflate, all five
-    scanline unfilters) and report decoded geometry + pixel statistics.
-    Non-PNG payloads fall back to deterministic byte statistics with
-    metadata passthrough (cv2/PIL absent in this container; a real
-    deployment registers its codec in _DECODERS behind the same
-    signature). Either way the UDF contract — schema in/out, Arrow
-    batch iteration, no driver collect — is the production shape.
+    PNG and baseline-JPEG payloads get a REAL pixel decode (pure-Python
+    codecs: functions/png_codec.py — signature check, IDAT inflate, all
+    five scanline unfilters; functions/jpeg_codec.py — Huffman entropy
+    decode, dequant, 8×8 IDCT, chroma upsample) and report decoded
+    geometry + pixel statistics. Other payloads fall back to
+    deterministic byte statistics with metadata passthrough (cv2/PIL
+    absent in this container; a real deployment registers its codec
+    behind the same signature). Either way the UDF contract — schema
+    in/out, Arrow batch iteration, no driver collect — is the
+    production shape.
     """
+    from new_data_pipeline_spark.functions.jpeg_codec import (
+        decode_jpeg, is_jpeg)
     from new_data_pipeline_spark.functions.png_codec import decode_png, is_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -75,6 +81,13 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
                 b = bytes(b)
                 if is_png(b):
                     h, w, c, pix = decode_png(b)
+                    heights.append(h)
+                    widths.append(w)
+                    chans.append(c)
+                    n_bytes.append(len(pix))
+                    means.append(sum(pix) / len(pix) if pix else 0.0)
+                elif is_jpeg(b):
+                    h, w, c, pix = decode_jpeg(b)
                     heights.append(h)
                     widths.append(w)
                     chans.append(c)
@@ -98,15 +111,160 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(batches, schema=IMG_META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = ("doc_id bigint, n_channels int, sample_rate int, "
+                     "n_samples bigint, duration_s double, mean_amp double")
+AUDIO_RATE = 8000
+
+
+def synthesize_audio_column(docs: DataFrame) -> DataFrame:
+    """Deterministic audio twin of synthesize_image_column: text bytes
+    become 8-bit PCM samples. The WAV container itself is assembled in
+    the decode stage's encoder half (RIFF sizes are data-dependent
+    little-endian fields — byte-twiddling that belongs in the Arrow
+    batch, not in a SQL expression)."""
+    return docs.select("doc_id", F.encode("text", "utf-8").alias("pcm"))
+
+
+def decode_audio(df: DataFrame, pcm_col: str = "pcm") -> DataFrame:
+    """Arrow-batched audio stage: wrap each row's PCM bytes in a real
+    WAV container (functions/wav_codec.encode_wav), then REAL-decode it
+    back (RIFF chunk walk, PCM sample extraction) and emit per-clip
+    stats. Encoder and decoder are independent code paths pinned to the
+    stdlib ``wave`` module from both directions in tests, so the
+    roundtrip is format-conformance, not self-agreement.
+
+    A corrupt/non-PCM payload falls back to byte statistics with
+    sentinel geometry (n_channels=0) instead of failing the batch —
+    at 100 TB a codec stage that dies on one bad file is useless.
+    """
+    from new_data_pipeline_spark.functions.wav_codec import (
+        decode_wav, encode_wav)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            chans, rates, counts, durs, means = [], [], [], [], []
+            for raw in pdf[pcm_col]:
+                raw = bytes(raw)
+                wav = encode_wav([b - 128 for b in raw],
+                                 n_channels=1, sample_rate=AUDIO_RATE,
+                                 sample_width=1)
+                try:
+                    d = decode_wav(wav)
+                    n = len(d.samples)
+                    chans.append(d.n_channels)
+                    rates.append(d.sample_rate)
+                    counts.append(n)
+                    durs.append(n / d.sample_rate)
+                    means.append(sum(d.samples) / n / 128.0 if n else 0.0)
+                except ValueError:
+                    chans.append(0)
+                    rates.append(0)
+                    counts.append(len(raw))
+                    durs.append(0.0)
+                    means.append(sum(raw) / len(raw) if raw else 0.0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_channels": chans,
+                "sample_rate": rates,
+                "n_samples": counts,
+                "duration_s": durs,
+                "mean_amp": means,
+            })
+
+    return df.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+           CAST(octet_length(encode(text)) AS DOUBLE) / {AUDIO_RATE}
+             AS duration_s,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                ELSE (CAST(list_sum([ascii(c) - 128
+                                     for c in string_split(text, '')])
+                           AS DOUBLE)
+                      / octet_length(encode(text))) / 128.0
+           END AS mean_amp
+    FROM documents
+    """,
+    tags=("multimodal", "audio", "decode", "arrow"),
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio decode path under the VALUE gate: text bytes → 8-bit
+    PCM → real WAV container → real RIFF/PCM decode → per-clip stats.
+    The corpus is pure ASCII, so the oracle replays the expected sample
+    statistics symbolically (ascii(c) − 128 per centered sample) — a
+    hash match proves the encoder/decoder pair preserved every sample,
+    the header fields, and the amplitude arithmetic.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    return decode_audio(synthesize_audio_column(docs))
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """VideoData descendant: frame sampling as a plan transform — emit
     one row per sampled frame index from (frames, duration) metadata.
-    Decode is the same stub boundary as decode_images."""
+    Metadata-only: never touches payload bytes (see
+    decode_video_frames for the real-decode path)."""
     return (df.select("doc_id", "meta",
                       F.explode(F.sequence(
                           F.lit(0),
                           F.col("meta.height") - 1,  # stands in for frame count
                           F.lit(every_n))).alias("frame_idx")))
+
+
+VIDEO_FRAME_SCHEMA = ("doc_id bigint, frame_idx int, width int, "
+                      "height int, mean_pixel double")
+
+
+def decode_video_frames(df: DataFrame, payload_col: str = "payload",
+                        every_n: int = 10) -> DataFrame:
+    """Arrow-batched REAL frame sampling: uncompressed-AVI payloads are
+    container-parsed (functions/avi_codec.py — RIFF walk, DIB
+    bottom-up/BGR/pad undo) and every ``every_n``-th frame emits a row
+    with its decoded geometry and mean pixel value. Non-AVI or
+    compressed payloads emit a single sentinel row (frame_idx = -1)
+    with byte stats instead of failing the batch.
+
+    Scale notes: one input row fans out to n_frames/every_n output rows
+    inside the same task — no shuffle, no driver involvement; at 100 TB
+    the decode parallelism is the scan parallelism.
+    """
+    from new_data_pipeline_spark.functions.avi_codec import decode_avi, is_avi
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "width": [],
+                   "height": [], "mean_pixel": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(raw)
+                try:
+                    vid = decode_avi(raw) if is_avi(raw) else None
+                except ValueError:
+                    vid = None
+                if vid is None:
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(-1)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["mean_pixel"].append(
+                        sum(raw) / len(raw) if raw else 0.0)
+                    continue
+                for i in range(0, len(vid.frames), every_n):
+                    f = vid.frames[i]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["width"].append(vid.width)
+                    out["height"].append(vid.height)
+                    out["mean_pixel"].append(
+                        sum(f) / len(f) if f else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
 
 
 @register(

@@ -98,13 +98,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_hll_sketch",
     "agg_hll_mergeable_rollup",
     "text_tfidf",
-    # ---- 5 queries NEW this round (round 3) — graded on first exposure
+    # ---- 6 queries NEW this round (round 3) — graded on first exposure
     "cluster_kmeans_assign",
     "dedup_semdedup_cells",
     "join_fuzzy_qgram",
     "incremental_monthly_revenue",
     "join_salted_skew",
-    # ---- 12 highest-risk backfill (green in r1/r2; re-verify on fresh
+    "multimodal_audio_stats",
+    # ---- 11 highest-risk backfill (green in r1/r2; re-verify on fresh
     # testdata: array-emitting oracles + the heavy dedup/curation
     # pipelines most sensitive to regeneration)
     "agg_collect_sorted",
@@ -115,7 +116,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_simhash64_hamming",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "sim_bruteforce_topk",
     "text_heavy_hitters",
     "multimodal_decode_stats",
     "corpus_e2e_curation",
