@@ -34,6 +34,7 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.stats_agg  # noqa: F401
     import new_data_pipeline_spark.operators.sampling  # noqa: F401
     import new_data_pipeline_spark.operators.sketches  # noqa: F401
+    import new_data_pipeline_spark.operators.quantile_sketch  # noqa: F401
     import new_data_pipeline_spark.operators.subqueries  # noqa: F401
     import new_data_pipeline_spark.operators.complex_types  # noqa: F401
     import new_data_pipeline_spark.operators.reshaping  # noqa: F401

@@ -98,14 +98,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_hll_sketch",
     "agg_hll_mergeable_rollup",
     "text_tfidf",
-    # ---- 6 queries NEW this round (round 3) — graded on first exposure
+    # ---- 7 queries NEW this round (round 3) — graded on first exposure
     "cluster_kmeans_assign",
     "dedup_semdedup_cells",
     "join_fuzzy_qgram",
     "incremental_monthly_revenue",
     "join_salted_skew",
     "multimodal_audio_stats",
-    # ---- 11 highest-risk backfill (green in r1/r2; re-verify on fresh
+    "agg_kll_quantile_rollup",
+    # ---- 10 highest-risk backfill (green in r1/r2; re-verify on fresh
     # testdata: array-emitting oracles + the heavy dedup/curation
     # pipelines most sensitive to regeneration)
     "agg_collect_sorted",
@@ -117,7 +118,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "text_heavy_hitters",
-    "multimodal_decode_stats",
     "corpus_e2e_curation",
     # ---- first-50 window boundary (positions above are 0-49) ----
     # round-1/2-verified families follow in registration order via
