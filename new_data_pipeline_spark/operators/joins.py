@@ -347,3 +347,64 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
                  .alias("sum_value"))
             .orderBy("segment"))
+
+
+@register(
+    "join_temporal_pointintime",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type IN ('view', 'click')
+    ), purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(c.state, 'unknown') AS state,
+           COUNT(*) AS n_purchases,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM purchases p LEFT JOIN changes c
+      ON p.user_id = c.user_id AND p.ts >= c.valid_from
+      AND (c.valid_to IS NULL OR p.ts < c.valid_to)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("join", "temporal", "scd2"),
+)
+def join_temporal_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the consumer side of the SCD2 build
+    (scd2_user_state): each purchase event joins the state interval
+    that was valid AT its timestamp, answering "what was the user
+    doing when they bought". Purchases before the user's first state
+    change keep NULL → 'unknown' (left join, never dropped rows).
+
+    Plan shape: the interval join is an equi-join on user_id with range
+    residuals — one shuffle on the key, per-user intervals sorted and
+    disjoint by construction (each probe matches ≤1 interval, so no
+    post-join dedup). At 100 TB this beats the asof-union trick when
+    the dimension is reused across many probe tables: build the SCD2
+    intervals once, bucket both sides by user_id, and every PIT join
+    is shuffle-free.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (events.filter(F.col("event_type").isin("view", "click"))
+               .select("user_id",
+                       F.col("event_type").alias("state"),
+                       F.col("ts").alias("valid_from"),
+                       F.lead("ts").over(w).alias("valid_to")))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    cond = ((purchases.user_id == changes.user_id)
+            & (purchases.ts >= changes.valid_from)
+            & (changes.valid_to.isNull()
+               | (purchases.ts < changes.valid_to)))
+    return (purchases.join(changes, cond, "left")
+            .groupBy(F.coalesce("state", F.lit("unknown")).alias("state"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.countDistinct(purchases.user_id).cast("bigint")
+                 .alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                 .alias("sum_value"))
+            .orderBy("state"))

@@ -36,12 +36,12 @@ QUERIES: dict[str, QuerySpec] = {}
 # CORRECTNESS_r{N} key set was exactly the first 50 entries), so the
 # window is re-aimed each round at whatever has never been driver-graded.
 # Round-3 aim: the 33 queries with no CORRECTNESS_r01/r02 entry lead,
-# then the 5 queries ADDED in round 3 (cluster/fuzzy/incremental/salted)
-# — union across rounds then covers all 137 registered queries —
-# backfilled with the 12 highest-risk previously-graded ones
-# (array-emitting and decimal-heavy oracles, plus the heavyweight
-# dedup/curation pipelines most sensitive to testdata regeneration).
-# Invariants when editing this list:
+# then the 8 queries ADDED in round 3 (clustering/semdedup/fuzzy/
+# incremental/salted/audio/KLL/PIT) — union across rounds then covers
+# all 140 registered queries — backfilled with the 9 highest-risk
+# previously-graded ones (array-emitting and decimal-heavy oracles,
+# plus the heavyweight dedup/curation pipelines most sensitive to
+# testdata regeneration). Invariants when editing this list:
 # - every registered query stays verified by the local mirror
 #   (tests/test_oracle_parity.py covers ALL registered oracles, not just
 #   the driver's 50);
@@ -49,7 +49,7 @@ QUERIES: dict[str, QuerySpec] = {}
 #   approximates (HLL pair, approx-distinct/percentile, ANN) carry
 #   bounded-error oracles (exact values + in-bound flags the oracle
 #   replays as literal TRUE), and TF-IDF's 6-dp rounding makes the
-#   libm-log divergence unobservable — all 137 queries hash-gate.
+#   libm-log divergence unobservable — all 140 queries hash-gate.
 GATE_PRIORITY: tuple[str, ...] = (
     # ---- 33 queries never driver-graded in rounds 1-2 (VERDICT.md r2 §missing #1)
     # relational / reporting
@@ -89,16 +89,16 @@ GATE_PRIORITY: tuple[str, ...] = (
     "event_path_trigrams",
     # stateful-streaming batch twin
     "stream_running_totals",
-    # never graded: sim_lsh/sim_ivf now carry full pipeline-replay
-    # oracles (md5-derived hyperplanes/centroids are deterministic);
-    # HLL and TF-IDF remain rows-only (engine-specific sketch bytes,
-    # libm-log divergence)
+    # never graded before round 3: the ANN pair carries full
+    # pipeline-replay oracles (md5-derived hyperplanes/centroids);
+    # the HLL pair and TF-IDF hash-gate via bounded-error flags /
+    # 6-dp rounding (see module docstrings)
     "sim_lsh_topk",
     "sim_ivf_topk",
     "agg_hll_sketch",
     "agg_hll_mergeable_rollup",
     "text_tfidf",
-    # ---- 7 queries NEW this round (round 3) — graded on first exposure
+    # ---- 8 queries NEW this round (round 3) — graded on first exposure
     "cluster_kmeans_assign",
     "dedup_semdedup_cells",
     "join_fuzzy_qgram",
@@ -106,7 +106,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_salted_skew",
     "multimodal_audio_stats",
     "agg_kll_quantile_rollup",
-    # ---- 10 highest-risk backfill (green in r1/r2; re-verify on fresh
+    "join_temporal_pointintime",
+    # ---- 9 highest-risk backfill (green in r1/r2; re-verify on fresh
     # testdata: array-emitting oracles + the heavy dedup/curation
     # pipelines most sensitive to regeneration)
     "agg_collect_sorted",
@@ -116,7 +117,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_components",
     "dedup_simhash64_hamming",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "text_heavy_hitters",
     "corpus_e2e_curation",
     # ---- first-50 window boundary (positions above are 0-49) ----
