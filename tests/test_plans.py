@@ -121,3 +121,33 @@ def test_contamination_joins_on_hashed_grams(spark):
     p = plan_text(spark, "text_contamination_ngrams")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, \
         "gram-overlap check must be an equi-join on the 64-bit gram hash"
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    p = plan_text(spark, "cluster_kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, \
+        "centroid table must broadcast — the corpus side never shuffles " \
+        "for the scoring join"
+    assert "partial_" in p, \
+        "argmax must be a max_by aggregate (map-side combinable), " \
+        "not a window sort"
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    p = plan_text(spark, "join_fuzzy_qgram")
+    assert "CartesianProduct" not in p, \
+        "q-gram candidate generation must stay an equi-join on " \
+        "(gram, occ); only the tiny short-string fallback may nested-loop"
+
+
+def test_pit_join_single_key_shuffle(spark):
+    p = plan_text(spark, "join_temporal_pointintime")
+    assert "CartesianProduct" not in p and \
+        "BroadcastNestedLoopJoin" not in p, \
+        "interval predicate must ride the user_id equi-join as a " \
+        "residual, not degrade to a loop join"
+
+
+def test_salted_join_no_plain_hot_key_exchange(spark):
+    p = plan_text(spark, "join_salted_skew")
+    assert "__salt" in p, "join must actually run on the salted key"
