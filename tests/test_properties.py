@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections import Counter
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -89,3 +90,63 @@ def test_local_topk_prefilter_is_lossless(rows, top_k):
 
     # every global top-k row survives the filter (losslessness)
     assert global_topk(rows) <= kept
+
+
+@given(data=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False), min_size=1, max_size=3000),
+       n_parts=st.integers(min_value=1, max_value=8))
+@settings(max_examples=100, deadline=None)
+def test_kll_weight_exact_and_rank_bounded(data, n_parts):
+    """For EVERY input and partitioning: merged-sketch total weight
+    equals the input count (compaction loses no weight), and the median
+    estimate's normalized rank error stays within the gate bound."""
+    import bisect
+
+    from new_data_pipeline_spark.functions.kll import KLL
+
+    merged = KLL()
+    for i in range(n_parts):
+        s = KLL()
+        for v in data[i::n_parts]:
+            s.add(v)
+        merged.merge(s)
+    total_w = sum((1 << lv) * len(items)
+                  for lv, items in enumerate(merged.levels))
+    assert total_w == len(data)
+    est = merged.quantile(0.5)
+    srt = sorted(data)
+    lo = bisect.bisect_left(srt, est) / len(srt)
+    hi = bisect.bisect_right(srt, est) / len(srt)
+    # the estimate's rank interval must overlap [0.5-eps, 0.5+eps]
+    assert lo <= 0.5 + 0.02 and hi >= 0.5 - 0.02, (lo, hi, len(data))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzzy_blocking_lossless_on_random_corpora(seed, spark):
+    """Losslessness on randomized corpora, not just the fixture: a tiny
+    'ab ' alphabet at lengths ≤ 8 maximizes repeated grams and
+    below-bound short strings — exactly the corners where a naive
+    distinct-gram or bound-only blocking silently drops pairs.
+    (Seeded corpora, one Spark run each — a hypothesis-per-example
+    Spark job would take minutes per case.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from new_data_pipeline_spark.operators import fuzzy_join
+
+    rng = random.Random(seed)
+    names = list({"".join(rng.choice("ab ") for _ in range(rng.randint(1, 8)))
+                  for _ in range(25)})
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    blocked = {(r["name_a"], r["name_b"]) for r in
+               fuzzy_join.fuzzy_pairs(df, "name").collect()}
+    a = df.select(F.col("name").alias("name_a"))
+    b = df.select(F.col("name").alias("name_b"))
+    brute = {(r["name_a"], r["name_b"]) for r in
+             (a.crossJoin(b)
+              .filter(F.col("name_a") < F.col("name_b"))
+              .filter(F.levenshtein("name_a", "name_b")
+                      <= fuzzy_join.FUZZY_D).collect())}
+    assert blocked == brute, (
+        f"missed: {brute - blocked}, extra: {blocked - brute}")
