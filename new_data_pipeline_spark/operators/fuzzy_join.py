@@ -130,3 +130,58 @@ def join_fuzzy_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.join(F.broadcast(na), ["name_a"])
             .join(F.broadcast(nb), ["name_b"])
             .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b"))
+
+
+@register(
+    "entity_resolution_parts",
+    oracle=f"""
+    WITH RECURSIVE names AS (
+      SELECT p_name AS name, COUNT(*) AS n_parts FROM part GROUP BY 1
+    ), fpairs AS (
+      SELECT a.name AS u, b.name AS v
+      FROM names a JOIN names b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= {FUZZY_D}
+    ), edges AS (
+      SELECT u, v FROM fpairs UNION SELECT v, u FROM fpairs
+    ), reach(a, b) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    ), labeled AS (
+      SELECT a AS name, MIN(b) AS canonical FROM reach GROUP BY a
+    )
+    SELECT COALESCE(l.canonical, n.name) AS canonical,
+           COUNT(*) AS n_names,
+           CAST(SUM(n.n_parts) AS BIGINT) AS n_parts
+    FROM names n LEFT JOIN labeled l USING (name)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("join", "fuzzy", "entity-resolution", "graph"),
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy candidate pairs (lossless
+    q-gram blocking) → connected components over the match graph →
+    one canonical entity per component (min name), with every isolated
+    name its own entity. The composition matters: pairwise matching
+    alone under-merges ('cold bolt'~'old bolt' and 'old bolt'~'old
+    belt' must land in ONE entity even if 'cold bolt'~'old belt'
+    misses the distance bar).
+
+    Oracle replays blocking-free matching + a recursive CTE for the
+    transitive closure — hash match verifies blocking losslessness AND
+    the iterative component labeling in one gate. Min-label on strings
+    is lexicographic in both engines.
+    """
+    from new_data_pipeline_spark.operators.dedup import connected_components
+
+    parts = catalog.load(spark, sf_dir, "part")
+    names = parts.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_parts"))
+    pairs = fuzzy_pairs(names, "name")
+    labels = connected_components(pairs, "name_a", "name_b")
+    return (names.join(labels, names["name"] == labels["id"], "left")
+            .groupBy(F.coalesce("label", "name").alias("canonical"))
+            .agg(F.count(F.lit(1)).alias("n_names"),
+                 F.sum("n_parts").cast("bigint").alias("n_parts"))
+            .orderBy("canonical"))
