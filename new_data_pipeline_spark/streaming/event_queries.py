@@ -163,3 +163,26 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
                   .cast("double").alias("total_value")))
+
+
+@register(
+    "stream_static_dim_join",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           COALESCE(c.c_mktsegment, 'unknown') AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "join", "dimension"),
+)
+def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch projection of the stream-static dimension enrichment
+    (events × broadcast customer → per-segment tumbling windows); the
+    same builder runs incrementally in tests/test_streaming.py and
+    must converge to this answer."""
+    return ev.enriched_segment_counts(
+        catalog.load(spark, sf_dir, "events"),
+        catalog.load(spark, sf_dir, "customer"))

@@ -172,3 +172,34 @@ def interval_join(left: DataFrame, right: DataFrame,
                     F.col("r.event_id").alias("right_id"),
                     F.col("l.ts").alias("left_ts"),
                     F.col("r.ts").alias("right_ts")))
+
+
+def enriched_segment_counts(events: DataFrame, customer: DataFrame,
+                            width: str = "1 hour",
+                            watermark: str | None = None) -> DataFrame:
+    """Stream-STATIC dimension join + windowed aggregation: each event
+    enriches against the (bounded, broadcast) customer dimension as it
+    arrives, then rolls into tumbling per-segment windows. Users with
+    no customer row survive the left join as 'unknown' — a streaming
+    inner join would silently drop them.
+
+    The streaming-plan shape that matters at scale: the static side
+    broadcasts once per (re)plan, the stream side never shuffles for
+    the join, and only the windowed aggregation keeps state. Contrast
+    stream_interval_join, where BOTH sides are unbounded and the
+    watermark must bound the join state itself.
+    """
+    events = _event_time(events)
+    src = events.withWatermark("ts", watermark) if watermark else events
+    dim = customer.select(F.col("c_custkey").alias("user_id"),
+                          "c_mktsegment")
+    joined = src.join(F.broadcast(dim), ["user_id"], "left")
+    return (joined
+            .groupBy(F.window("ts", width).alias("w"),
+                     F.coalesce("c_mktsegment", F.lit("unknown"))
+                     .alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(money("value")).cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "segment", "n_events", "total_value"))

@@ -187,3 +187,17 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, stream_source, tmp_pa
     assert got.count() == batch.count(), "every row exactly once after recovery"
     assert (got.select("event_id").distinct().count()
             == batch.select("event_id").distinct().count())
+
+
+def test_streaming_static_dim_join_matches_batch(spark, stream_source):
+    """Stream-static enrichment: the incremental run over the file
+    source must converge to the batch projection exactly — including
+    the 'unknown' bucket for users missing from the dimension."""
+    path, schema, batch = stream_source
+    cust = catalog.load(spark, SMOKE_DIR, "customer")
+    stream = spark.readStream.schema(schema).parquet(path)
+    _run_to_memory(ev.enriched_segment_counts(stream, cust), "segjoin")
+    got = {tuple(r) for r in spark.table("segjoin").collect()}
+    want = {tuple(r) for r in
+            ev.enriched_segment_counts(batch, cust).collect()}
+    assert got == want and want
