@@ -151,3 +151,25 @@ def test_pit_join_single_key_shuffle(spark):
 def test_salted_join_no_plain_hot_key_exchange(spark):
     p = plan_text(spark, "join_salted_skew")
     assert "__salt" in p, "join must actually run on the salted key"
+
+
+# Queries whose physical plan legitimately contains a non-broadcast
+# loop join. Every entry needs a justification.
+_ALLOWED_LOOP_JOINS: set[str] = set()
+
+
+def test_no_row_udfs_or_cartesians_anywhere(spark):
+    """Repo-wide slow-path sweep over every registered query's physical
+    plan: no row-at-a-time Python UDFs (BatchEvalPython — Arrow-batched
+    ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas are the sanctioned
+    Python paths) and no CartesianProduct (every crossJoin call site
+    must broadcast its tiny side into a BroadcastNestedLoopJoin)."""
+    bad = []
+    for name, spec in engine.QUERIES.items():
+        df = spec.fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            bad.append((name, "row-at-a-time Python UDF"))
+        if "CartesianProduct" in plan and name not in _ALLOWED_LOOP_JOINS:
+            bad.append((name, "CartesianProduct"))
+    assert not bad, f"slow paths found: {bad}"
