@@ -414,3 +414,76 @@ def curriculum_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("n_chars").desc(), F.col("doc_id")],
         key_col="curriculum_rank")
     return ranked.select("doc_id", F.col("curriculum_rank").cast("bigint"))
+
+
+SUBSTR_W = 10  # tokens per window; Lee et al. use 50 BPE tokens — the
+               # testdata's ~100-token docs need a shorter window to
+               # exercise the operator
+
+
+@register(
+    "dedup_exact_substrings",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             unnest([CAST('0x' || substr(md5(array_to_string(
+                  w[i:i+{SUBSTR_W - 1}], ' ')), 1, 15) AS BIGINT)
+                     for i in range(1, len(w) - {SUBSTR_W - 2})]) AS sh
+      FROM t WHERE len(w) >= {SUBSTR_W}
+    ), rep AS (
+      SELECT sh FROM spans GROUP BY sh
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ), per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_spans,
+             COUNT(*) FILTER (WHERE r.sh IS NOT NULL) AS n_dup_spans
+      FROM spans s LEFT JOIN rep r USING (sh)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_fraction
+    FROM per_doc WHERE n_dup_spans > 0
+    """,
+    tags=("dedup", "substring", "corpus"),
+)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): a {SUBSTR_W}-token
+    window occurring in MORE THAN ONE document marks duplicated text —
+    the signal their suffix-array pass extracts, here as the
+    distributed approximation every large pipeline actually ships:
+    hash every token window, keep corpus-repeated hashes, report each
+    affected document's duplicated-span fraction (the cut list for a
+    span-removal rewrite). Catches partial overlap that document-level
+    MinHash misses (a copied paragraph inside an otherwise-unique doc).
+
+    Scale design: windows hash to 64-bit before any shuffle (md5 →
+    15-hex-digit int, bit-identical in DuckDB, same device as
+    text_contamination_ngrams); the pipeline is two keyed aggregations
+    plus one equi-join on the hash — no strings move, no pairwise
+    comparison exists anywhere. The repeated-hash table is a small
+    fraction of the corpus and broadcasts at any scale.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    t = (docs.select("doc_id", F.split("text", " ").alias("w"))
+         .filter(F.size("w") >= SUBSTR_W))
+    span_hash = (
+        f"transform(sequence(1, size(w) - {SUBSTR_W - 1}), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', slice(w, i, "
+        f"{SUBSTR_W}))), 1, 15), 16, 10) as bigint))")
+    spans = t.select("doc_id", F.explode(F.expr(span_hash)).alias("sh"))
+    rep = (spans.groupBy("sh")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") > 1)
+           .select("sh"))
+    per_doc = (spans.join(F.broadcast(rep.withColumn("dup", F.lit(1))),
+                          ["sh"], "left")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_spans"),
+                    F.count("dup").alias("n_dup_spans")))
+    return (per_doc.filter(F.col("n_dup_spans") > 0)
+            .select("doc_id", "n_spans", "n_dup_spans",
+                    F.round(F.col("n_dup_spans").cast("double")
+                            / F.col("n_spans"), 6).alias("dup_fraction")))
