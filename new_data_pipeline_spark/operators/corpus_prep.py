@@ -374,6 +374,12 @@ def text_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
           sequence(1, size(toks) - {CONTAM_W - 1}),
           i -> CAST(conv(substring(md5(concat_ws(' ',
                  slice(toks, i, {CONTAM_W}))), 1, 15), 16, 10) AS BIGINT)))""")
+    # No persist on the shared gram subtree: A/B at sf0.1 shows the
+    # double computation (train branch + probe branch) ties or beats
+    # materializing 450k hashed-gram rows through the memory store —
+    # the md5 work is cheap relative to the block-manager roundtrip at
+    # this gram volume. Revisit only if CONTAM_W or the corpus grows
+    # the per-gram cost.
     d = (docs.select("doc_id", assign_split("doc_id").alias("split"),
                      toks.alias("toks"))
          .filter(F.size("toks") >= CONTAM_W)
