@@ -150,3 +150,80 @@ def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.load(spark, sf_dir, "lineitem")
     write_partials(spark, li, path, grain="month")
     return monthly_report(spark, path)
+
+
+# ---------------------------------------------------------------------
+# Non-algebraic incremental maintenance: DISTINCT via mergeable HLL
+# partials (the monoid trick above only covers count/sum/min/max —
+# distinct counts need a mergeable SUMMARY per partition instead).
+
+DISTINCT_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("sketch", T.BinaryType()),
+    T.StructField("grain", T.StringType()),
+])
+_LG_K = 12
+
+
+def write_distinct_partials(spark: SparkSession, events: DataFrame,
+                            path: str, grain: str = "day") -> None:
+    """Per-grain Datasketches HLL partials over user_id: the summary a
+    daily job persists so ANY later rollup (month, quarter, lifetime)
+    is a kilobyte-sketch merge, never a rescan of raw events. The same
+    dynamic-partition-overwrite refresh discipline as the monoid store
+    applies (the sketch for a corrected day is rebuilt from that day
+    alone)."""
+    (events
+     .withColumn("grain", F.date_format("ts", GRAINS[grain]))
+     .groupBy("grain")
+     .agg(F.hll_sketch_agg("user_id", F.lit(_LG_K)).alias("sketch"))
+     .write.mode("overwrite").partitionBy("grain").parquet(path))
+
+
+def monthly_distinct(spark: SparkSession, path: str) -> DataFrame:
+    """Merge-on-read distinct users per month from grain partials
+    (HLL union is lossless at equal register width, so this equals a
+    single whole-month sketch — driver-gated via the flag below)."""
+    return (spark.read.schema(DISTINCT_PARTIAL_SCHEMA).parquet(path)
+            .withColumn("month", F.substring("grain", 1, 7))
+            .groupBy("month")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+                 .alias("approx_users"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_partials")))
+
+
+@register(
+    "incremental_monthly_distinct",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+             AS n_partials,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS INTEGER) AS within_5pct
+    FROM events
+    GROUP BY month
+    """,
+    tags=("incremental", "sketch", "distinct", "mergeable"),
+)
+def incremental_monthly_distinct(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Distinct users per month answered FROM day-grain HLL partials —
+    the non-algebraic twin of incremental_monthly_revenue: a plain
+    count can sum across days, a distinct count cannot, so the store
+    keeps a mergeable sketch per day and the month answer is a union
+    of sketches. Gated with the bounded-error device: exact distinct
+    plus an in-bound flag (≤5% ≈ 3σ at lg_k=12), oracle replays the
+    exact side with a literal-true flag.
+    """
+    token = hashlib.md5(("dist:" + sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ndp_hllpart_{token}")
+    events = catalog.load(spark, sf_dir, "events")
+    write_distinct_partials(spark, events, path, grain="day")
+    merged = monthly_distinct(spark, path)
+    exact = (events
+             .groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (merged.join(exact, ["month"])
+            .select("month", "n_partials", "exact_users",
+                    (F.abs(F.col("approx_users") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users"))
+                    .cast("int").alias("within_5pct")))

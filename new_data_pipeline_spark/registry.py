@@ -36,10 +36,11 @@ QUERIES: dict[str, QuerySpec] = {}
 # CORRECTNESS_r{N} key set was exactly the first 50 entries), so the
 # window is re-aimed each round at whatever has never been driver-graded.
 # Round-3 aim: the 33 queries with no CORRECTNESS_r01/r02 entry lead,
-# then the 11 queries ADDED in round 3 (clustering/semdedup/fuzzy/
+# then the 12 queries ADDED in round 3 (clustering/semdedup/fuzzy/
 # incremental/salted/audio/KLL/PIT/entity-resolution/stream-static/
-# exact-substring) — union across rounds then covers all 143
-# registered queries — backfilled with the 6 highest-risk
+# exact-substring/incremental-distinct) — union across rounds then
+# covers all 144 registered queries — backfilled with the 5
+# highest-risk
 # previously-graded ones (array-emitting and decimal-heavy oracles,
 # plus the heavyweight dedup/curation pipelines most sensitive to
 # testdata regeneration). Invariants when editing this list:
@@ -50,7 +51,7 @@ QUERIES: dict[str, QuerySpec] = {}
 #   approximates (HLL pair, approx-distinct/percentile, ANN) carry
 #   bounded-error oracles (exact values + in-bound flags the oracle
 #   replays as literal TRUE), and TF-IDF's 6-dp rounding makes the
-#   libm-log divergence unobservable — all 143 queries hash-gate.
+#   libm-log divergence unobservable — all 144 queries hash-gate.
 GATE_PRIORITY: tuple[str, ...] = (
     # ---- 33 queries never driver-graded in rounds 1-2 (VERDICT.md r2 §missing #1)
     # relational / reporting
@@ -99,7 +100,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_hll_sketch",
     "agg_hll_mergeable_rollup",
     "text_tfidf",
-    # ---- 11 queries NEW this round (round 3) — graded on first exposure
+    # ---- 12 queries NEW this round (round 3) — graded on first exposure
     "cluster_kmeans_assign",
     "dedup_semdedup_cells",
     "join_fuzzy_qgram",
@@ -111,7 +112,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "stream_static_dim_join",
     "dedup_exact_substrings",
-    # ---- 6 highest-risk backfill (green in r1/r2; re-verify on fresh
+    "incremental_monthly_distinct",
+    # ---- 5 highest-risk backfill (green in r1/r2; re-verify on fresh
     # testdata: array-emitting oracles + the heavy dedup/curation
     # pipelines most sensitive to regeneration)
     "agg_collect_sorted",
@@ -119,7 +121,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_cluster_components",
     "dedup_simhash64_hamming",
-    "dedup_ngram_jaccard",
     # ---- first-50 window boundary (positions above are 0-49) ----
     # round-1/2-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.

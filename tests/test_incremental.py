@@ -87,3 +87,26 @@ def test_refresh_after_correction_converges(spark, tmp_path):
     report2 = sorted(map(tuple, incremental.monthly_report(spark, path)
                          .collect()))
     assert report1 == report2
+
+
+def test_hll_partials_merge_equals_whole_pass(spark, tmp_path):
+    """Sketch-store path: the union of per-day HLL partials must
+    estimate exactly what one whole-pass sketch estimates (lossless
+    merge at equal lg_k), and the flags in the registered query's
+    output must all be in-bound."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "hll_partials")
+    events = catalog.load(spark, SF_DIR, "events")
+    incremental.write_distinct_partials(spark, events, path, grain="day")
+    merged = {r["month"]: r["approx_users"] for r in
+              incremental.monthly_distinct(spark, path).collect()}
+    whole = {r["month"]: r["est"] for r in
+             (events.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id", F.lit(incremental._LG_K)))
+                  .alias("est")).collect())}
+    assert merged == whole and merged
+    for r in incremental.incremental_monthly_distinct(spark, SF_DIR) \
+            .collect():
+        assert r["within_5pct"] == 1, r
