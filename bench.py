@@ -67,6 +67,11 @@ def main() -> None:
     # consecutive runs — a median of 3 still passes one through.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    # per-query minima ride along in the JSON: on this VM, contention
+    # inflates medians up to 1.5x run-to-run (BASELINE.md), and
+    # median-vs-min divergence is the cheapest noise diagnostic when
+    # comparing rounds
+    mins: dict[str, float] = {}
     for name in HEADLINE:
         spec = engine.QUERIES[name]
         # one untimed priming run at the bench scale: the first sf0.1
@@ -87,6 +92,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
+        mins[name] = round(runs[0], 3)
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     print(json.dumps({
@@ -94,6 +100,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": mins,
         "sf": float(m.group(1)) if m else None,
     }))
     spark.stop()

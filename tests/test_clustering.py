@@ -49,3 +49,30 @@ def test_semdedup_removed_bounded_by_pairs(spark):
     for r in rep:
         assert r["n_removed"] <= r["n_pairs"]
         assert r["n_removed"] <= r["n_members"] - 1
+
+
+def test_semdedup_survives_degenerate_hot_cell(spark):
+    """Adversarial corpus: EVERY embedding identical → one cell holds
+    everything and every pair is a duplicate. The report must stay
+    correct (C(n,2) pairs, n-1 removals, one keeper) rather than
+    crash or mis-count — the bounded-cell assumption is a performance
+    property, never a correctness precondition."""
+    import pyspark.sql.functions as F
+
+    n = 40
+    base = [float(i % 7 - 3) for i in range(64)]
+    df = spark.createDataFrame(
+        [(i, base, i % 3) for i in range(n)],
+        "vec_id bigint, embedding array<float>, label int")
+    norm = clustering.normalized(df)
+    assigned = clustering.assign_cells(norm, clustering.seed_centroids(norm))
+    cells = assigned.groupBy("cell").count().collect()
+    assert len(cells) == 1 and cells[0]["count"] == n
+
+    # replicate the pair/removal arithmetic of dedup_semdedup_cells
+    a = assigned.select("cell", F.col("vec_id").alias("va"))
+    b = assigned.select("cell", F.col("vec_id").alias("vb"))
+    pairs = (a.join(b, ["cell"]).filter(F.col("va") < F.col("vb")))
+    assert pairs.count() == n * (n - 1) // 2
+    removed = pairs.select("vb").distinct().count()
+    assert removed == n - 1  # exactly one keeper
