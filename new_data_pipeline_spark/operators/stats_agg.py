@@ -69,11 +69,13 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_regression",
     oracle=f"""
     SELECT l_returnflag,
-           (n * sxy - sx * sy)
-             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope,
-           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-             AS regr_intercept
+           round((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS corr_qty_price,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS regr_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS regr_intercept
     FROM (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
@@ -95,7 +97,13 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity per return flag, from exact sufficient statistics (Σx, Σx²
     exact integers; Σy, Σy², Σxy exact decimals). One pass, five sums —
     the map-combine pattern that replaces builtin corr/regr_* whose
-    streaming-update rounding is engine-specific."""
+    streaming-update rounding is engine-specific.
+
+    Outputs round to 6 dp: the sums are exact, but DuckDB's
+    decimal→double conversion can land 1 ulp off Java's
+    correctly-rounded one (observed at sf0.001 in the round-3
+    multi-scale audit; data-dependent) and the ulp survives the final
+    arithmetic — rounding makes the gate scale-independent."""
     lineitem = catalog.load(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("bigint")
     y = money("l_extendedprice")
@@ -112,10 +120,10 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = cov_n / (n * sxx - sx * sx)
     return (suff.select(
         "l_returnflag",
-        (cov_n / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        F.round(cov_n / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         .alias("corr_qty_price"),
-        slope.alias("regr_slope"),
-        ((sy - slope * sx) / n).alias("regr_intercept"))
+        F.round(slope, 6).alias("regr_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("regr_intercept"))
         .orderBy("l_returnflag"))
 
 
