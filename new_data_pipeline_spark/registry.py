@@ -124,6 +124,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     # ---- first-50 window boundary (positions above are 0-49) ----
     # round-1/2-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.
+    #
+    # Round-4 guidance: the cross-round union closes at 144/144 after
+    # this round, so the next window should lead with (a) any queries
+    # ADDED in round 4 and (b) the most regeneration-sensitive greens
+    # (timestamp-heavy: timeseries_gapfill, scd2_user_state, streaming
+    # family; array-emitting: agg_collect_sorted, scalar_array_funcs;
+    # the heavy dedup pipelines) — there is no longer a never-graded
+    # backlog to chase.
 )
 
 
