@@ -57,10 +57,12 @@ def decode_avi(b: bytes) -> AviData:
     width = height = None
     usec_per_frame = 0
     compression = None
+    bi_width = bi_height = None
     frames: list[bytes] = []
 
     def scan(pos: int, end: int) -> None:
         nonlocal width, height, usec_per_frame, compression
+        nonlocal bi_width, bi_height
         for cc, start, size in _walk(b, pos, end):
             if cc in (b"hdrl", b"strl", b"movi"):
                 scan(start, start + size)
@@ -69,7 +71,11 @@ def decode_avi(b: bytes) -> AviData:
                 width = struct.unpack_from("<I", b, start + 32)[0]
                 height = struct.unpack_from("<I", b, start + 36)[0]
             elif cc == b"strf" and compression is None:
-                # BITMAPINFOHEADER: biCompression at offset 16
+                # BITMAPINFOHEADER: biWidth/biHeight SIGNED at offsets
+                # 4/8 (negative biHeight = top-down DIB), biCompression
+                # at offset 16.
+                bi_width, bi_height = struct.unpack_from("<ii", b,
+                                                         start + 4)
                 compression = struct.unpack_from("<I", b, start + 16)[0]
             elif cc[2:4] in (b"db", b"dc"):  # video frame chunk
                 frames.append(b[start:start + size])
@@ -79,14 +85,25 @@ def decode_avi(b: bytes) -> AviData:
         raise ValueError("missing avih header")
     if compression not in (0, None):
         raise ValueError(f"compressed AVI (biCompression={compression})")
+    # Row order comes from strf's biHeight sign (negative = top-down);
+    # cross-check strf geometry against avih so a disagreeing header
+    # engages the fallback instead of mis-decoding.
+    top_down = bi_height is not None and bi_height < 0
+    if bi_height is not None:
+        if bi_width != width or abs(bi_height) != height:
+            raise ValueError(
+                f"strf geometry {bi_width}x{bi_height} disagrees with "
+                f"avih {width}x{height}")
 
     stride = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
     rgb_frames = []
+    row_order = (range(height) if top_down
+                 else range(height - 1, -1, -1))  # bottom-up → top-down
     for raw in frames:
         if len(raw) < stride * height:
             raise ValueError("truncated frame chunk")
         rows = []
-        for y in range(height - 1, -1, -1):      # bottom-up → top-down
+        for y in row_order:
             row = raw[y * stride:y * stride + width * 3]
             flipped = bytearray(len(row))
             flipped[0::3] = row[2::3]            # BGR → RGB

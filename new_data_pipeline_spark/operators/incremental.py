@@ -94,16 +94,50 @@ def refresh_partials(spark: SparkSession, lineitem: DataFrame, path: str,
     frame; every other partition's files are untouched (asserted by
     mtime in tests/test_incremental.py). At scale this is the whole
     point: a late-arriving-data correction for 3 days rewrites 3
-    partitions of a multi-year table."""
+    partitions of a multi-year table.
+
+    Empty-grain corrections are the subtle half of the contract: if a
+    correction deletes ALL source rows for a requested value, the
+    recomputed frame has no row for that grain, dynamic overwrite
+    leaves the stale partition directory in place, and the report
+    would keep counting deleted rows forever. So after the write, any
+    REQUESTED value absent from the recomputed frame has its partition
+    directory explicitly deleted (Hadoop FS API — works on local
+    paths and object stores alike; the list of such values is
+    user-supplied and small, never data-sized).
+    """
     src = lineitem.filter(
         F.date_format("l_shipdate", GRAINS[grain]).isin(values))
-    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    fresh = _partials(src, grain).persist()
     try:
-        (_partials(src, grain)
-         .write.mode("overwrite").partitionBy("grain").parquet(path))
+        present = {r["grain"] for r in fresh.select("grain").collect()}
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (fresh.write.mode("overwrite").partitionBy("grain")
+             .parquet(path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           old)
+        emptied = [v for v in values if v not in present]
+        if emptied:
+            _delete_partition_dirs(spark, path, emptied)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        fresh.unpersist()
+
+
+def _delete_partition_dirs(spark: SparkSession, path: str,
+                           values: list[str]) -> None:
+    """Drop ``grain=<value>`` partition directories via the Hadoop
+    FileSystem API (recursive delete; no-op if the dir never existed)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in values:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/grain={v}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def read_partials(spark: SparkSession, path: str) -> DataFrame:

@@ -79,15 +79,21 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
             heights, widths, chans, n_bytes, means = [], [], [], [], []
             for m, b in zip(meta, payloads):
                 b = bytes(b)
-                if is_png(b):
-                    h, w, c, pix = decode_png(b)
-                    heights.append(h)
-                    widths.append(w)
-                    chans.append(c)
-                    n_bytes.append(len(pix))
-                    means.append(sum(pix) / len(pix) if pix else 0.0)
-                elif is_jpeg(b):
-                    h, w, c, pix = decode_jpeg(b)
+                decoded = None
+                if is_png(b) or is_jpeg(b):
+                    # A payload that LOOKS like PNG/JPEG may still be
+                    # corrupt, truncated, or a profile the pure-Python
+                    # codec rejects (progressive/arithmetic JPEG). A
+                    # codec stage that kills the task on one bad file
+                    # is useless at 100 TB — fall through to byte
+                    # stats, matching decode_audio/decode_video_frames.
+                    try:
+                        decoded = (decode_png(b) if is_png(b)
+                                   else decode_jpeg(b))
+                    except Exception:
+                        decoded = None
+                if decoded is not None:
+                    h, w, c, pix = decoded
                     heights.append(h)
                     widths.append(w)
                     chans.append(c)

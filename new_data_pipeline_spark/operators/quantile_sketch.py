@@ -82,8 +82,8 @@ def kll_group_quantiles(df: DataFrame, group_col: str, value_col: str,
     "agg_kll_quantile_rollup",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
-           quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
            CAST(1 AS INTEGER) AS p50_in_bound,
            CAST(1 AS INTEGER) AS p95_in_bound
     FROM lineitem
@@ -112,9 +112,14 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_p50"),
              F.expr("percentile(l_extendedprice, 0.95D)").alias("exact_p95"),
              *bracket(0.5), *bracket(0.95))
+    # 6-dp rounding on the cross-engine doubles: Spark percentile and
+    # DuckDB quantile_cont interpolate fractional ranks with formulas
+    # that can differ in the last ulp — the same divergence class
+    # agg_corr_regression already rounds away.
     return (est.join(exact, ["grp"])
             .select(F.col("grp").alias("l_returnflag"),
-                    "exact_p50", "exact_p95",
+                    F.round("exact_p50", 6).alias("exact_p50"),
+                    F.round("exact_p95", 6).alias("exact_p95"),
                     ((F.col("q50") >= F.col("lo50"))
                      & (F.col("q50") <= F.col("hi50")))
                     .cast("int").alias("p50_in_bound"),

@@ -41,6 +41,36 @@ def test_rejects_compressed_and_garbage():
         decode_avi(bytes(b))
 
 
+def test_top_down_dib_decodes_unflipped():
+    """Spec-valid top-down DIB (negative biHeight in strf) must decode
+    in stored row order, not be vertically flipped by the bottom-up
+    convention."""
+    w, h = 5, 3
+    frame = RNG.integers(0, 256, size=h * w * 3, dtype=np.uint8).tobytes()
+    b = bytearray(encode_avi([frame], w, h, fps=2.0))
+    bottom_up = decode_avi(bytes(b)).frames[0]
+
+    strf = b.find(b"strf")
+    struct.pack_into("<i", b, strf + 8 + 8, -h)  # biHeight := -h
+    top_down = decode_avi(bytes(b)).frames[0]
+
+    stride = w * 3
+    rows_bu = [bottom_up[y * stride:(y + 1) * stride] for y in range(h)]
+    rows_td = [top_down[y * stride:(y + 1) * stride] for y in range(h)]
+    assert rows_td == rows_bu[::-1]  # same rows, opposite order
+
+
+def test_strf_avih_geometry_mismatch_rejected():
+    """A strf whose biWidth/biHeight disagrees with avih engages the
+    fallback (ValueError) instead of mis-decoding with the wrong
+    stride."""
+    b = bytearray(encode_avi([bytes(4 * 2 * 3)], 4, 2, fps=5.0))
+    strf = b.find(b"strf")
+    struct.pack_into("<i", b, strf + 8 + 4, 6)  # biWidth := 6 != 4
+    with pytest.raises(ValueError):
+        decode_avi(bytes(b))
+
+
 def test_frame_sampling_stride():
     """The operator's every-Nth sampling contract over real frames."""
     frames = [bytes([i] * (2 * 2 * 3)) for i in range(10)]

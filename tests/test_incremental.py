@@ -89,6 +89,37 @@ def test_refresh_after_correction_converges(spark, tmp_path):
     assert report1 == report2
 
 
+def test_refresh_emptied_day_drops_from_report(spark, tmp_path):
+    """A correction that removes ALL rows for a refreshed day must drop
+    that day from the store (dynamic overwrite alone would leave the
+    stale partition directory behind and the report would keep counting
+    deleted rows)."""
+    path = str(tmp_path / "partials")
+    li = _window_lineitem(spark)
+    incremental.write_partials(spark, li, path, grain="day")
+    some_day = incremental.read_partials(spark, path) \
+        .select("grain").first()["grain"]
+
+    corrected = li.filter(
+        F.date_format("l_shipdate", "yyyy-MM-dd") != some_day)
+    incremental.refresh_partials(spark, corrected, path, [some_day],
+                                 grain="day")
+    remaining = {r["grain"] for r in
+                 incremental.read_partials(spark, path)
+                 .select("grain").collect()}
+    assert some_day not in remaining
+    assert not os.path.exists(os.path.join(path, f"grain={some_day}"))
+
+    # report now equals a full recompute over the corrected source
+    merged = {r["month"]: r["n_rows"] for r in
+              incremental.monthly_report(spark, path).collect()}
+    direct = {r["month"]: r["n_rows"] for r in
+              (corrected.groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                                 .alias("month"))
+               .agg(F.count(F.lit(1)).alias("n_rows")).collect())}
+    assert merged == direct
+
+
 def test_hll_partials_merge_equals_whole_pass(spark, tmp_path):
     """Sketch-store path: the union of per-day HLL partials must track
     a whole-pass sketch (equality holds at this corpus size where the

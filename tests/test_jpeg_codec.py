@@ -113,3 +113,28 @@ def test_decode_images_real_jpeg_path(spark):
     assert got[1].mean_byte == pytest.approx(sum(pix) / len(pix))
     assert (got[2].height, got[2].width, got[2].channels) == (1, 1, 3)
     assert (got[3].height, got[3].width, got[3].channels) == (7, 8, 1)
+
+
+def test_decode_images_corrupt_magic_falls_back(spark):
+    """A payload that LOOKS like JPEG/PNG but is truncated or corrupt
+    must take the byte-stats fallback, not kill the Spark task: the
+    codecs' documented contract is raise-so-the-fallback-engages, and
+    this is the operator half of that contract."""
+    from new_data_pipeline_spark.operators.multimodal import decode_images
+
+    truncated_jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF"      # SOI then EOF
+    corrupt_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16     # no valid IHDR
+    rows = [
+        (1, truncated_jpeg, {"height": 5, "width": 6, "channels": 3}),
+        (2, corrupt_png, {"height": 2, "width": 3, "channels": 1}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, payload binary, "
+              "meta struct<height:int,width:int,channels:int>")
+    got = {r.doc_id: r for r in decode_images(df).collect()}
+    assert (got[1].height, got[1].width, got[1].channels) == (5, 6, 3)
+    assert got[1].n_bytes == len(truncated_jpeg)
+    assert got[1].mean_byte == pytest.approx(
+        sum(truncated_jpeg) / len(truncated_jpeg))
+    assert (got[2].height, got[2].width, got[2].channels) == (2, 3, 1)
+    assert got[2].n_bytes == len(corrupt_png)
