@@ -45,6 +45,8 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.fuzzy_join  # noqa: F401
     import new_data_pipeline_spark.operators.incremental  # noqa: F401
     import new_data_pipeline_spark.operators.text_analysis  # noqa: F401
+    import new_data_pipeline_spark.operators.bpe  # noqa: F401
+    import new_data_pipeline_spark.operators.boilerplate  # noqa: F401
     import new_data_pipeline_spark.operators.corpus_prep  # noqa: F401
     import new_data_pipeline_spark.operators.multimodal  # noqa: F401
     import new_data_pipeline_spark.operators.profiling  # noqa: F401

@@ -1,0 +1,72 @@
+"""BPE gates: the merge loop's iterative min-rank semantics on
+hand-checked goldens (multi-level ladders, repeated pairs, unranked
+residue), the sequential-replace equivalence the oracle relies on, and
+the Spark stage end-to-end."""
+
+from __future__ import annotations
+
+from new_data_pipeline_spark.operators.bpe import (
+    MERGES, bpe_encode, bpe_token_stats)
+
+RANKS = {(x, y): r for r, (x, y, _) in enumerate(MERGES)}
+OUTPUTS = {(x, y): z for x, y, z in MERGES}
+
+
+def enc(word: str) -> list[str]:
+    return bpe_encode(word, RANKS, OUTPUTS)
+
+
+def test_multi_level_ladder():
+    # t+h=0, 0+e=A: "the" collapses through two levels
+    assert enc("the") == ["A"]
+    # s+c=F after a+n=2: "scan" -> F,2 -> G
+    assert enc("scan") == ["G"]
+    # d + (at+a=H) = I
+    assert enc("data") == ["I"]
+
+
+def test_min_rank_wins_over_position():
+    # "nat": pairs (n,a) unranked, (a,t) rank 6 -> n,6
+    assert enc("nat") == ["n", "6"]
+    # "ther": (t,h)=0 first -> 0,e,r; then (e,r)=3 BEATS (0,e)=10,
+    # so the result is 0,3 — NOT the "the"+r segmentation A,r
+    assert enc("ther") == ["0", "3"]
+
+
+def test_all_occurrences_merge_leftmost():
+    assert enc("ththt") == ["0", "0", "t"]
+    # "inin" -> 1,1 (both occurrences in one pass)
+    assert enc("inin") == ["1", "1"]
+
+
+def test_unranked_words_stay_chars():
+    assert enc("xyz") == ["x", "y", "z"]
+    assert enc("q") == ["q"]
+    assert enc("") == []
+
+
+def test_sequential_replace_equals_merge_loop():
+    """The oracle's whole premise: applying the ladder as sequential
+    string replaces (rank order, leftmost) must equal the iterative
+    min-rank loop for every word in a stress corpus."""
+    words = ["the", "then", "there", "scan", "scanner", "data",
+             "database", "inin", "ththt", "inging", "and", "sand",
+             "standard", "atlantic", "restore", "value", "lumen",
+             "xyzzy", "a", "", "thethethe", "antant", "orenst"]
+    for w in words:
+        s = w
+        for x, y, z in MERGES:
+            s = s.replace(x + y, z)
+        assert list(s) == enc(w), w
+
+
+def test_spark_stage_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "the scan of data"), (2, "Xyz!  42"), (3, "")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r for r in bpe_token_stats(df).collect()}
+    # "the"->1 tok, "scan"->1, "of"->2, "data"->1 : 5 tokens, 13 chars
+    assert (got[1].n_base_chars, got[1].n_tokens) == (13, 5)
+    # normalization: "Xyz!  42" -> "xyz" -> 3 chars, 3 tokens
+    assert (got[2].n_base_chars, got[2].n_tokens) == (3, 3)
+    assert (got[3].n_base_chars, got[3].n_tokens) == (0, 0)
