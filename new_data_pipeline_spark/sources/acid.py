@@ -106,13 +106,17 @@ def _try_commit(table: str, version: int, snapshot: dict) -> None:
 
 def _commit_with_retry(table: str, op: str, files: list[str],
                        schema_json: dict, *, parent: int | None,
-                       merge: bool, max_retries: int = 20) -> int:
+                       merge: bool, txn: dict | None = None,
+                       max_retries: int = 20) -> int:
     """Optimistic-concurrency commit loop.
 
     ``merge=True`` (append-shaped ops): on conflict, rebase onto the new
     latest — visible files = new latest's files + ours — and retry.
     ``merge=False`` (overwrite/rollback/delete): on conflict against an
     UNSEEN parent, fail — the caller's read-modify-write premise broke.
+    ``txn`` is application transaction metadata recorded verbatim in the
+    snapshot (the Delta ``txn``-action pattern: a streaming sink stores
+    (stream_id, epoch_id) so replayed micro-batches are detectable).
     """
     attempt_parent = parent
     for _ in range(max_retries):
@@ -127,6 +131,8 @@ def _commit_with_retry(table: str, op: str, files: list[str],
             "schema": schema_json,
             "timestamp": time.time(),
         }
+        if txn is not None:
+            snapshot["txn"] = txn
         try:
             _try_commit(table, snapshot["version"], snapshot)
             return snapshot["version"]
@@ -149,14 +155,28 @@ def create_or_overwrite(df: DataFrame, table: str) -> int:
                               merge=False)
 
 
-def append(df: DataFrame, table: str) -> int:
+def append(df: DataFrame, table: str, *, txn: dict | None = None) -> int:
     """Blind append: always safe to rebase, so conflicts auto-retry and
-    N concurrent appenders all land (each as its own version)."""
+    N concurrent appenders all land (each as its own version). Creates
+    the table on first append (parent None). ``txn`` metadata rides the
+    snapshot for idempotent-writer protocols."""
     files = _write_data_files(df, table)
-    parent = latest_version(table)
+    vs = _versions(table)
+    parent = vs[-1] if vs else None
     return _commit_with_retry(table, "append", files,
                               df.schema.jsonValue(), parent=parent,
-                              merge=True)
+                              merge=True, txn=txn)
+
+
+def last_committed_epoch(table: str, stream_id: str) -> int | None:
+    """Highest epoch_id committed by ``stream_id``, or None. Scans the
+    version log newest-first and stops at the first match — O(versions
+    since that stream's last commit), metadata-sized either way."""
+    for v in reversed(_versions(table)):
+        t = _load_snapshot(table, v).get("txn")
+        if t and t.get("stream_id") == stream_id:
+            return int(t["epoch_id"])
+    return None
 
 
 def read(spark: SparkSession, table: str, *, version: int | None = None,

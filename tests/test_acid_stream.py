@@ -1,0 +1,100 @@
+"""Exactly-once streaming→ACID gates: idempotent epoch commits (direct
+replay, kill-and-restart, whole-stream re-delivery) must leave the
+transactional table holding every source row exactly once, with the
+(stream_id, epoch_id) txn trail in the commit log."""
+
+from __future__ import annotations
+
+import time
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.sources import acid
+from new_data_pipeline_spark.streaming.acid_sink import (
+    idempotent_epoch_writer, run_ingest)
+from tests.conftest import SMOKE_DIR
+
+
+def _rows(spark, table):
+    return sorted(tuple(r) for r in acid.read(spark, table).collect())
+
+
+def test_epoch_writer_is_idempotent(spark, tmp_path):
+    """Direct replay: committing the same epoch twice is a no-op; the
+    next epoch lands; the txn trail records both commits."""
+    table = str(tmp_path / "t")
+    df0 = spark.range(5).toDF("id")
+    df1 = spark.range(5, 8).toDF("id")
+    w = idempotent_epoch_writer(table, "s1")
+
+    w(df0, 0)
+    v_after_first = acid.latest_version(table)
+    w(df0, 0)                       # replayed micro-batch
+    assert acid.latest_version(table) == v_after_first
+    assert acid.read(spark, table).count() == 5
+
+    w(df1, 1)
+    assert acid.read(spark, table).count() == 8
+    assert acid.last_committed_epoch(table, "s1") == 1
+    assert acid.last_committed_epoch(table, "other-stream") is None
+    ops = [h["operation"] for h in acid.history(table)]
+    assert ops == ["append", "append"]
+
+
+def test_kill_restart_exactly_once(spark, tmp_path):
+    """Kill the ingest mid-input, restart from the checkpoint: the
+    table must hold every source row exactly once — source replay is
+    absorbed by the txn-log skip, resumption by the checkpoint."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    batch = catalog.load(spark, SMOKE_DIR, "events")
+    batch.repartition(6).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    q = run_ingest(stream(), table, ckpt, stream_id="kill-test",
+                   available_now=False)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    run_ingest(stream(), table, ckpt, stream_id="kill-test")
+
+    got = acid.read(spark, table)
+    assert got.count() == batch.count()
+    assert (got.select("event_id").distinct().count()
+            == batch.select("event_id").distinct().count())
+
+
+def test_full_redelivery_all_epochs_skipped(spark, tmp_path):
+    """Deterministic worst-case replay: run the whole stream, then run
+    it AGAIN with a fresh checkpoint but the same stream_id — every
+    epoch re-delivers from zero and every one must be skipped by the
+    txn log, leaving the table byte-identical."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    batch = catalog.load(spark, SMOKE_DIR, "events")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    run_ingest(stream(), table, str(tmp_path / "ckpt1"),
+               stream_id="replay-test")
+    first = _rows(spark, table)
+    v_first = acid.latest_version(table)
+
+    run_ingest(stream(), table, str(tmp_path / "ckpt2"),
+               stream_id="replay-test")
+    assert acid.latest_version(table) == v_first  # zero new commits
+    assert _rows(spark, table) == first
+    assert first and len(first) == batch.count()
