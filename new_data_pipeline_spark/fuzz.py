@@ -1,0 +1,343 @@
+"""Randomized differential testing: generate random filter/join/
+aggregate compositions over the testdata schema and render each spec
+TWICE — once as a DataFrame chain (the engine surface under test) and
+once as ANSI SQL for DuckDB — so the cross-check covers both Spark's
+execution AND this repo's expression-translation conventions (decimal
+money sums, timestamp literal typing, alias discipline).
+
+The fixed 140+-query registry is green; randomized plans are where the
+next correctness bug hides (optimizer edge cases, null semantics under
+OR, type coercion on literals). Every case is seed-pinned: a failure
+reproduces with ``generate(seed)`` and nothing else.
+
+Design constraints that keep the differential exact (no tolerance):
+- aggregates are restricted to forms with engine-exact parity: counts,
+  distinct counts, min/max, integer sums, and decimal-cast money sums
+  (functions/exact.py) — never raw double sums or avg, whose result
+  depends on reduction order;
+- timestamp literals are cast to the COLUMN's Spark type (the testdata
+  mixes TIMESTAMP_NTZ and LTZ-under-UTC), while DuckDB's naive
+  TIMESTAMP literal matches both wall-clock-for-wall-clock;
+- every output column is aliased identically on both sides (the
+  comparator sorts columns by name).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+
+# ---------------------------------------------------------------- schema
+
+NUM_COLS: dict[str, list[str]] = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+    "events": ["value"],
+}
+INT_COLS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey", "p_size"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "region": ["r_regionkey"],
+    "events": ["event_id", "user_id"],
+}
+TS_COLS: dict[str, list[str]] = {
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+    "events": ["ts"],
+}
+# low-cardinality string columns with (stable) observed domains; a
+# literal that stops existing after a testdata regen only changes
+# selectivity, never parity
+STR_COLS: dict[str, dict[str, list[str]]] = {
+    "lineitem": {"l_returnflag": ["A", "N", "R"],
+                 "l_linestatus": ["F", "O"]},
+    "orders": {"o_orderstatus": ["F", "O", "P"],
+               "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                   "4-NOT SPECIFIED", "5-LOW"]},
+    "customer": {"c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                  "HOUSEHOLD", "MACHINERY"]},
+    "part": {"p_type": ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+                        "STANDARD"]},
+    "events": {"event_type": ["click", "error", "purchase", "signup",
+                              "view"]},
+    "nation": {},
+    "region": {"r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                          "MIDDLE EAST"]},
+    "supplier": {},
+}
+# observed numeric ranges (loose; only literal placement, not parity)
+NUM_RANGE: dict[str, tuple[float, float]] = {
+    "l_quantity": (1, 50), "l_extendedprice": (900, 100000),
+    "l_discount": (0.0, 0.1), "l_tax": (0.0, 0.08),
+    "o_totalprice": (900, 500000), "c_acctbal": (-999, 10000),
+    "s_acctbal": (-999, 10000), "p_retailprice": (900, 2100),
+    "value": (0, 1000),
+}
+INT_RANGE: dict[str, tuple[int, int]] = {
+    "l_orderkey": (1, 60000), "l_partkey": (1, 8000),
+    "l_suppkey": (1, 400), "l_linenumber": (1, 7),
+    "o_orderkey": (1, 60000), "o_custkey": (1, 6000),
+    "c_custkey": (1, 6000), "c_nationkey": (0, 24),
+    "s_suppkey": (1, 400), "s_nationkey": (0, 24),
+    "p_partkey": (1, 8000), "p_size": (1, 50),
+    "n_nationkey": (0, 24), "n_regionkey": (0, 4),
+    "r_regionkey": (0, 4), "event_id": (1, 200000),
+    "user_id": (1, 6000),
+}
+TS_RANGE = ("1992-01-01", "1998-12-01")
+
+# FK edges: (from_table, from_col, to_table, to_col)
+EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+BASES = ("lineitem", "orders", "customer", "events", "part")
+
+# group-by candidates: bounded-cardinality columns only
+GROUP_COLS: dict[str, list[str]] = {
+    "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment", "c_nationkey"],
+    "supplier": ["s_nationkey"],
+    "part": ["p_type", "p_size"],
+    "nation": ["n_name"],
+    "region": ["r_name"],
+    "events": ["event_type"],
+}
+
+
+@dataclass
+class Predicate:
+    """sql is the DuckDB rendering; spark is a ZERO-ARG closure that
+    builds the Column (Column construction needs a live SparkContext,
+    and specs must be generable without one — all randomness is drawn
+    at generate() time, so the closure is deterministic)."""
+    sql: str
+    spark: object                 # () -> Column
+
+
+@dataclass
+class Case:
+    seed: int
+    tables: list[str]
+    joins: list[tuple[str, str, str, str]]
+    pred_sql: str | None
+    group_cols: list[str]
+    agg_sql: list[str]            # aliased SQL aggregate expressions
+    _spark_pred: object = field(default=None, repr=False)   # () -> Column
+    _spark_aggs: list = field(default_factory=list, repr=False)  # thunks
+
+    def sql(self) -> str:
+        frm = self.tables[0]
+        for lt, lc, rt, rc in self.joins:
+            frm += f" JOIN {rt} ON {lt}.{lc} = {rt}.{rc}"
+        q = "SELECT "
+        sel = [f"{c} AS g{i}" for i, c in enumerate(self.group_cols)]
+        sel += self.agg_sql
+        q += ", ".join(sel) + f" FROM {frm}"
+        if self.pred_sql:
+            q += f" WHERE {self.pred_sql}"
+        if self.group_cols:
+            q += " GROUP BY " + ", ".join(
+                f"g{i}" for i in range(len(self.group_cols)))
+        return q
+
+    def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = catalog.load(spark, sf_dir, self.tables[0])
+        loaded = {self.tables[0]: df}
+        for lt, lc, rt, rc in self.joins:
+            right = catalog.load(spark, sf_dir, rt)
+            loaded[rt] = right
+            df = df.join(right, F.col(lc) == F.col(rc), "inner")
+        if self._spark_pred is not None:
+            df = df.filter(self._spark_pred())
+        dims = [F.col(c).alias(f"g{i}")
+                for i, c in enumerate(self.group_cols)]
+        aggs = [a() for a in self._spark_aggs]
+        if dims:
+            return df.groupBy(*dims).agg(*aggs)
+        return df.agg(*aggs)
+
+
+def _ts_literal(rng: random.Random) -> str:
+    y = rng.randint(1992, 1998)
+    m = rng.randint(1, 12)
+    d = rng.randint(1, 28)
+    return f"{y:04d}-{m:02d}-{d:02d} 00:00:00"
+
+
+def _one_predicate(rng: random.Random, tables: list[str],
+                   spark_types: dict[str, str]) -> Predicate:
+    kinds = []
+    for t in tables:
+        kinds += [("num", t, c) for c in NUM_COLS.get(t, [])]
+        kinds += [("int", t, c) for c in INT_COLS.get(t, [])]
+        kinds += [("ts", t, c) for c in TS_COLS.get(t, [])]
+        kinds += [("str", t, c) for c in STR_COLS.get(t, {})]
+    kind, t, c = rng.choice(kinds)
+    if kind == "num":
+        lo, hi = NUM_RANGE[c]
+        v = round(lo + rng.random() * (hi - lo), 2)
+        op = rng.choice(["<", "<=", ">", ">=", "<>"])
+        sp = {"<": lambda: F.col(c) < v, "<=": lambda: F.col(c) <= v,
+              ">": lambda: F.col(c) > v, ">=": lambda: F.col(c) >= v,
+              "<>": lambda: F.col(c) != v}[op]
+        return Predicate(f"{c} {op} {v}", sp)
+    if kind == "int":
+        lo, hi = INT_RANGE[c]
+        v = rng.randint(lo, hi)
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>", "%"])
+        if op == "%":
+            m = rng.choice([2, 3, 5, 7])
+            r = rng.randrange(m)
+            return Predicate(f"{c} % {m} = {r}",
+                             lambda: F.col(c) % m == r)
+        sp = {"<": lambda: F.col(c) < v, "<=": lambda: F.col(c) <= v,
+              ">": lambda: F.col(c) > v, ">=": lambda: F.col(c) >= v,
+              "=": lambda: F.col(c) == v,
+              "<>": lambda: F.col(c) != v}[op]
+        return Predicate(f"{c} {op} {v}", sp)
+    if kind == "ts":
+        v = _ts_literal(rng)
+        op = rng.choice(["<", ">="])
+        # literal typed to the COLUMN's Spark type: the testdata mixes
+        # TIMESTAMP_NTZ (l_shipdate/o_orderdate) and LTZ (events.ts,
+        # normalized by catalog.load under the pinned UTC zone)
+        ty = spark_types[c]
+        sp = ((lambda: F.col(c) < F.lit(v).cast(ty)) if op == "<"
+              else (lambda: F.col(c) >= F.lit(v).cast(ty)))
+        return Predicate(f"{c} {op} TIMESTAMP '{v}'", sp)
+    pool = STR_COLS[t][c]
+    if rng.random() < 0.3 and len(pool) >= 2:
+        vals = rng.sample(pool, k=rng.randint(2, min(3, len(pool))))
+        in_sql = ", ".join(f"'{v}'" for v in vals)
+        return Predicate(f"{c} IN ({in_sql})",
+                         lambda: F.col(c).isin(vals))
+    v = rng.choice(pool)
+    if rng.random() < 0.5:
+        return Predicate(f"{c} = '{v}'", lambda: F.col(c) == v)
+    return Predicate(f"{c} <> '{v}'", lambda: F.col(c) != v)
+
+
+def _aggregates(rng: random.Random, tables: list[str]
+                ) -> tuple[list[str], list]:
+    """1-3 exact-parity aggregates, alias-synchronized."""
+    from new_data_pipeline_spark.functions.exact import money
+
+    options = [("count_star", None, None)]
+    for t in tables:
+        options += [("count", t, c) for c in INT_COLS.get(t, [])]
+        options += [("ndv", t, c)
+                    for c in INT_COLS.get(t, []) + list(STR_COLS.get(t, {}))]
+        options += [("minmax_i", t, c) for c in INT_COLS.get(t, [])]
+        options += [("minmax_n", t, c) for c in NUM_COLS.get(t, [])]
+        options += [("minmax_s", t, c) for c in STR_COLS.get(t, {})]
+        options += [("minmax_t", t, c) for c in TS_COLS.get(t, [])]
+        options += [("sum_i", t, c) for c in INT_COLS.get(t, [])]
+        options += [("money", t, c) for c in NUM_COLS.get(t, [])]
+    picks = rng.sample(options, k=min(rng.randint(1, 3), len(options)))
+    sqls, sparks = [], []
+    def thunk(kind, c, a, mm=None):
+        if kind == "count_star":
+            return lambda: F.count(F.lit(1)).alias(a)
+        if kind == "count":
+            return lambda: F.count(c).alias(a)
+        if kind == "ndv":
+            return lambda: F.countDistinct(c).alias(a)
+        if kind == "minmax":
+            return lambda: (F.min(c) if mm == "MIN"
+                            else F.max(c)).alias(a)
+        if kind == "sum_i":
+            return lambda: F.sum(c).alias(a)
+        return lambda: F.sum(money(c)).cast("double").alias(a)
+
+    for i, (kind, _, c) in enumerate(picks):
+        a = f"a{i}"
+        if kind == "count_star":
+            sqls.append(f"COUNT(*) AS {a}")
+            sparks.append(thunk("count_star", c, a))
+        elif kind == "count":
+            sqls.append(f"COUNT({c}) AS {a}")
+            sparks.append(thunk("count", c, a))
+        elif kind == "ndv":
+            sqls.append(f"COUNT(DISTINCT {c}) AS {a}")
+            sparks.append(thunk("ndv", c, a))
+        elif kind in ("minmax_i", "minmax_n", "minmax_s", "minmax_t"):
+            mm = rng.choice(["MIN", "MAX"])
+            sqls.append(f"{mm}({c}) AS {a}")
+            sparks.append(thunk("minmax", c, a, mm))
+        elif kind == "sum_i":
+            # DuckDB sums BIGINT into HUGEINT (-> object/float in
+            # pandas); pin both engines to BIGINT
+            sqls.append(f"CAST(SUM({c}) AS BIGINT) AS {a}")
+            sparks.append(thunk("sum_i", c, a))
+        else:  # money: decimal-cast sum, double at the boundary
+            sqls.append(f"CAST(SUM(CAST({c} AS DECIMAL(12,2))) "
+                        f"AS DOUBLE) AS {a}")
+            sparks.append(thunk("money", c, a))
+    return sqls, sparks
+
+
+def generate(seed: int) -> Case:
+    """Deterministic spec from a seed: base table, 0-2 FK joins, 0-3
+    predicates joined by AND/OR, 0-2 group dims, 1-3 aggregates."""
+    rng = random.Random(seed)
+    base = rng.choice(BASES)
+    tables = [base]
+    joins: list[tuple[str, str, str, str]] = []
+    for _ in range(rng.randint(0, 2)):
+        cand = [e for e in EDGES if e[0] in tables and e[2] not in tables]
+        if not cand:
+            break
+        e = rng.choice(cand)
+        joins.append(e)
+        tables.append(e[2])
+
+    # Spark types for ts literals (static: catalog normalizes events.ts
+    # to LTZ 'timestamp'; the TPC-H dates stay NTZ as stored)
+    spark_types = {"l_shipdate": "timestamp_ntz",
+                   "o_orderdate": "timestamp_ntz",
+                   "ts": "timestamp"}
+
+    n_preds = rng.randint(0, 3)
+    pred_sql, spark_pred = None, None
+    if n_preds:
+        parts = [_one_predicate(rng, tables, spark_types)
+                 for _ in range(n_preds)]
+        pred_sql, spark_pred = parts[0].sql, parts[0].spark
+        for p in parts[1:]:
+            if rng.random() < 0.3:
+                pred_sql = f"({pred_sql}) OR ({p.sql})"
+                spark_pred = (lambda a, b: lambda: a() | b())(
+                    spark_pred, p.spark)
+            else:
+                pred_sql = f"({pred_sql}) AND ({p.sql})"
+                spark_pred = (lambda a, b: lambda: a() & b())(
+                    spark_pred, p.spark)
+
+    dims_pool = [c for t in tables for c in GROUP_COLS.get(t, [])]
+    n_dims = rng.randint(0, min(2, len(dims_pool)))
+    group_cols = rng.sample(dims_pool, k=n_dims) if n_dims else []
+
+    agg_sql, agg_spark = _aggregates(rng, tables)
+    return Case(seed=seed, tables=tables, joins=joins,
+                pred_sql=pred_sql, group_cols=group_cols,
+                agg_sql=agg_sql, _spark_pred=spark_pred,
+                _spark_aggs=agg_spark)
