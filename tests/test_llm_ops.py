@@ -202,6 +202,47 @@ def test_connected_components_planted_graph(spark):
     labels = {r["id"]: r["label"]
               for r in dedup.connected_components(edges).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    star = {r["id"]: r["label"]
+            for r in dedup.connected_components_star(edges).collect()}
+    assert star == labels
+
+
+def test_star_components_logarithmic_rounds(spark):
+    """Large-star/small-star must (a) agree with label propagation on a
+    worst-case chain graph and (b) converge in O(log n) rounds where
+    propagation needs O(n) — the scale reason the alternative exists."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a bigint, doc_b bigint")
+
+    star_stats: dict = {}
+    star = {r["id"]: r["label"] for r in dedup.connected_components_star(
+        edges, max_iters=100, stats=star_stats).collect()}
+    assert star == {i: 0 for i in range(n + 1)}
+
+    prop_stats: dict = {}
+    prop = {r["id"]: r["label"] for r in dedup.connected_components(
+        edges, max_iters=100, stats=prop_stats).collect()}
+    assert prop == star
+
+    assert star_stats["rounds"] <= 10, star_stats
+    assert prop_stats["rounds"] >= n / 2, prop_stats
+    assert star_stats["rounds"] < prop_stats["rounds"] / 3
+
+
+def test_star_components_random_graph_cross_check(spark):
+    """Random sparse graph: the two implementations must label every
+    node identically (same component minima)."""
+    import random as _r
+    rng = _r.Random(5)
+    edges = spark.createDataFrame(
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(150)],
+        "doc_a bigint, doc_b bigint")
+    star = {r["id"]: r["label"]
+            for r in dedup.connected_components_star(edges).collect()}
+    prop = {r["id"]: r["label"]
+            for r in dedup.connected_components(edges).collect()}
+    assert star == prop and star
 
 
 def test_bruteforce_prefilter_path_exact(spark):
