@@ -41,6 +41,7 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.scalar_funcs  # noqa: F401
     import new_data_pipeline_spark.operators.dedup  # noqa: F401
     import new_data_pipeline_spark.operators.similarity  # noqa: F401
+    import new_data_pipeline_spark.operators.pq  # noqa: F401
     import new_data_pipeline_spark.operators.clustering  # noqa: F401
     import new_data_pipeline_spark.operators.fuzzy_join  # noqa: F401
     import new_data_pipeline_spark.operators.incremental  # noqa: F401

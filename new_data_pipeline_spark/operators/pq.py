@@ -1,0 +1,174 @@
+"""Product quantization (Jégou et al., "Product Quantization for
+Nearest Neighbor Search"): the third ANN regime beside LSH buckets and
+IVF cells — compress each vector into M sub-space code ids, answer
+queries by asymmetric distance computation (ADC: sum of per-subspace
+query-to-codeword distance-table lookups), never touching the original
+vectors at query time.
+
+Why it matters at 100 TB: IVF prunes WHICH vectors a query scores; PQ
+shrinks WHAT a scored vector costs — a 64-dim float vector (256 B)
+becomes M=4 one-byte codes, so the candidate scan is memory-bound on
+codes, not vectors, and the distance tables (M×K doubles per query)
+broadcast for free. Production systems compose both (IVF-PQ); here PQ
+is gated standalone so its arithmetic is independently verified.
+
+Determinism devices (same family as the IVF oracle):
+- codebooks are a deterministic id-sample of the corpus's own
+  subvectors (vec_id % PQ_CENT_MOD == PQ_CENT_RESIDUE) — no trained
+  randomness, SQL-replayable;
+- the cross-subspace ADC sum is materialized as M per-subspace columns
+  (each an exact single-element aggregate) added in fixed left-to-right
+  order — NEVER a float SUM over rows, whose reduction order neither
+  engine guarantees;
+- ties rank by candidate id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+
+PQ_M = 16          # sub-spaces (4 dims each over the 64-dim embeddings:
+                   # finer quantization recovers the recall that coarse
+                   # 16-dim subvectors measurably lose)
+PQ_SD = 4          # dims per sub-space
+PQ_CENT_MOD = 7    # codebook = subvectors of vec_id % 7 == 3 (~N/7 words)
+PQ_CENT_RESIDUE = 3
+N_QUERIES = 10
+TOP_K = 5
+
+_D2 = ("aggregate(zip_with(sub, cent_sub, (x, y) -> (x - y) * (x - y)), "
+       "0D, (acc, x) -> acc + x)")
+
+
+def _subspaces(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, label?, s, sub): each vector L2-NORMALIZED then exploded
+    into its M double subvectors — one narrow pass, no shuffle.
+
+    Normalization first makes PQ's L2 arithmetic rank-equivalent to
+    the cosine the rest of the similarity family uses (||a-b||² =
+    2 - 2·cos for unit vectors), so the recall gate compares like with
+    like and quantization is the only loss."""
+    raw = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    nrm = F.expr("sqrt(aggregate(transform(embedding, "
+                 "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                 "0D, (acc, x) -> acc + x))")
+    base = df.select(F.col("vec_id").alias(id_col), "label",
+                     raw.alias("v0"), nrm.alias("n0"))
+    pieces = F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 F.slice(F.expr("transform(v0, x -> x / n0)"),
+                         s * PQ_SD + 1, PQ_SD).alias("sub"))
+        for s in range(PQ_M)])
+    return (base.select(id_col, "label", F.explode(pieces).alias("p"))
+            .select(id_col, "label", "p.s", "p.sub"))
+
+
+# per-subspace partial columns: each an exact single-element aggregate;
+# the ADC total is their FIXED-ORDER left-to-right sum (see docstring)
+_SQL_PART_COLS = ",\n             ".join(
+    f"SUM(CASE WHEN c.s = {s} THEN q.d2 END) AS t{s}"
+    for s in range(PQ_M))
+_SQL_ADC = " + ".join(f"t{s}" for s in range(PQ_M))
+
+
+@register(
+    "sim_pq_topk",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v0
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, label,
+             [x / sqrt(list_sum([y * y for y in v0])) for x in v0] AS v
+      FROM e0
+    ), subs AS (
+      SELECT vec_id, label, CAST(t.range AS INT) AS s,
+             list_slice(v, t.range * {PQ_SD} + 1,
+                        t.range * {PQ_SD} + {PQ_SD}) AS sub
+      FROM e CROSS JOIN range(0, {PQ_M}) t
+    ), cents AS (
+      SELECT vec_id AS cent_id, s, sub AS cent_sub
+      FROM subs WHERE vec_id % {PQ_CENT_MOD} = {PQ_CENT_RESIDUE}
+    ), dists AS (
+      SELECT subs.vec_id, subs.label, subs.s, cents.cent_id,
+             list_sum([(subs.sub[i] - cents.cent_sub[i])
+                       * (subs.sub[i] - cents.cent_sub[i])
+                       for i in range(1, {PQ_SD} + 1)]) AS d2
+      FROM subs JOIN cents USING (s)
+    ), codes AS (
+      SELECT vec_id, label, s, cent_id AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cent_id) AS arn
+        FROM dists) WHERE arn = 1
+    ), qtab AS (
+      SELECT vec_id AS query_id, s, cent_id, d2
+      FROM dists WHERE vec_id < {N_QUERIES}
+    ), parts AS (
+      SELECT q.query_id, c.vec_id AS candidate_id, c.label,
+             {_SQL_PART_COLS}
+      FROM codes c JOIN qtab q ON q.s = c.s AND q.cent_id = c.code
+      WHERE q.query_id <> c.vec_id
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT query_id, candidate_id, label,
+             {_SQL_ADC} AS adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_SQL_ADC},
+                                         candidate_id) AS rn
+      FROM parts
+    )
+    SELECT query_id, candidate_id, label,
+           round(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "pq", "approx"),
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors: encode the corpus into M
+    per-subspace code ids against deterministic codebooks, then rank
+    candidates for each query by the sum of its precomputed
+    query-to-codeword distances. The whole pipeline — slicing,
+    codebooks, argmin encoding, table lookups, fixed-order ADC sum —
+    replays bit-exactly in the DuckDB oracle.
+    """
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    subs = _subspaces(emb, "vec_id")
+    cents = (subs.filter(F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_RESIDUE)
+             .select(F.col("vec_id").alias("cent_id"), "s",
+                     F.col("sub").alias("cent_sub")))
+    dists = (subs.join(F.broadcast(cents), "s")
+             .withColumn("d2", F.expr(_D2)))
+
+    w_assign = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d2").asc(), F.col("cent_id"))
+    codes = (dists.withColumn("arn", F.row_number().over(w_assign))
+             .filter(F.col("arn") == 1)
+             .select("vec_id", "label", "s",
+                     F.col("cent_id").alias("code")))
+    qtab = (dists.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "s",
+                    "cent_id", F.col("d2").alias("qd2")))
+
+    parts = (codes.join(qtab, (codes["s"] == qtab["s"])
+                        & (codes["code"] == qtab["cent_id"]))
+             .filter(F.col("query_id") != F.col("vec_id"))
+             .groupBy("query_id", F.col("vec_id").alias("candidate_id"),
+                      "label")
+             .agg(*[F.sum(F.when(codes["s"] == s, F.col("qd2")))
+                    .alias(f"t{s}") for s in range(PQ_M)]))
+    # fixed-order addition (see module docstring): t0 + t1 + ... left
+    # to right, mirroring _SQL_ADC exactly
+    adc = F.col("t0")
+    for _s in range(1, PQ_M):
+        adc = adc + F.col(f"t{_s}")
+    w = Window.partitionBy("query_id").orderBy(adc.asc(),
+                                               F.col("candidate_id"))
+    return (parts
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "candidate_id", "label",
+                    F.round(adc, 4).alias("adc_dist"), "rn"))

@@ -38,9 +38,9 @@ QUERIES: dict[str, QuerySpec] = {}
 # - slots 1-2: agg_approx_distinct / agg_percentile_approx — the ONLY
 #   2 of 147 queries without a green driver entry (graded `no_oracle`
 #   in r1, gained bounded-error oracles in r3, never re-exposed);
-# - slots 3-5: the queries ADDED in round 4 (BPE tokenizer,
-#   boilerplate strip, streaming→ACID exactly-once twin);
-# - slots 6-50: regeneration-sensitive greens, per the r3 guidance —
+# - slots 3-6: the queries ADDED in round 4 (BPE tokenizer,
+#   boilerplate strip, streaming→ACID exactly-once twin, PQ ANN);
+# - slots 7-50: regeneration-sensitive greens, per the r3 guidance —
 #   timestamp-heavy (streaming family, gapfill/SCD2, event analytics,
 #   temporal joins, incremental stores), array/struct-emitting oracles,
 #   the heavy dedup/curation pipelines, and the bounded-error
@@ -63,10 +63,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 2 queries with no green driver entry (VERDICT r3 §missing #1)
     "agg_approx_distinct",
     "agg_percentile_approx",
-    # ---- 3 queries NEW in round 4 — graded on first exposure
+    # ---- 4 queries NEW in round 4 — graded on first exposure
     "text_bpe_token_counts",
     "text_boilerplate_strip",
     "stream_acid_ingest",
+    "sim_pq_topk",
     # ---- timestamp-heavy greens (testdata regen moved every ts value;
     # physical parquet ts types have drifted between rounds before)
     "timeseries_gapfill",
@@ -88,7 +89,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "incremental_monthly_revenue",
     "incremental_monthly_distinct",
     "sessionize_lag",
-    "funnel_conversion",
     # ---- array/struct-emitting oracles (the compare style most
     # sensitive to engine-side rendering differences)
     "agg_collect_sorted",
