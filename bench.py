@@ -46,6 +46,10 @@ HEADLINE = (
     "dedup_cluster_components",
     "text_heavy_hitters",
     "dedup_semdedup_cells",
+    # round 4: the real-BPE tokenizer (mapInPandas hot path) and the
+    # boilerplate filter (posexplode + regexp density heuristic)
+    "text_bpe_token_counts",
+    "text_boilerplate_strip",
 )
 
 

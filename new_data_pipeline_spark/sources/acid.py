@@ -248,6 +248,44 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
                               snap["schema"], parent=parent, merge=False)
 
 
+def changes(spark: SparkSession, table: str, from_version: int,
+            to_version: int | None = None) -> DataFrame:
+    """Change-data-feed between two snapshots: every row inserted or
+    deleted, tagged ``_change_type`` ('insert' | 'delete') — the Delta
+    CDF analog, derived from the log alone (no change journal needed
+    because data files are immutable).
+
+    File-pruned by construction: only files ADDED or REMOVED between
+    the versions are scanned; files carried over by reference are never
+    touched, so the cost tracks the size of the change, not the table.
+    A copy-on-write rewrite (delete_where) moves surviving rows into
+    new files — they appear on both sides and cancel via exceptAll
+    (multiset semantics, so duplicate rows cancel one-for-one)."""
+    if to_version is None:
+        to_version = latest_version(table)
+    a = set(_load_snapshot(table, from_version)["files"])
+    b_snap = _load_snapshot(table, to_version)
+    b = set(b_snap["files"])
+    added = sorted(b - a)
+    removed = sorted(a - b)
+    schema = _schema_from_json(b_snap["schema"])
+
+    def read_files(files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema=schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table, f) for f in files])
+
+    new_rows = read_files(added)
+    old_rows = read_files(removed)
+    from pyspark.sql import functions as F
+    inserts = new_rows.exceptAll(old_rows) \
+        .withColumn("_change_type", F.lit("insert"))
+    deletes = old_rows.exceptAll(new_rows) \
+        .withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def rollback(table: str, to_version: int) -> int:
     """Restore an old snapshot as a NEW version (history stays
     append-only; an audit sees both the mistake and the fix)."""

@@ -40,6 +40,37 @@ def test_epoch_writer_is_idempotent(spark, tmp_path):
     assert ops == ["append", "append"]
 
 
+def test_change_data_feed_between_versions(spark, tmp_path):
+    """changes() must report exactly the logical row diff between two
+    snapshots: pure appends → inserts only; a copy-on-write delete →
+    deletes only (rewrite survivors cancel); a rollback → the inverse
+    of the rolled-back span."""
+    table = str(tmp_path / "t")
+    v0 = acid.create_or_overwrite(
+        spark.range(0, 10).toDF("id").coalesce(2), table)
+    v1 = acid.append(spark.range(10, 15).toDF("id"), table)
+
+    cdf = acid.changes(spark, table, v0, v1).collect()
+    assert {(r["id"], r["_change_type"]) for r in cdf} == {
+        (i, "insert") for i in range(10, 15)}
+
+    v2 = acid.delete_where(spark, table, "id % 2 = 1 AND id < 10")
+    cdf2 = acid.changes(spark, table, v1, v2).collect()
+    assert {(r["id"], r["_change_type"]) for r in cdf2} == {
+        (i, "delete") for i in range(1, 10, 2)}, (
+        "rewrite survivors must cancel out of the diff")
+
+    v3 = acid.rollback(table, v1)
+    cdf3 = acid.changes(spark, table, v2, v3).collect()
+    assert {(r["id"], r["_change_type"]) for r in cdf3} == {
+        (i, "insert") for i in range(1, 10, 2)}
+
+    # whole-history diff: v0 -> v3 equals the surviving appends
+    whole = acid.changes(spark, table, v0, v3).collect()
+    assert {(r["id"], r["_change_type"]) for r in whole} == {
+        (i, "insert") for i in range(10, 15)}
+
+
 def test_kill_restart_exactly_once(spark, tmp_path):
     """Kill the ingest mid-input, restart from the checkpoint: the
     table must hold every source row exactly once — source replay is
