@@ -4,14 +4,17 @@ real frame extraction with no native deps.
 The container ships no ffmpeg/cv2, but the AVI container itself is the
 same RIFF framing as WAV (functions/wav_codec.py), and the DIB
 (biCompression=0) payload is raw bottom-up BGR rows — so frame-sampling
-a raw-video file needs only struct. Compressed streams (any fourcc /
-biCompression != 0) raise ValueError so the operator's metadata-driven
+a raw-video file needs only struct. Motion-JPEG ('MJPG') streams ALSO
+really decode: each frame chunk is a standalone baseline JPEG, handed
+to functions/jpeg_codec.py — the one compressed-video codec a
+pure-Python stack can genuinely implement. Other compressed fourccs
+(H.264/VP9/...) raise ValueError so the operator's metadata-driven
 fallback engages rather than mis-decoding.
 
 This closes the last modality stub: image (PNG/JPEG codecs), audio
-(WAV), video (raw AVI) all REALLY parse their container formats; only
-compressed-video codecs stay behind the documented fallback until a
-codec library lands.
+(WAV), video (raw AVI + MJPEG) all REALLY parse their formats; only
+inter-frame codecs stay behind the documented fallback until a codec
+library lands.
 
 Format reference: the public RIFF/AVI and BITMAPINFOHEADER layouts
 (Microsoft Windows multimedia documentation), re-implemented from the
@@ -33,6 +36,34 @@ class AviData(NamedTuple):
 
 def is_avi(b: bytes) -> bool:
     return len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI "
+
+
+# 'MJPG' as the little-endian u32 biCompression stores it: the one
+# compressed-video codec a pure-Python stack can REALLY decode, because
+# every frame is a standalone baseline JPEG (functions/jpeg_codec.py).
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def _mjpeg_frame(raw: bytes, width: int, height: int) -> bytes:
+    """One MJPEG frame chunk → RGB24 top-down bytes. JPEG frames are
+    already top-down RGB (no DIB flip/BGR/pad); grayscale frames
+    replicate to 3 channels so the AviData contract stays uniform.
+    Geometry disagreements raise (reject rather than mis-decode)."""
+    from new_data_pipeline_spark.functions.jpeg_codec import decode_jpeg
+    h, w, c, pix = decode_jpeg(raw)
+    if (w, h) != (width, height):
+        raise ValueError(
+            f"MJPEG frame geometry {w}x{h} disagrees with avih "
+            f"{width}x{height}")
+    if c == 3:
+        return pix
+    if c == 1:
+        out = bytearray(len(pix) * 3)
+        out[0::3] = pix
+        out[1::3] = pix
+        out[2::3] = pix
+        return bytes(out)
+    raise ValueError(f"unsupported MJPEG channel count {c}")
 
 
 def _walk(b: bytes, pos: int, end: int):
@@ -83,7 +114,7 @@ def decode_avi(b: bytes) -> AviData:
     scan(12, len(b))
     if width is None or height is None:
         raise ValueError("missing avih header")
-    if compression not in (0, None):
+    if compression not in (0, None, MJPG_FOURCC):
         raise ValueError(f"compressed AVI (biCompression={compression})")
     # Row order comes from strf's biHeight sign (negative = top-down);
     # cross-check strf geometry against avih so a disagreeing header
@@ -94,6 +125,11 @@ def decode_avi(b: bytes) -> AviData:
             raise ValueError(
                 f"strf geometry {bi_width}x{bi_height} disagrees with "
                 f"avih {width}x{height}")
+
+    if compression == MJPG_FOURCC:
+        fps_ = 1e6 / usec_per_frame if usec_per_frame else 0.0
+        return AviData(width, height, fps_,
+                       [_mjpeg_frame(raw, width, height) for raw in frames])
 
     stride = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
     rgb_frames = []
@@ -115,6 +151,37 @@ def decode_avi(b: bytes) -> AviData:
     return AviData(width, height, fps, rgb_frames)
 
 
+def _chunk(cc: bytes, body: bytes) -> bytes:
+    return (cc + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b""))
+
+
+def _lst(cc: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", cc + body)
+
+
+def _container(payloads: list[bytes], width: int, height: int,
+               fps: float, handler: bytes, compression: int,
+               buf_size: int, frame_cc: bytes) -> bytes:
+    """Shared RIFF/AVI assembly for the DIB and MJPG writers."""
+    usec = int(1e6 / fps) if fps else 0
+    avih = struct.pack("<14I", usec, 0, 0, 0, len(payloads), 0, 1,
+                       buf_size, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + handler + struct.pack("<10I", 0, 0, 0, 1,
+                                            max(int(fps), 1), 0,
+                                            len(payloads), buf_size,
+                                            0, 0)
+            + struct.pack("<4H", 0, 0, width & 0xFFFF, height & 0xFFFF))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       compression, buf_size, 0, 0, 0, 0)
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih)
+                + _lst(b"strl", _chunk(b"strh", strh)
+                       + _chunk(b"strf", strf)))
+    movi = _lst(b"movi", b"".join(_chunk(frame_cc, f) for f in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def encode_avi(frames: list[bytes], width: int, height: int,
                fps: float = 10.0) -> bytes:
     """Minimal uncompressed-AVI writer (test/synthesis twin): RGB24
@@ -131,26 +198,19 @@ def encode_avi(frames: list[bytes], width: int, height: int,
             bgr[2::3] = row[0::3]
             rows.append(bytes(bgr) + b"\x00" * (stride - width * 3))
         dib_frames.append(b"".join(rows))
+    return _container(dib_frames, width, height, fps, b"DIB ", 0,
+                      stride * height, b"00db")
 
-    def chunk(cc: bytes, body: bytes) -> bytes:
-        return (cc + struct.pack("<I", len(body)) + body
-                + (b"\x00" if len(body) & 1 else b""))
 
-    def lst(cc: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", cc + body)
-
-    usec = int(1e6 / fps) if fps else 0
-    avih = struct.pack("<14I", usec, 0, 0, 0, len(frames), 0, 1,
-                       stride * height, width, height, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1,
-                                            max(int(fps), 1), 0,
-                                            len(frames), stride * height,
-                                            0, 0)
-            + struct.pack("<4H", 0, 0, width & 0xFFFF, height & 0xFFFF))
-    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
-                       stride * height, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in dib_frames))
-    riff_body = b"AVI " + hdrl + movi
-    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: float = 10.0, quant: int = 1) -> bytes:
+    """Motion-JPEG AVI writer: each RGB24 top-down frame becomes a
+    standalone baseline JPEG chunk (functions/jpeg_codec.encode_jpeg),
+    fourcc/biCompression 'MJPG' — the lossy-codec twin of encode_avi,
+    exercising the REAL compressed-video decode path."""
+    from new_data_pipeline_spark.functions.jpeg_codec import encode_jpeg
+    payloads = [encode_jpeg(f, height, width, 3, quant=quant)
+                for f in frames]
+    buf = max(len(p) for p in payloads) if payloads else 0
+    return _container(payloads, width, height, fps, b"MJPG",
+                      MJPG_FOURCC, buf, b"00dc")

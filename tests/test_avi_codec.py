@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from new_data_pipeline_spark.functions.avi_codec import (
-    decode_avi, encode_avi, is_avi)
+    decode_avi, encode_avi, encode_avi_mjpeg, is_avi)
 
 RNG = np.random.default_rng(11)
 
@@ -39,6 +39,63 @@ def test_rejects_compressed_and_garbage():
     struct.pack_into("<I", b, strf + 8 + 16, 0x34363248)  # 'H264'
     with pytest.raises(ValueError):
         decode_avi(bytes(b))
+
+
+def test_mjpeg_avi_roundtrip_within_dct_error():
+    """Motion-JPEG AVI: JPEG frame chunks REALLY decode (no fallback);
+    at flat quant=1 the only loss is DCT float rounding, so every
+    sample lands within the jpeg_codec roundtrip bound."""
+    w, h = 16, 8
+    frames = [RNG.integers(0, 256, size=h * w * 3,
+                           dtype=np.uint8).tobytes() for _ in range(3)]
+    b = encode_avi_mjpeg(frames, w, h, fps=5.0, quant=1)
+    assert is_avi(b)
+    d = decode_avi(b)
+    assert (d.width, d.height, len(d.frames)) == (w, h, 3)
+    assert d.fps == pytest.approx(5.0)
+    for got, want in zip(d.frames, frames):
+        a = np.frombuffer(got, dtype=np.uint8).astype(int)
+        bb = np.frombuffer(want, dtype=np.uint8).astype(int)
+        assert a.shape == bb.shape
+        # 4:4:4 RGB->YCbCr->RGB + DCT at quant=1: small bounded error
+        assert np.abs(a - bb).max() <= 6
+
+
+def test_mjpeg_frame_geometry_mismatch_rejected():
+    """An MJPEG frame whose JPEG geometry disagrees with avih raises
+    (reject-rather-than-mis-decode) so the operator fallback engages."""
+    from new_data_pipeline_spark.functions.jpeg_codec import encode_jpeg
+    good = encode_avi_mjpeg(
+        [bytes(8 * 4 * 3)], 8, 4, fps=2.0)
+    wrong_jpeg = encode_jpeg(bytes(4 * 4 * 3), 4, 4, 3, quant=1)
+    b = bytearray(good)
+    pos = b.find(b"00dc")
+    size = struct.unpack_from("<I", b, pos + 4)[0]
+    patched = (bytes(b[:pos]) + b"00dc"
+               + struct.pack("<I", len(wrong_jpeg)) + wrong_jpeg
+               + (b"\x00" if len(wrong_jpeg) & 1 else b""))
+    with pytest.raises(ValueError):
+        decode_avi(patched)
+    assert size  # original chunk existed
+
+
+def test_mjpeg_spark_stage_end_to_end(spark):
+    """decode_video_frames must sample REAL frames out of an MJPEG AVI
+    (compressed-video plumbing, not the byte-stats fallback)."""
+    from new_data_pipeline_spark.operators.multimodal import (
+        decode_video_frames)
+
+    # uniform-color frames: JPEG at quant=1 reproduces them exactly,
+    # so mean_pixel is deterministic
+    frames = [bytes([i * 20] * (8 * 8 * 3)) for i in range(5)]
+    avi = encode_avi_mjpeg(frames, 8, 8, fps=5.0)
+    df = spark.createDataFrame(
+        [(1, avi)], "doc_id bigint, payload binary")
+    got = sorted(decode_video_frames(df, every_n=2).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in got] == [0, 2, 4]
+    assert all((r.width, r.height) == (8, 8) for r in got)
+    assert [r.mean_pixel for r in got] == [0.0, 40.0, 80.0]
 
 
 def test_top_down_dib_decodes_unflipped():
