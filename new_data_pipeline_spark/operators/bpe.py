@@ -189,3 +189,78 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.round(F.col("n_tokens").cast("double")
                             / F.col("n_base_chars"), 6))
          .alias("tokens_per_char"))
+
+
+# ---------------------------------------------------------------------
+# BPE TRAINING — the merge-LEARNING half (text_bpe_token_counts above
+# is inference over a fixed table; this learns the table from a corpus,
+# the reference's vocabulary-fit analog, serialize.py:220-235).
+
+def _word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): the training working set. Zipf keeps the DISTINCT
+    vocabulary tiny relative to the corpus, so every later training
+    pass runs over vocabulary-sized data, never corpus-sized — the
+    standard trick that makes BPE training tractable at 100 TB (one
+    corpus-sized shuffle here, then O(n_merges) vocabulary-sized
+    jobs)."""
+    normalized = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", ""),
+        " +", " "))
+    return (docs.select(F.explode(F.split(normalized, " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _merge_pair_expr(x: str, y: str, z: str) -> str:
+    """Catalyst fold that merges every leftmost-nonoverlapping (x, y)
+    into z inside a symbol array — the pair-merge step as a pure
+    built-in expression (no UDF in the per-round hot path)."""
+    return f"""
+    aggregate(syms, CAST(array() AS ARRAY<STRING>),
+      (acc, s) -> CASE WHEN size(acc) > 0
+                        AND element_at(acc, -1) = '{x}' AND s = '{y}'
+                   THEN concat(slice(acc, 1, size(acc) - 1),
+                               array('{z}'))
+                   ELSE concat(acc, array(s)) END)
+    """
+
+
+def train_merges(docs: DataFrame, n_merges: int,
+                 text_col: str = "text") -> list[tuple[str, str, str]]:
+    """Learn a BPE merge table from the corpus: repeatedly count
+    adjacent symbol pairs (frequency-weighted, distributed), merge the
+    most frequent pair everywhere, assign it a fresh single-char
+    symbol. Ties break lexicographically so training is deterministic.
+
+    Each round is two vocabulary-sized jobs: an explode+groupBy pair
+    count whose ARGMAX (one row) is the only thing collected, and a
+    map-only fold applying the merge. Output symbols come from a
+    private-use codepoint range so they can never collide with base
+    characters — and the returned table is directly consumable by
+    bpe_encode (train→encode consistency is gated in tests).
+    """
+    words = (_word_freqs(docs, text_col)
+             .withColumn("syms", F.expr("split(word, '')"))
+             .select("syms", "freq").localCheckpoint())
+    merges: list[tuple[str, str, str]] = []
+    for i in range(n_merges):
+        pairs = (words
+                 .select(F.expr("""
+                     transform(slice(syms, 1, size(syms) - 1),
+                               (s, j) -> struct(s AS x,
+                                        element_at(syms, j + 2) AS y))
+                     """).alias("ps"), "freq")
+                 .select(F.explode("ps").alias("p"), "freq")
+                 .groupBy("p.x", "p.y")
+                 .agg(F.sum("freq").alias("n")))
+        top = (pairs.orderBy(F.col("n").desc(), F.col("x"), F.col("y"))
+               .limit(1).collect())
+        if not top or top[0]["n"] < 2:
+            break   # nothing left worth merging
+        x, y = top[0]["x"], top[0]["y"]
+        z = chr(0xE000 + i)      # private-use area: collision-free
+        merges.append((x, y, z))
+        words = (words.select(
+            F.expr(_merge_pair_expr(x, y, z)).alias("syms"), "freq")
+            .localCheckpoint())
+    return merges

@@ -60,6 +60,89 @@ def test_sequential_replace_equals_merge_loop():
         assert list(s) == enc(w), w
 
 
+def _reference_train(word_freqs: dict[str, int], n: int):
+    """Independent local BPE trainer (plain Python) for goldens."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for i in range(n):
+        counts: dict = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < 2:
+            break
+        x, y = best
+        z = chr(0xE000 + i)
+        merges.append((x, y, z))
+        new_words = {}
+        for syms, f in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == x and s == y:
+                    out[-1] = z
+                else:
+                    out.append(s)
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    return merges, words
+
+
+def test_train_merges_matches_reference(spark):
+    """Distributed training must learn the same merge table (same
+    pairs, same order) as the independent local reference trainer."""
+    from new_data_pipeline_spark.operators.bpe import train_merges
+
+    texts = ["the cat sat on the mat", "the hat of the cat",
+             "that thin thing", "on and on and on"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string")
+    freqs: dict = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want, _ = _reference_train(freqs, 8)
+    got = train_merges(docs, 8)
+    assert got == want and len(got) >= 4
+
+
+def test_train_then_encode_consistency(spark):
+    """The learned table must be directly consumable by the inference
+    loop: encoding every training word with the learned ranks yields
+    the same symbol state training itself ended in (the train/encode
+    consistency property of well-formed merge tables)."""
+    from new_data_pipeline_spark.operators.bpe import train_merges
+
+    texts = ["banana bandana", "ban ban banana", "a banana bandana"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string")
+    merges = train_merges(docs, 6)
+    assert merges
+    ranks = {(x, y): r for r, (x, y, _) in enumerate(merges)}
+    outs = {(x, y): z for x, y, z in merges}
+
+    freqs: dict = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    _, final_words = _reference_train(freqs, 6)
+    encoded = {tuple(bpe_encode(w, ranks, outs)) for w in freqs}
+    assert encoded == set(final_words)
+
+
+def test_train_stops_when_no_pair_repeats(spark):
+    from new_data_pipeline_spark.operators.bpe import train_merges
+
+    docs = spark.createDataFrame([(1, "ab cd ef")],
+                                 "doc_id bigint, text string")
+    merges = train_merges(docs, 10)
+    assert merges == []  # every pair occurs once: below the bar
+
+
 def test_spark_stage_counts(spark):
     df = spark.createDataFrame(
         [(1, "the scan of data"), (2, "Xyz!  42"), (3, "")],
