@@ -295,10 +295,187 @@ def _aggregates(rng: random.Random, tables: list[str]
     return sqls, sparks
 
 
-def generate(seed: int) -> Case:
-    """Deterministic spec from a seed: base table, 0-2 FK joins, 0-3
-    predicates joined by AND/OR, 0-2 group dims, 1-3 aggregates."""
+# unique row keys per table: the tiebreak that makes window orderings
+# and LIMIT selections total (hence engine-deterministic)
+UNIQUE_KEYS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "nation": ["n_nationkey"],
+    "region": ["r_regionkey"],
+    "events": ["event_id"],
+}
+
+
+@dataclass
+class SqlPairCase:
+    """A spec whose two renderings are prebuilt: the SQL text and a
+    zero-arg-closure-based DataFrame builder (same lazy-Column
+    discipline as Case)."""
+    seed: int
+    kind: str
+    _sql: str
+    _build: object        # (spark, sf_dir) -> DataFrame
+
+    def sql(self) -> str:
+        return self._sql
+
+    def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        return self._build(spark, sf_dir)
+
+
+def _gen_window(seed: int, rng: random.Random) -> SqlPairCase:
+    """Window-function case: deterministic ranks/offsets/running sums
+    under a TOTAL ordering (order col + unique key tiebreak)."""
+    from pyspark.sql import Window
+
+    t = rng.choice(BASES)
+    part = rng.choice(GROUP_COLS[t])
+    order_pool = INT_COLS.get(t, []) + NUM_COLS.get(t, [])         + TS_COLS.get(t, [])
+    ocol = rng.choice(order_pool)
+    desc = rng.random() < 0.5
+    keys = UNIQUE_KEYS[t]
+    icol = rng.choice(INT_COLS[t])
+    fn = rng.choice(["row_number", "rank", "dense_rank",
+                     "part_sum", "run_sum", "lag"])
+    topn = rng.randint(2, 4)
+
+    dirn = "DESC" if desc else "ASC"
+    order_sql = ", ".join([f"{ocol} {dirn}"] + keys)
+    if fn == "row_number":
+        w_sql = f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order_sql})"
+    elif fn == "rank":
+        w_sql = f"RANK() OVER (PARTITION BY {part} ORDER BY {ocol} {dirn})"
+    elif fn == "dense_rank":
+        w_sql = f"DENSE_RANK() OVER (PARTITION BY {part} ORDER BY {ocol} {dirn})"
+    elif fn == "part_sum":
+        w_sql = f"CAST(SUM({icol}) OVER (PARTITION BY {part}) AS BIGINT)"
+    elif fn == "run_sum":
+        w_sql = (f"CAST(SUM({icol}) OVER (PARTITION BY {part} "
+                 f"ORDER BY {order_sql} ROWS BETWEEN UNBOUNDED PRECEDING "
+                 f"AND CURRENT ROW) AS BIGINT)")
+    else:
+        w_sql = f"LAG({icol}) OVER (PARTITION BY {part} ORDER BY {order_sql})"
+
+    keys_sql = ", ".join(keys)
+    if fn == "row_number":
+        sql = (f"SELECT * FROM (SELECT {keys_sql}, {w_sql} AS w0 "
+               f"FROM {t}) WHERE w0 <= {topn}")
+    else:
+        sql = f"SELECT {keys_sql}, {w_sql} AS w0 FROM {t}"
+
+    def build(spark, sf_dir):
+        df = catalog.load(spark, sf_dir, t)
+        oc = F.col(ocol).desc() if desc else F.col(ocol).asc()
+        full = Window.partitionBy(part).orderBy(
+            oc, *[F.col(k) for k in keys])
+        byval = Window.partitionBy(part).orderBy(oc)
+        if fn == "row_number":
+            out = df.select(*keys, F.row_number().over(full).alias("w0"))
+            return out.filter(F.col("w0") <= topn)
+        if fn == "rank":
+            return df.select(*keys, F.rank().over(byval).alias("w0"))
+        if fn == "dense_rank":
+            return df.select(*keys,
+                             F.dense_rank().over(byval).alias("w0"))
+        if fn == "part_sum":
+            w = Window.partitionBy(part)
+            return df.select(*keys, F.sum(icol).over(w)
+                             .cast("bigint").alias("w0"))
+        if fn == "run_sum":
+            w = full.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow)
+            return df.select(*keys, F.sum(icol).over(w)
+                             .cast("bigint").alias("w0"))
+        return df.select(*keys, F.lag(icol).over(full).alias("w0"))
+
+    return SqlPairCase(seed=seed, kind=f"window:{fn}", _sql=sql,
+                       _build=build)
+
+
+def _gen_setop(seed: int, rng: random.Random) -> SqlPairCase:
+    """Set-operation case: two filtered projections of one table under
+    UNION / UNION ALL / INTERSECT / EXCEPT (+ ALL variants)."""
+    t = rng.choice(BASES)
+    keys = UNIQUE_KEYS[t]
+    extra = rng.choice(GROUP_COLS[t])
+    cols = keys + ([extra] if extra not in keys else [])
+    cols_sql = ", ".join(cols)
+    ic = rng.choice(INT_COLS[t])
+    lo, hi = INT_RANGE[ic]
+    mid = rng.randint(lo, hi)
+    m2 = rng.choice([2, 3, 5])
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                     "INTERSECT ALL", "EXCEPT ALL"])
+    sql = (f"SELECT {cols_sql} FROM {t} WHERE {ic} <= {mid} "
+           f"{op} SELECT {cols_sql} FROM {t} WHERE {ic} % {m2} = 0")
+
+    def build(spark, sf_dir):
+        df = catalog.load(spark, sf_dir, t)
+        a = df.filter(F.col(ic) <= mid).select(*cols)
+        b = df.filter(F.col(ic) % m2 == 0).select(*cols)
+        if op == "UNION ALL":
+            return a.union(b)
+        if op == "UNION":
+            return a.union(b).distinct()
+        if op == "INTERSECT":
+            return a.intersect(b)
+        if op == "INTERSECT ALL":
+            return a.intersectAll(b)
+        if op == "EXCEPT ALL":
+            return a.exceptAll(b)
+        return a.subtract(b)
+
+    return SqlPairCase(seed=seed, kind=f"setop:{op}", _sql=sql,
+                       _build=build)
+
+
+def _gen_toplimit(seed: int, rng: random.Random) -> SqlPairCase:
+    """Global ORDER BY ... LIMIT under a total ordering: the selected
+    SET is deterministic (the comparator is order-insensitive)."""
+    t = rng.choice(BASES)
+    keys = UNIQUE_KEYS[t]
+    order_pool = INT_COLS.get(t, []) + NUM_COLS.get(t, [])         + TS_COLS.get(t, [])
+    ocol = rng.choice(order_pool)
+    desc = rng.random() < 0.5
+    n = rng.randint(5, 40)
+    dirn = "DESC" if desc else "ASC"
+    order_sql = ", ".join([f"{ocol} {dirn}"] + keys)
+    cols = keys + ([ocol] if ocol not in keys else [])
+    sql = (f"SELECT {', '.join(cols)} FROM {t} "
+           f"ORDER BY {order_sql} LIMIT {n}")
+
+    def build(spark, sf_dir):
+        df = catalog.load(spark, sf_dir, t)
+        oc = F.col(ocol).desc() if desc else F.col(ocol).asc()
+        return (df.orderBy(oc, *[F.col(k) for k in keys])
+                .select(*cols).limit(n))
+
+    return SqlPairCase(seed=seed, kind="toplimit", _sql=sql,
+                       _build=build)
+
+
+def generate(seed: int):
+    """Deterministic spec from a seed. Shape mix: ~60% filter/join/agg
+    compositions (Case), ~20% window functions, ~10% set operations,
+    ~10% global top-N — every shape rendered twice (DataFrame + SQL)
+    and compared exactly."""
     rng = random.Random(seed)
+    shape = rng.random()
+    if shape < 0.20:
+        return _gen_window(seed, rng)
+    if shape < 0.30:
+        return _gen_setop(seed, rng)
+    if shape < 0.40:
+        return _gen_toplimit(seed, rng)
+    return _generate_agg(seed, rng)
+
+
+def _generate_agg(seed: int, rng: random.Random) -> Case:
+    """Base table, 0-2 FK joins, 0-3 predicates joined by AND/OR, 0-2
+    group dims, 1-3 aggregates."""
     base = rng.choice(BASES)
     tables = [base]
     joins: list[tuple[str, str, str, str]] = []
