@@ -52,5 +52,6 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.multimodal  # noqa: F401
     import new_data_pipeline_spark.operators.profiling  # noqa: F401
     import new_data_pipeline_spark.sources.ingest_queries  # noqa: F401
+    import new_data_pipeline_spark.sources.acid_queries  # noqa: F401
     import new_data_pipeline_spark.streaming.event_queries  # noqa: F401
     import new_data_pipeline_spark.streaming.acid_sink  # noqa: F401

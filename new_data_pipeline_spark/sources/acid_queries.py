@@ -1,0 +1,78 @@
+"""Oracle-gated batch twin for the ACID change-data-feed
+(sources/acid.changes): build a transactional table through a
+deterministic create → append → copy-on-write-delete history, then
+answer an aggregate over the version-to-version CDF. The oracle
+recomputes the logical insert/delete sets directly from the source
+table, so a hash match proves the file-diff CDF derivation (including
+rewrite-survivor cancellation) reproduces the true row-level history.
+
+History (all predicates on l_orderkey so the oracle can replay them):
+  v1  create  = lineitem rows with l_orderkey % 4 IN (0, 1)
+  v2  append  = rows with l_orderkey % 4 = 2
+  v3  delete  WHERE l_orderkey % 8 = 1   (hits only v1 rows: the
+      appended rows have orderkey % 8 IN {2, 6})
+CDF(v1 → v3) must therefore be: inserts = the whole appended set,
+deletes = the % 8 = 1 subset — anything else (lost rows, phantom
+rewrite survivors) breaks the hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.functions.exact import money
+from new_data_pipeline_spark.registry import register
+from new_data_pipeline_spark.sources import acid
+
+
+@register(
+    "acid_change_data_feed",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem
+    ), changed AS (
+      SELECT 'insert' AS change_type, * FROM src
+      WHERE l_orderkey % 4 = 2
+      UNION ALL
+      SELECT 'delete', * FROM src
+      WHERE l_orderkey % 4 IN (0, 1) AND l_orderkey % 8 = 1
+    )
+    SELECT change_type,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS total_price
+    FROM changed
+    GROUP BY change_type
+    """,
+    tags=("acid", "cdf", "versioning"),
+)
+def acid_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate the insert/delete feed between the post-create and
+    post-delete snapshots of a freshly built transactional table."""
+    token = hashlib.md5(("cdf:" + sf_dir).encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"ndp_cdf_{token}")
+    shutil.rmtree(table, ignore_errors=True)  # rerun isolation
+
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        money("l_extendedprice").alias("price"))
+    v1 = acid.create_or_overwrite(
+        li.filter(F.col("l_orderkey") % 4 <= 1), table)
+    acid.append(li.filter(F.col("l_orderkey") % 4 == 2), table)
+    v3 = acid.delete_where(spark, table, "l_orderkey % 8 = 1")
+
+    return (acid.changes(spark, table, v1, v3)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("l_orderkey").cast("bigint")
+                 .alias("n_orders"),
+                 F.sum("price").cast("double").alias("total_price")))
