@@ -60,6 +60,22 @@ def test_sequential_replace_equals_merge_loop():
         assert list(s) == enc(w), w
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="theinangorsdvalu", max_size=24))
+def test_property_sequential_replace_equals_merge_loop(word):
+    """Hypothesis-strength version of the oracle's core premise, over
+    random words drawn from the merge table's own alphabet (the
+    worst case for interacting merges)."""
+    s = word
+    for x, y, z in MERGES:
+        s = s.replace(x + y, z)
+    assert list(s) == enc(word), word
+
+
 def _reference_train(word_freqs: dict[str, int], n: int):
     """Independent local BPE trainer (plain Python) for goldens."""
     words = {tuple(w): f for w, f in word_freqs.items()}
