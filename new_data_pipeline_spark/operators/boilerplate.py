@@ -22,6 +22,11 @@ computes that from the markup, it doesn't assume the layout.
 Scale: segmentation is posexplode over a generated column; every
 density term is a built-in regexp/aggregate expression in whole-stage
 codegen; the only shuffle is the final per-document groupBy. No UDFs.
+
+Reference analog: none — the reference ingests pre-cleaned text
+directly into its CountVectorizer fit (serialize.py:220-235); this is
+the curation stage a crawl-scale corpus needs BEFORE that fit is
+meaningful (SURVEY.md §2.2 text-analysis extension).
 """
 
 from __future__ import annotations

@@ -12,6 +12,13 @@ codes, not vectors, and the distance tables (M×K doubles per query)
 broadcast for free. Production systems compose both (IVF-PQ); here PQ
 is gated standalone so its arithmetic is independently verified.
 
+Reference analog: none — the reference stores flattened float32
+vectors as protobuf Datum payloads (serialize.py:280,304 float32
+coercion; reconstruction serialize.py:697-723) but has no similarity
+surface over them; this is the SURVEY.md §2.2
+similarity-search extension's third regime beside LSH and IVF
+(operators/similarity.py).
+
 Determinism devices (same family as the IVF oracle):
 - codebooks are a deterministic id-sample of the corpus's own
   subvectors (vec_id % PQ_CENT_MOD == PQ_CENT_RESIDUE) — no trained
