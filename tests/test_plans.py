@@ -173,3 +173,34 @@ def test_no_row_udfs_or_cartesians_anywhere(spark):
         if "CartesianProduct" in plan and name not in _ALLOWED_LOOP_JOINS:
             bad.append((name, "CartesianProduct"))
     assert not bad, f"slow paths found: {bad}"
+
+
+def test_bpe_token_counts_map_only(spark):
+    """The BPE tokenizer stage must be shuffle-free: scan → project →
+    ArrowEvalPython/MapInPandas, no Exchange anywhere (the whole
+    operator is embarrassingly parallel)."""
+    p = plan_text(spark, "text_bpe_token_counts")
+    assert "Exchange" not in p, "BPE counting must not shuffle"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, \
+        "merge loop must run on the Arrow batch path"
+
+
+def test_boilerplate_strip_single_scan_no_udf(spark):
+    """Boilerplate stripping is pure built-ins over one scan: the only
+    Exchange is the per-document aggregate."""
+    p = plan_text(spark, "text_boilerplate_strip")
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p \
+        and "BatchEvalPython" not in p, \
+        "density heuristic must stay JVM-side"
+    assert p.count("Location: InMemoryFileIndex") == 1, \
+        "one scan of documents"
+
+
+def test_pq_broadcasts_codebooks(spark):
+    """PQ encode/ADC must broadcast the codebook side — the corpus
+    never shuffles for scoring — and the argmin must be a map-side
+    min_by aggregate (partial_), not a window sort."""
+    p = plan_text(spark, "sim_pq_topk")
+    assert "BroadcastHashJoin" in p, "codebook join must broadcast"
+    assert "partial_min_by" in p or "partial_" in p, \
+        "code assignment must combine map-side"
