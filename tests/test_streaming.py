@@ -201,3 +201,38 @@ def test_streaming_static_dim_join_matches_batch(spark, stream_source):
     want = {tuple(r) for r in
             ev.enriched_segment_counts(batch, cust).collect()}
     assert got == want and want
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark, stream_source, tmp_path):
+    """The same tumbling aggregation must run (and converge to the
+    batch answer) with the RocksDB state store provider — the state
+    backend that keeps executor heap flat when streaming state grows
+    to 100 TB-scale key counts, vs the default in-memory HDFS-backed
+    provider. Pinning it here proves the engine's stateful operators
+    carry no hidden dependency on the default provider."""
+    path, schema, batch = stream_source
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = spark.readStream.schema(schema).parquet(path)
+        q = (ev.tumbling_counts(stream)
+             .writeStream.outputMode("complete")
+             .format("memory").queryName("rocksdb_out")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, saved)
+    got = {(r["window_start"], r["event_type"]): r["n_events"]
+           for r in spark.sql("SELECT * FROM rocksdb_out").collect()}
+    want = {(r["window_start"], r["event_type"]): r["n_events"]
+            for r in ev.tumbling_counts(batch).collect()}
+    assert got == want and want
