@@ -47,10 +47,14 @@ PQ_CENT_RESIDUE = 3
 N_QUERIES = 10
 TOP_K = 5
 
-# flat scalar chain, NOT a higher-order aggregate/zip_with fold: the
-# HOF route boxes per element and measured ~30% slower end-to-end on
-# the N*M*K scoring join; left-to-right ascending addition matches the
-# oracle's list_sum fold order exactly
+# flat scalar chain, NOT a higher-order aggregate/zip_with fold: at
+# THIS dimensionality (4) the HOF route's per-lambda overhead measured
+# ~2.5x slower end-to-end on the N*M*K scoring join (9.2 -> 3.7 s at
+# sf0.1). The trade inverts at larger dims — an A/B on the 64-dim
+# clustering dots showed the chain 1.5x SLOWER there (64 indexed
+# element_at calls cost more than one fold pass), so clustering.py
+# keeps its folds. Left-to-right ascending addition matches the
+# oracle's list_sum fold order exactly either way.
 _D2 = " + ".join(
     f"(sub[{i}] - cent_sub[{i}]) * (sub[{i}] - cent_sub[{i}])"
     for i in range(PQ_SD))
