@@ -207,7 +207,13 @@ def read(spark: SparkSession, table: str, *, version: int | None = None,
         raise FileNotFoundError(
             f"{table}@v{version}: {len(missing)} data files vacuumed; "
             f"oldest retained snapshot is newer than this one")
-    return spark.read.parquet(*paths)
+    # The SNAPSHOT's schema is authoritative, not parquet inference:
+    # after schema evolution the file list mixes widths, and inference
+    # would take whichever footer it probes first — pinning the
+    # recorded schema makes old files surface NULLs for added columns
+    # deterministically (test_acid_stream.py::test_schema_evolution_*).
+    return spark.read.schema(_schema_from_json(snap["schema"])) \
+        .parquet(*paths)
 
 
 def _schema_from_json(schema_json: dict):

@@ -104,6 +104,31 @@ def test_kill_restart_exactly_once(spark, tmp_path):
             == batch.select("event_id").distinct().count())
 
 
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Appending a frame with an ADDED column evolves the snapshot
+    schema: new reads surface the column (old files yield NULLs), and
+    time travel to the pre-evolution version still serves the original
+    schema — the add-column half of Delta-style schema evolution that
+    the immutable-file + per-snapshot-schema design gives for free."""
+    table = str(tmp_path / "t")
+    v1 = acid.create_or_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string"),
+        table)
+    acid.append(
+        spark.createDataFrame([(3, "c", 30.0)],
+                              "id bigint, s string, score double"),
+        table)
+
+    latest = acid.read(spark, table)
+    assert set(latest.columns) == {"id", "s", "score"}
+    got = {r["id"]: r["score"] for r in latest.collect()}
+    assert got == {1: None, 2: None, 3: 30.0}
+
+    old = acid.read(spark, table, version=v1)
+    assert set(old.columns) == {"id", "s"}
+    assert old.count() == 2
+
+
 def test_full_redelivery_all_epochs_skipped(spark, tmp_path):
     """Deterministic worst-case replay: run the whole stream, then run
     it AGAIN with a fresh checkpoint but the same stream_id — every
