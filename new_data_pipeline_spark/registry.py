@@ -38,10 +38,10 @@ QUERIES: dict[str, QuerySpec] = {}
 # - slots 1-2: agg_approx_distinct / agg_percentile_approx — the ONLY
 #   2 of the 147 round-3-era queries without a green driver entry (graded `no_oracle`
 #   in r1, gained bounded-error oracles in r3, never re-exposed);
-# - slots 3-8: the queries ADDED in round 4 (BPE tokenizer,
+# - slots 3-9: the queries ADDED in round 4 (BPE tokenizer,
 #   boilerplate strip, streaming→ACID exactly-once twin, PQ ANN,
-#   ACID change-data-feed, model quality filter);
-# - slots 9-50: regeneration-sensitive greens, per the r3 guidance —
+#   ACID change-data-feed, model quality filter, source policy);
+# - slots 10-50: regeneration-sensitive greens, per the r3 guidance —
 #   timestamp-heavy (streaming family, gapfill/SCD2, event analytics,
 #   temporal joins, incremental stores), array/struct-emitting oracles,
 #   the heavy dedup/curation pipelines, and the bounded-error
@@ -52,7 +52,7 @@ QUERIES: dict[str, QuerySpec] = {}
 #   the driver's 50);
 # - no rows-only queries exist: approximates carry bounded-error
 #   oracles (exact values + in-bound flags the oracle replays as
-#   literal TRUE) — all 150 queries hash-gate.
+#   literal TRUE) — all 151 queries hash-gate.
 #
 # Round-5 guidance: after round 4 every registered query has a green
 # driver entry. Lead the next window with (a) queries ADDED in round 5
@@ -64,13 +64,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 2 queries with no green driver entry (VERDICT r3 §missing #1)
     "agg_approx_distinct",
     "agg_percentile_approx",
-    # ---- 6 queries NEW in round 4 — graded on first exposure
+    # ---- 7 queries NEW in round 4 — graded on first exposure
     "text_bpe_token_counts",
     "text_boilerplate_strip",
     "stream_acid_ingest",
     "sim_pq_topk",
     "acid_change_data_feed",
     "text_model_quality_filter",
+    "corpus_source_policy",
     # ---- timestamp-heavy greens (testdata regen moved every ts value;
     # physical parquet ts types have drifted between rounds before)
     "timeseries_gapfill",
@@ -87,7 +88,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "retention_cohorts",
     "anomaly_event_rate",
     "active_users_rolling",
-    "cumulative_unique_users",
     "event_path_trigrams",
     "incremental_monthly_revenue",
     "incremental_monthly_distinct",
