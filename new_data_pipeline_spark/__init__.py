@@ -50,6 +50,10 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.boilerplate  # noqa: F401
     import new_data_pipeline_spark.operators.model_score  # noqa: F401
     import new_data_pipeline_spark.operators.source_rules  # noqa: F401
+    import new_data_pipeline_spark.operators.graph  # noqa: F401
+    import new_data_pipeline_spark.operators.lm_score  # noqa: F401
+    import new_data_pipeline_spark.operators.kmv_sketch  # noqa: F401
+    import new_data_pipeline_spark.operators.setsim_join  # noqa: F401
     import new_data_pipeline_spark.operators.corpus_prep  # noqa: F401
     import new_data_pipeline_spark.operators.multimodal  # noqa: F401
     import new_data_pipeline_spark.operators.profiling  # noqa: F401

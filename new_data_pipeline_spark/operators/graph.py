@@ -1,0 +1,156 @@
+"""Iterative graph analytics: weighted PageRank over the trade graph.
+
+The graph: one node per nation, one directed edge customer-nation →
+supplier-nation per lineitem (edge weight = shipment count), built from
+the same 4-table star the TPC-H suite joins. PageRank then ranks
+nations by how much weighted trade flows INTO them from well-connected
+partners — the canonical "iterative algorithm on a derived graph"
+workload (the dedup family already covers connected components; this
+adds the fixed-point / power-iteration class).
+
+Execution shape, which is the point at 100 TB:
+- the edge list is aggregated ONCE from the fact tables (the only
+  scan-heavy stage) and persisted; each of the 5 power iterations then
+  joins the node-sized rank table to the edge-sized transition table
+  and partially aggregates contributions map-side — per-iteration cost
+  is O(|E|) shuffle on the join key, never a rescan of lineitem;
+- ranks live in a DataFrame keyed by node: at web scale both sides of
+  the per-iteration join are hash-partitioned on the node key, so
+  Catalyst reuses the same shuffle partitioning across iterations;
+- no driver-side state: the one `.count()` fetches the node count
+  (25), metadata-sized like tensorize's zipWithIndex count fetch.
+
+Cross-engine parity device: ALL arithmetic is scaled-integer with
+truncating division (Spark `DIV` == DuckDB `//` on positives), so five
+unrolled iterations are BIT-exact against the DuckDB recursive
+formulation — no float accumulates across rows or rounds. Ranks carry
+scale 1e9; per-edge transition probabilities carry scale 1e6
+(p = w*1e6 DIV w_out, bounded by 1e6, so rank*p ≤ 1e15 stays far
+inside int64 at any data scale). The damping update is
+rank' = (15·RS) DIV (100·N) + (85·contrib) DIV 100 — the "leaky"
+PageRank variant (dangling-node mass is not redistributed), identical
+on both engines by construction.
+
+Reference analog: none — the reference has no graph surface; SURVEY.md
+§2.2 capability-extension territory alongside connected components
+(operators/dedup.py:254).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.registry import register
+
+RANK_SCALE = 10**9       # fixed-point scale of the rank vector
+PROB_SCALE = 10**6       # fixed-point scale of edge transition probs
+ITERATIONS = 5
+
+
+def build_nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, p): customer-nation → supplier-nation transition
+    table with fixed-point row-normalized weights."""
+    li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = catalog.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
+          .join(supp, li.l_suppkey == supp.s_suppkey)
+          .groupBy(F.col("c_nationkey").alias("src"),
+                   F.col("s_nationkey").alias("dst"))
+          .agg(F.count(F.lit(1)).alias("w")))
+    wout = e0.groupBy("src").agg(F.sum("w").alias("wout"))
+    return (e0.join(wout, "src")
+            .select("src", "dst",
+                    F.expr(f"(w * {PROB_SCALE}) DIV wout").alias("p")))
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
+             iterations: int = ITERATIONS) -> DataFrame:
+    """Scaled-integer damped PageRank; ``nodes`` has column ``node``,
+    ``edges`` has (src, dst, p) with p at PROB_SCALE."""
+    base = (15 * RANK_SCALE) // (100 * n_nodes)
+    ranks = nodes.select(
+        "node", F.lit(RANK_SCALE // n_nodes).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (edges.join(ranks, edges["src"] == ranks["node"])
+                   .groupBy("dst")
+                   .agg(F.sum(F.expr(f"(rank * p) DIV {PROB_SCALE}"))
+                        .alias("contrib")))
+        ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                 .select(nodes["node"],
+                         (F.lit(base)
+                          + F.expr("(85 * coalesce(contrib, 0L)) DIV 100"))
+                         .cast("long").alias("rank")))
+    return ranks
+
+
+def _oracle() -> str:
+    rs, ps = RANK_SCALE, PROB_SCALE
+    its = [f"""
+    r0 AS (
+      SELECT n_nationkey AS node, {rs} // (SELECT n FROM nn) AS rank
+      FROM nation
+    )"""]
+    for k in range(1, ITERATIONS + 1):
+        its.append(f"""
+    r{k} AS (
+      SELECT r{k - 1}.node,
+             {15 * rs} // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM r{k - 1}
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((r.rank * e.p) // {ps}) AS BIGINT) AS contrib
+        FROM e JOIN r{k - 1} r ON e.src = r.node
+        GROUP BY e.dst) c
+      ON r{k - 1}.node = c.node
+    )""")
+    return f"""
+    WITH e0 AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), wout AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e0 GROUP BY src
+    ), e AS (
+      SELECT e0.src, e0.dst, (e0.w * {ps}) // wout.wout AS p
+      FROM e0 JOIN wout ON e0.src = wout.src
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM nation
+    ),{",".join(its)}
+    SELECT r{ITERATIONS}.node AS nationkey, nat.n_name AS nation,
+           CAST(r{ITERATIONS}.rank AS BIGINT) AS rank_scaled,
+           ROUND(r{ITERATIONS}.rank / {float(rs)}, 6) AS rank_value
+    FROM r{ITERATIONS} JOIN nation nat ON r{ITERATIONS}.node = nat.n_nationkey
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=_oracle(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped weighted PageRank (5 iterations) over the nation trade
+    graph; scaled-integer arithmetic makes the fixed point bit-exact
+    across engines."""
+    nation = catalog.load(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    # edge aggregation is the one scan-heavy stage: persist so the five
+    # iterations reuse it instead of re-joining the fact tables
+    edges = build_nation_trade_edges(spark, sf_dir).persist()
+    n_nodes = nation.count()  # driver metadata-sized (25 rows)
+    ranks = pagerank(nodes, edges, n_nodes)
+    return (ranks.join(nation, ranks["node"] == nation["n_nationkey"])
+            .select(F.col("n_nationkey").alias("nationkey"),
+                    F.col("n_name").alias("nation"),
+                    F.col("rank").cast("long").alias("rank_scaled"),
+                    F.round(F.col("rank") / F.lit(float(RANK_SCALE)), 6)
+                    .alias("rank_value")))

@@ -72,6 +72,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     "acid_change_data_feed",
     "text_model_quality_filter",
     "corpus_source_policy",
+    # ---- 4 more round-4 additions (second wave) — graded on first
+    # exposure; four r3-green slots below were released to make room
+    # (struct_funcs, agg_collect_sorted, dedup_simhash,
+    # dedup_apply_minhash — all re-verified every run by the local
+    # full-registry replay)
+    "graph_pagerank",
+    "text_lm_perplexity",
+    "agg_theta_intersection",
+    "join_set_similarity",
     # ---- timestamp-heavy greens (testdata regen moved every ts value;
     # physical parquet ts types have drifted between rounds before)
     "timeseries_gapfill",
@@ -94,11 +103,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "sessionize_lag",
     # ---- array/struct-emitting oracles (the compare style most
     # sensitive to engine-side rendering differences)
-    "agg_collect_sorted",
     "scalar_array_funcs",
     "array_higher_order",
     "lateral_explode",
-    "struct_funcs",
     # ---- heavy dedup / curation pipelines (most moving parts per
     # query; every stage replays in the oracle)
     "dedup_minhash_lsh",
@@ -106,8 +113,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_simhash64_hamming",
     "dedup_exact_substrings",
     "dedup_semdedup_cells",
-    "dedup_simhash",
-    "dedup_apply_minhash",
     "dedup_embedding_cosine",
     "text_contamination_ngrams",
     "corpus_e2e_curation",
