@@ -204,3 +204,41 @@ def test_pq_broadcasts_codebooks(spark):
     assert "BroadcastHashJoin" in p, "codebook join must broadcast"
     assert "partial_min_by" in p or "partial_" in p, \
         "code assignment must combine map-side"
+
+
+def test_pagerank_partial_aggregates_and_caches_edges(spark):
+    """Each power iteration must combine contributions map-side
+    (partial_sum before the shuffle on dst) and reuse the persisted
+    edge table instead of re-joining the 4-table star per round."""
+    p = plan_text(spark, "graph_pagerank")
+    assert "partial_sum" in p, "contribution aggregate must combine map-side"
+    assert "InMemoryTableScan" in p, \
+        "edge table must be persisted across iterations"
+
+
+def test_lm_perplexity_stays_jvm_side(spark):
+    """LM training and scoring are joins + aggregates over built-in
+    expressions: no Python evaluation path anywhere in the plan."""
+    p = plan_text(spark, "text_lm_perplexity")
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p \
+        and "BatchEvalPython" not in p, "LM scorer must stay JVM-side"
+    assert "partial_count" in p or "partial_sum" in p, \
+        "count training must combine map-side"
+
+
+def test_theta_sketch_reuses_persisted_sketches(spark):
+    """Both pair-scoring branches (theta summary and common-hash count)
+    must read the k-row-per-segment persisted sketch, not rebuild it
+    from the events scan."""
+    p = plan_text(spark, "agg_theta_intersection")
+    assert "InMemoryTableScan" in p, "KMV sketches must be persisted"
+    assert "CartesianProduct" not in p
+
+
+def test_setsim_prefix_join_no_cartesian_and_caches_shingles(spark):
+    """Candidate generation must be an equi-join on prefix shingles
+    (never a cartesian pass) and the shingle subtree must be computed
+    once for frequency counts, prefixes, and both verification sides."""
+    p = plan_text(spark, "join_set_similarity")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p, "shingle sets must be persisted"
