@@ -432,6 +432,71 @@ def _gen_setop(seed: int, rng: random.Random) -> SqlPairCase:
                        _build=build)
 
 
+def _gen_outerjoin(seed: int, rng: random.Random) -> SqlPairCase:
+    """Outer/semi/anti join case — the null-semantics divergence zone
+    the inner-join Case shape never reaches: LEFT/FULL padding rows
+    feeding null-skipping aggregates, and EXISTS/NOT EXISTS rendered as
+    Spark left_semi/left_anti.
+
+    Parity notes: predicates stay on the LEFT table (they commute with
+    LEFT/semi/anti joins, and FULL joins get no predicate at all —
+    a WHERE on a full join would drop right-only padding rows, which
+    the pre-join Spark filter would not); group dims come only from
+    tables whose columns survive the join kind."""
+    kind = rng.choice(["left", "full", "semi", "anti"])
+    edge = rng.choice(EDGES)
+    if rng.random() < 0.5:
+        lt, lc, rt, rc = edge[2], edge[3], edge[0], edge[1]   # dim side left
+    else:
+        lt, lc, rt, rc = edge
+    spark_types = {"l_shipdate": "timestamp_ntz",
+                   "o_orderdate": "timestamp_ntz",
+                   "ts": "timestamp"}
+    pred = None
+    if kind != "full" and rng.random() < 0.5:
+        pred = _one_predicate(rng, [lt], spark_types)
+    allowed = [lt] if kind in ("semi", "anti") else [lt, rt]
+    dims_pool = [c for t in allowed for c in GROUP_COLS.get(t, [])]
+    n_dims = rng.randint(0, min(2, len(dims_pool)))
+    group_cols = rng.sample(dims_pool, k=n_dims) if n_dims else []
+    agg_sql, agg_spark = _aggregates(rng, allowed)
+
+    sel = [f"{c} AS g{i}" for i, c in enumerate(group_cols)] + agg_sql
+    where = []
+    if pred is not None:
+        where.append(f"({pred.sql})")
+    if kind in ("left", "full"):
+        frm = (f"{lt} {'LEFT' if kind == 'left' else 'FULL'} JOIN {rt} "
+               f"ON {lt}.{lc} = {rt}.{rc}")
+    else:
+        frm = lt
+        op = "EXISTS" if kind == "semi" else "NOT EXISTS"
+        where.append(f"{op} (SELECT 1 FROM {rt} "
+                     f"WHERE {lt}.{lc} = {rt}.{rc})")
+    sql = f"SELECT {', '.join(sel)} FROM {frm}"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if group_cols:
+        sql += " GROUP BY " + ", ".join(
+            f"g{i}" for i in range(len(group_cols)))
+
+    how = {"left": "left", "full": "full",
+           "semi": "left_semi", "anti": "left_anti"}[kind]
+
+    def build(spark, sf_dir):
+        left = catalog.load(spark, sf_dir, lt)
+        right = catalog.load(spark, sf_dir, rt)
+        if pred is not None:
+            left = left.filter(pred.spark())
+        df = left.join(right, F.col(lc) == F.col(rc), how)
+        dims = [F.col(c).alias(f"g{i}") for i, c in enumerate(group_cols)]
+        aggs = [a() for a in agg_spark]
+        return df.groupBy(*dims).agg(*aggs) if dims else df.agg(*aggs)
+
+    return SqlPairCase(seed=seed, kind=f"outerjoin:{kind}", _sql=sql,
+                       _build=build)
+
+
 def _gen_toplimit(seed: int, rng: random.Random) -> SqlPairCase:
     """Global ORDER BY ... LIMIT under a total ordering: the selected
     SET is deterministic (the comparator is order-insensitive)."""
@@ -458,18 +523,20 @@ def _gen_toplimit(seed: int, rng: random.Random) -> SqlPairCase:
 
 
 def generate(seed: int):
-    """Deterministic spec from a seed. Shape mix: ~60% filter/join/agg
-    compositions (Case), ~20% window functions, ~10% set operations,
-    ~10% global top-N — every shape rendered twice (DataFrame + SQL)
-    and compared exactly."""
+    """Deterministic spec from a seed. Shape mix: ~48% filter/join/agg
+    compositions (Case), ~18% window functions, ~9% set operations,
+    ~9% global top-N, ~16% outer/semi/anti joins — every shape rendered
+    twice (DataFrame + SQL) and compared exactly."""
     rng = random.Random(seed)
     shape = rng.random()
-    if shape < 0.20:
+    if shape < 0.18:
         return _gen_window(seed, rng)
-    if shape < 0.30:
+    if shape < 0.27:
         return _gen_setop(seed, rng)
-    if shape < 0.40:
+    if shape < 0.36:
         return _gen_toplimit(seed, rng)
+    if shape < 0.52:
+        return _gen_outerjoin(seed, rng)
     return _generate_agg(seed, rng)
 
 
