@@ -55,11 +55,17 @@ QUERIES: dict[str, QuerySpec] = {}
 #   literal TRUE) — all 151 queries hash-gate.
 #
 # Round-5 guidance: after round 4 every registered query has a green
-# driver entry. Lead the next window with (a) queries ADDED in round 5
-# and (b) rotation: the r1/r2-graded relational/TPC-H/window/setop
-# block has gone longest without driver re-exposure — backfill from
-# there (decimal-heavy TPC-H queries first), then the perennial
-# regeneration-sensitive set (streaming, array-emitting, heavy dedup).
+# driver entry (the r4 window graded the never-green approx pair plus
+# all ELEVEN queries added in round 4 — first wave bpe/boilerplate/
+# acid-stream/pq/cdf/model-filter/source-policy, second wave
+# pagerank/lm-perplexity/theta-sketch/setsim-join). Lead the next
+# window with (a) queries ADDED in round 5 and (b) rotation: the
+# r1/r2-graded relational/TPC-H/window/setop block has gone longest
+# without driver re-exposure — backfill from there (decimal-heavy
+# TPC-H queries first), then the perennial regeneration-sensitive set
+# (streaming, array-emitting, heavy dedup), and re-seat the four
+# r3-green slots released this round (struct_funcs, agg_collect_sorted,
+# dedup_simhash, dedup_apply_minhash).
 GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 2 queries with no green driver entry (VERDICT r3 §missing #1)
     "agg_approx_distinct",
@@ -81,6 +87,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_lm_perplexity",
     "agg_theta_intersection",
     "join_set_similarity",
+    "join_set_similarity_prefix",
     # ---- timestamp-heavy greens (testdata regen moved every ts value;
     # physical parquet ts types have drifted between rounds before)
     "timeseries_gapfill",
@@ -113,7 +120,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_simhash64_hamming",
     "dedup_exact_substrings",
     "dedup_semdedup_cells",
-    "dedup_embedding_cosine",
     "text_contamination_ngrams",
     "corpus_e2e_curation",
     "curriculum_rank_global",

@@ -242,3 +242,11 @@ def test_setsim_prefix_join_no_cartesian_and_caches_shingles(spark):
     p = plan_text(spark, "join_set_similarity")
     assert "CartesianProduct" not in p
     assert "InMemoryTableScan" in p, "shingle sets must be persisted"
+
+
+def test_setsim_prefix_variant_no_cartesian(spark):
+    """The prefix strategy must also candidate-generate via equi-join
+    (rare-first prefixes), never a cartesian pass."""
+    p = plan_text(spark, "join_set_similarity_prefix")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p, "shingle sets must be persisted"
