@@ -146,7 +146,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge aggregation is the one scan-heavy stage: persist so the five
     # iterations reuse it instead of re-joining the fact tables
     edges = build_nation_trade_edges(spark, sf_dir).persist()
-    n_nodes = nation.count()  # driver metadata-sized (25 rows)
+    # driver metadata-sized (25 rows); `or 1` guards the degenerate
+    # empty-catalog case — with zero nodes every frame is empty anyway,
+    # the literal only keeps the integer formulas defined
+    n_nodes = nation.count() or 1
     ranks = pagerank(nodes, edges, n_nodes)
     return (ranks.join(nation, ranks["node"] == nation["n_nationkey"])
             .select(F.col("n_nationkey").alias("nationkey"),
