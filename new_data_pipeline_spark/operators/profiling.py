@@ -402,3 +402,76 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "path")
             .limit(20))
+
+
+@register(
+    "profile_source_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), csw AS (
+      SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY 1, 2
+    ), cw AS (
+      SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY w
+    ), ns AS (
+      SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+             COUNT(*) AS n_distinct
+      FROM csw GROUP BY source
+    ), nn AS (
+      SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw
+    ), terms AS (
+      SELECT csw.source,
+             CAST(ROUND((CAST(csw.c_sw AS DOUBLE) / ns.n_s)
+                        * ROUND(ln(CAST(csw.c_sw * (SELECT n FROM nn)
+                                        AS DOUBLE)
+                                   / (ns.n_s * cw.c_w)), 6),
+                        9) AS DECIMAL(18,9)) AS term
+      FROM csw
+      JOIN cw ON csw.w = cw.w
+      JOIN ns ON csw.source = ns.source
+    )
+    SELECT ns.source, ns.n_s AS n_tokens, ns.n_distinct,
+           ROUND(CAST(t.kl AS DOUBLE), 6) AS kl_divergence
+    FROM ns
+    JOIN (SELECT source, SUM(term) AS kl FROM terms GROUP BY source) t
+      ON ns.source = t.source
+    """,
+    tags=("profiling", "drift", "kl"),
+)
+def profile_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(P_source || P_corpus) —
+    the domain-shift screen a curation run uses to spot a source whose
+    language stopped looking like the rest of the corpus (CCNet runs
+    the same comparison against a reference LM).
+
+    KL(P||Q) = Σ_w p·ln(p/q) with p = c_sw/N_s, q = c_w/N; every token
+    of a source exists in the corpus, so q > 0 and the sum is finite.
+
+    Scale: three map-combinable aggregates (token counts per source,
+    per corpus, totals) joined on the vocabulary-sized key — document
+    text never crosses a shuffle twice; the corpus total enters as a
+    1-row aggregate.
+
+    Parity devices: ln is 6-dp-rounded FIRST (identical doubles on
+    both engines), the p·ln product of identical doubles is IEEE-
+    deterministic, each term is 9-dp-rounded into DECIMAL(18,9) so the
+    per-source sum is an exact monoid, and the final KL is 6-dp.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    csw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    cw = csw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ns = csw.groupBy("source").agg(F.sum("c_sw").alias("n_s"),
+                                   F.count(F.lit(1)).alias("n_distinct"))
+    nn = cw.agg(F.sum("c_w").alias("n"))
+    lnr = F.round(F.log((F.col("c_sw") * F.col("n")).cast("double")
+                        / (F.col("n_s") * F.col("c_w"))), 6)
+    term = F.round((F.col("c_sw").cast("double") / F.col("n_s")) * lnr, 9) \
+        .cast("decimal(18,9)")
+    terms = (csw.join(cw, "w").join(ns, "source").crossJoin(nn)
+             .select("source", term.alias("term")))
+    kl = terms.groupBy("source").agg(F.sum("term").alias("kl"))
+    return (ns.join(kl, "source")
+            .select("source", F.col("n_s").alias("n_tokens"), "n_distinct",
+                    F.round(F.col("kl").cast("double"), 6)
+                    .alias("kl_divergence")))

@@ -78,16 +78,19 @@ GATE_PRIORITY: tuple[str, ...] = (
     "acid_change_data_feed",
     "text_model_quality_filter",
     "corpus_source_policy",
-    # ---- 4 more round-4 additions (second wave) — graded on first
-    # exposure; four r3-green slots below were released to make room
-    # (struct_funcs, agg_collect_sorted, dedup_simhash,
-    # dedup_apply_minhash — all re-verified every run by the local
+    # ---- 6 more round-4 additions (second + third wave) — graded on
+    # first exposure; seven r3-green slots below were released to make
+    # room (struct_funcs, agg_collect_sorted, dedup_simhash,
+    # dedup_apply_minhash, dedup_embedding_cosine, sessionize_lag,
+    # event_path_trigrams — all re-verified every run by the local
     # full-registry replay)
     "graph_pagerank",
     "text_lm_perplexity",
     "agg_theta_intersection",
     "join_set_similarity",
     "join_set_similarity_prefix",
+    "stream_interval_join_outer",
+    "profile_source_drift",
     # ---- timestamp-heavy greens (testdata regen moved every ts value;
     # physical parquet ts types have drifted between rounds before)
     "timeseries_gapfill",
@@ -104,10 +107,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "retention_cohorts",
     "anomaly_event_rate",
     "active_users_rolling",
-    "event_path_trigrams",
     "incremental_monthly_revenue",
     "incremental_monthly_distinct",
-    "sessionize_lag",
     # ---- array/struct-emitting oracles (the compare style most
     # sensitive to engine-side rendering differences)
     "scalar_array_funcs",

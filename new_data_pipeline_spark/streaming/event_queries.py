@@ -139,6 +139,44 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS left_id,
+           COALESCE(r.event_id, -1) AS right_id,
+           l.ts AS left_ts,
+           COALESCE(r.ts, TIMESTAMP '1970-01-01') AS right_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts - INTERVAL 30 MINUTES
+     AND r.ts <= l.ts
+    """,
+    tags=("streaming", "join", "interval", "outer"),
+)
+def stream_interval_join_outer(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """LEFT OUTER purchase attribution: purchases with NO click in the
+    preceding 30 minutes survive as sentinel-padded rows (right_id -1,
+    epoch right_ts — sentinels instead of NULLs so no output column is
+    nullable-int, the cross-engine hashing trap). In streaming the
+    unmatched rows emit only once the watermark proves no click can
+    still arrive — pinned in tests/test_streaming.py with a watermark
+    flush; identical plan here in batch."""
+    events = catalog.load(spark, sf_dir, "events")
+    joined = ev.interval_join(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "click"),
+        how="left")
+    return joined.select(
+        "user_id", "left_id",
+        F.coalesce("right_id", F.lit(-1).cast("bigint")).alias("right_id"),
+        "left_ts",
+        F.coalesce("right_ts", F.lit("1970-01-01").cast("timestamp"))
+        .alias("right_ts"))
+
+
+@register(
     "stream_running_totals",
     oracle="""
     SELECT user_id,

@@ -144,7 +144,8 @@ def dedup_keep_first(events: DataFrame, keys: list[str],
 
 def interval_join(left: DataFrame, right: DataFrame,
                   gap: str = "30 minutes",
-                  watermark: str | None = None) -> DataFrame:
+                  watermark: str | None = None,
+                  how: str = "inner") -> DataFrame:
     """Stream-stream interval join: each left event pairs with right
     events of the same user whose ts falls in (left.ts - gap, left.ts].
 
@@ -153,6 +154,13 @@ def interval_join(left: DataFrame, right: DataFrame,
     with a watermark on each side, buffered rows older than
     watermark + gap are dropped — bounded state on unbounded streams.
     In batch mode the same plan is a plain range-condition equi-join.
+
+    ``how="left"`` gives the OUTER variant: left events with no match
+    emit null-padded rows — in streaming, only once the watermark
+    proves no match can still arrive (so outer results trail the
+    watermark by one micro-batch; Spark requires watermarks on both
+    sides plus the event-time range condition, which this builder
+    always supplies).
 
     Scale: equi-join on user_id (the range condition rides along as a
     post-join filter on the same shuffle); state per key is bounded by
@@ -166,7 +174,7 @@ def interval_join(left: DataFrame, right: DataFrame,
     cond = ((F.col("l.user_id") == F.col("r.user_id"))
             & (F.col("r.ts") > F.col("l.ts") - F.expr(f"INTERVAL {gap}"))
             & (F.col("r.ts") <= F.col("l.ts")))
-    return (l.join(r, cond)
+    return (l.join(r, cond, how)
             .select(F.col("l.user_id").alias("user_id"),
                     F.col("l.event_id").alias("left_id"),
                     F.col("r.event_id").alias("right_id"),

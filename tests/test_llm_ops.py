@@ -307,3 +307,37 @@ def test_heavy_hitters_adversarial_hot_token(spark, tmp_path):
     out = {r["w"]: r["cnt"] for r in
            engine.QUERIES["text_heavy_hitters"].fn(spark, str(d)).collect()}
     assert out == {"needle": 2000}  # 2000/22000 ≈ 9% share; noise all < 0.5%
+
+
+def test_source_drift_kl_properties(spark, tmp_path):
+    """The registered KL-drift query on a hand corpus: a source
+    matching the corpus distribution scores near zero, a skewed source
+    scores higher, and both values equal a plain-Python replay of the
+    same rounding ladder."""
+    import math
+
+    from new_data_pipeline_spark.operators.profiling import (
+        profile_source_drift)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "even"), (2, "a b a b", "even"),
+         (3, "a a a a", "skew")],
+        "doc_id bigint, text string, source string")
+    sf_dir = str(tmp_path / "sf_drift")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["source"]: (r["n_tokens"], r["n_distinct"],
+                         r["kl_divergence"])
+           for r in profile_source_drift(spark, sf_dir).collect()}
+
+    # corpus: a=8 b=4 N=12; even: a=4 b=4 Ns=8; skew: a=4 Ns=4
+    def kl(counts, ns, corpus, n):
+        total = 0.0
+        for w, c in counts.items():
+            lnr = round(math.log((c * n) / (ns * corpus[w])), 6)
+            total += round((c / ns) * lnr, 9)
+        return round(total, 6)
+
+    corpus = {"a": 8, "b": 4}
+    assert got["even"] == (8, 2, kl({"a": 4, "b": 4}, 8, corpus, 12))
+    assert got["skew"] == (4, 1, kl({"a": 4}, 4, corpus, 12))
+    assert got["skew"][2] > got["even"][2] >= 0.0

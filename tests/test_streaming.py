@@ -236,3 +236,45 @@ def test_stateful_agg_on_rocksdb_state_store(spark, stream_source, tmp_path):
     want = {(r["window_start"], r["event_type"]): r["n_events"]
             for r in ev.tumbling_counts(batch).collect()}
     assert got == want and want
+
+
+def test_streaming_interval_join_outer_matches_batch(spark, stream_source,
+                                                     tmp_path):
+    """LEFT OUTER stream-stream join: unmatched purchases must emit
+    null-padded rows once the watermark proves no click can arrive.
+    Outer emission trails the watermark, so the source gets a far-future
+    flush pair (one row per side's filter — watermarks advance only on
+    rows that reach the watermark operator) that is excluded from the
+    comparison."""
+    _, schema, batch = stream_source
+    src = tmp_path / "outer_src"
+    batch.write.mode("overwrite").parquet(str(src))
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+    flush_ts = max_ts + dt.timedelta(hours=6)
+    flush = spark.createDataFrame(
+        [(-1, flush_ts, 999991, "purchase", 0.0, "{}"),
+         (-2, flush_ts, 999992, "click", 0.0, "{}")], schema)
+    flush.write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    joined = ev.interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+        watermark="1 hour", how="left")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("ijo_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["left_id"], r["right_id"])
+           for r in spark.sql("SELECT * FROM ijo_out").collect()
+           if r["left_id"] != -1}
+    want = {(r["left_id"], r["right_id"] if r["right_id"] is not None
+             else None)
+            for r in ev.interval_join(
+                batch.filter(F.col("event_type") == "purchase"),
+                batch.filter(F.col("event_type") == "click"),
+                how="left").collect()}
+    assert any(rid is None for _, rid in want), \
+        "fixture must contain unmatched purchases"
+    assert got == want
