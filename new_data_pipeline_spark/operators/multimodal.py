@@ -342,3 +342,131 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = catalog.load(spark, sf_dir, "documents")
     return decode_images(synthesize_image_column(docs))
+
+
+# ---------------------------------------------------------------------------
+# Image TRANSFORM stage: thumbnail via nearest-neighbor resample over
+# REAL decoded pixels. Decode gets an image in; a training pipeline
+# then standardizes geometry (CLIP-style preprocessing resizes every
+# image to a fixed grid). The gate synthesizes REAL PNGs whose pixel
+# function is closed-form, round-trips them through encode_png →
+# decode_png → resample, and the oracle replays the sampled-pixel
+# arithmetic symbolically — so codec, Arrow plumbing, AND sampling
+# geometry are all under the hash gate.
+
+THUMB_GRID = 8
+PNG_PIX_SCHEMA = "doc_id bigint, payload binary"
+THUMB_SCHEMA = ("doc_id bigint, height int, width int, "
+                "thumb_mean double, p00 int, p77 int")
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return (doc_id % 4) * 8 + 16, (doc_id % 3) * 8 + 16
+
+
+def _pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    return (doc_id * 7 + x * 3 + y * 5 + c * 11) % 256
+
+
+def synthesize_png_column(docs: DataFrame) -> DataFrame:
+    """One REAL RGB PNG per doc (pure-Python encoder), dimensions and
+    pixels a closed-form function of doc_id so SQL can replay any
+    sampled pixel."""
+    from new_data_pipeline_spark.functions.png_codec import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = _png_dims(d)
+                pix = bytes(_pixel(d, x, y, c)
+                            for y in range(h)
+                            for x in range(w)
+                            for c in range(3))
+                payloads.append(encode_png(pix, h, w, 3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches,
+                                             schema=PNG_PIX_SCHEMA)
+
+
+def thumbnail_images(df: DataFrame, grid: int = THUMB_GRID,
+                     payload_col: str = "payload") -> DataFrame:
+    """Nearest-neighbor grid×grid thumbnail over real decoded pixels:
+    out(i, j, c) = in(y = i·h DIV grid, x = j·w DIV grid, c). Emits the
+    thumbnail's integer pixel sum as an exact mean plus two witness
+    pixels (first and last sample) so a transposed or off-by-one
+    sampling geometry cannot hide inside an aggregate."""
+    from new_data_pipeline_spark.functions.png_codec import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            heights, widths, means, p00s, p77s = [], [], [], [], []
+            for b in pdf[payload_col]:
+                h, w, c, pix = decode_png(bytes(b))
+                row = w * c
+                total = 0
+                for i in range(grid):
+                    y = (i * h) // grid
+                    for j in range(grid):
+                        x = (j * w) // grid
+                        base = y * row + x * c
+                        total += (pix[base] + pix[base + 1]
+                                  + pix[base + 2])
+                y7, x7 = ((grid - 1) * h) // grid, ((grid - 1) * w) // grid
+                heights.append(h)
+                widths.append(w)
+                means.append(total / (grid * grid * 3))
+                p00s.append(pix[0])
+                p77s.append(pix[y7 * row + x7 * c + 2])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "height": heights,
+                "width": widths, "thumb_mean": means,
+                "p00": p00s, "p77": p77s,
+            })
+
+    return df.mapInPandas(batches, schema=THUMB_SCHEMA)
+
+
+_H = "((doc_id % 4) * 8 + 16)"
+_W = "((doc_id % 3) * 8 + 16)"
+
+
+def _px(x: str, y: str, c: int) -> str:
+    return f"(doc_id * 7 + ({x}) * 3 + ({y}) * 5 + {c * 11}) % 256"
+
+
+@register(
+    "multimodal_thumbnail_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_H} AS INTEGER) AS height,
+           CAST({_W} AS INTEGER) AS width,
+           CAST(list_sum([list_sum([
+                   ({_px(f'(j * {_W}) // {THUMB_GRID}',
+                         f'(i * {_H}) // {THUMB_GRID}', 0)})
+                 + ({_px(f'(j * {_W}) // {THUMB_GRID}',
+                         f'(i * {_H}) // {THUMB_GRID}', 1)})
+                 + ({_px(f'(j * {_W}) // {THUMB_GRID}',
+                         f'(i * {_H}) // {THUMB_GRID}', 2)})
+               for j in range(0, {THUMB_GRID})])
+             for i in range(0, {THUMB_GRID})]) AS DOUBLE)
+             / {THUMB_GRID * THUMB_GRID * 3} AS thumb_mean,
+           CAST((doc_id * 7) % 256 AS INTEGER) AS p00,
+           CAST({_px(f'({THUMB_GRID - 1} * {_W}) // {THUMB_GRID}',
+                     f'({THUMB_GRID - 1} * {_H}) // {THUMB_GRID}', 2)}
+                AS INTEGER) AS p77
+    FROM documents
+    """,
+    tags=("multimodal", "transform", "resize", "arrow"),
+)
+def multimodal_thumbnail_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Real-pixel image transform under the VALUE gate: synthesize real
+    PNGs, round-trip them through the pure-Python codec, resample to an
+    8×8 thumbnail, and emit exact per-image statistics the oracle
+    replays symbolically."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return thumbnail_images(synthesize_png_column(docs))

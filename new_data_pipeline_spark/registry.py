@@ -91,6 +91,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_set_similarity_prefix",
     "stream_interval_join_outer",
     "profile_source_drift",
+    "multimodal_thumbnail_stats",
     # ---- timestamp-heavy greens (testdata regen moved every ts value;
     # physical parquet ts types have drifted between rounds before)
     "timeseries_gapfill",
@@ -104,7 +105,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_static_dim_join",
     "join_asof_event_streams",
     "join_temporal_pointintime",
-    "retention_cohorts",
     "anomaly_event_rate",
     "active_users_rolling",
     "incremental_monthly_revenue",

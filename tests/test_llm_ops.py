@@ -341,3 +341,46 @@ def test_source_drift_kl_properties(spark, tmp_path):
     assert got["even"] == (8, 2, kl({"a": 4, "b": 4}, 8, corpus, 12))
     assert got["skew"] == (4, 1, kl({"a": 4}, 4, corpus, 12))
     assert got["skew"][2] > got["even"][2] >= 0.0
+
+
+def test_thumbnail_sampling_geometry(spark):
+    """The nearest-neighbor resample must read in(i·h DIV 8, j·w DIV 8)
+    — pinned on synthesized real PNGs by recomputing the expected
+    thumbnail from the closed-form pixel function in plain Python
+    (witness pixels catch transposed or off-by-one geometry)."""
+    from new_data_pipeline_spark.operators.multimodal import (
+        THUMB_GRID, _pixel, _png_dims, synthesize_png_column,
+        thumbnail_images)
+
+    docs = spark.createDataFrame([(i,) for i in range(12)],
+                                 "doc_id bigint")
+    got = {r["doc_id"]: r for r in
+           thumbnail_images(synthesize_png_column(docs)).collect()}
+    for d in range(12):
+        h, w = _png_dims(d)
+        total = sum(_pixel(d, (j * w) // THUMB_GRID,
+                           (i * h) // THUMB_GRID, c)
+                    for i in range(THUMB_GRID)
+                    for j in range(THUMB_GRID) for c in range(3))
+        r = got[d]
+        assert (r["height"], r["width"]) == (h, w)
+        assert r["thumb_mean"] == total / (THUMB_GRID * THUMB_GRID * 3)
+        assert r["p00"] == _pixel(d, 0, 0, 0)
+        assert r["p77"] == _pixel(d, (7 * w) // 8, (7 * h) // 8, 2)
+
+
+def test_synthesized_png_roundtrips_real_codec(spark):
+    """synthesize_png_column emits REAL PNGs: decode_png returns the
+    exact closed-form pixel bytes."""
+    from new_data_pipeline_spark.functions.png_codec import decode_png
+    from new_data_pipeline_spark.operators.multimodal import (
+        _pixel, _png_dims, synthesize_png_column)
+
+    docs = spark.createDataFrame([(3,), (7,)], "doc_id bigint")
+    for r in synthesize_png_column(docs).collect():
+        d = r["doc_id"]
+        h, w = _png_dims(d)
+        dh, dw, dc, pix = decode_png(bytes(r["payload"]))
+        assert (dh, dw, dc) == (h, w, 3)
+        assert pix == bytes(_pixel(d, x, y, c) for y in range(h)
+                            for x in range(w) for c in range(3))
