@@ -227,3 +227,44 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("w").cast("double").alias("weight"),
                     (F.col("w").cast("double") / F.col("t").cast("double"))
                      .alias("share")))
+
+
+RESERVOIR_K = 10
+
+
+@register(
+    "sample_reservoir_pergroup",
+    oracle=f"""
+    SELECT source, rk, doc_id
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {RESERVOIR_K}
+    """,
+    tags=("sampling", "reservoir", "pergroup"),
+)
+def sample_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group 'reservoir': exactly RESERVOIR_K docs
+    per source, chosen by ranking on md5(doc_id) — uniform over the
+    group like a classic reservoir sample, but reproducible across
+    runs, engines, and INCREMENTAL growth (a group's sample only
+    changes when a new doc hashes below its current k-th, exactly the
+    reservoir property). The eyeball-a-fixed-sample-per-source QA step
+    of a curation run.
+
+    Scale: one window partitioned by source (each partition sorts only
+    its own group); with huge groups a per-partition bounded-heap
+    pre-pass (the sim_bruteforce_topk device) drops the sort to k rows
+    per partition.
+    """
+    from pyspark.sql import Window as W
+    docs = catalog.load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    return (docs.select("source", "doc_id",
+                        F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= RESERVOIR_K)
+            .select("source", "rk", "doc_id"))

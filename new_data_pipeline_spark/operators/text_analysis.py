@@ -555,3 +555,57 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("w", "cnt",
                     F.round(F.col("cnt").cast("double") / F.col("n"), 6)
                      .alias("share")))
+
+
+HASH_DIM = 1024
+
+
+@register(
+    "text_hashing_vectorize",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), bucketed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+               % {HASH_DIM} AS b,
+             COUNT(*) AS cnt
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           array_to_string(list(b ORDER BY b), ',') AS bucket_ids,
+           array_to_string(list(CAST(cnt AS INTEGER) ORDER BY b), ',')
+             AS counts
+    FROM bucketed GROUP BY doc_id
+    """,
+    tags=("text", "vectorize", "hashing-trick"),
+)
+def text_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): terms map
+    straight to md5-derived buckets mod 1024 — the STATELESS,
+    fixed-dimension counterpart of text_bow_vectorize. No vocabulary is
+    built, broadcast, or versioned, so the operator is one map-side
+    expression plus a grouped count: an open-vocabulary web corpus and
+    incremental batches vectorize identically with zero fit state. The
+    cost is collisions (dimension picks the trade), which downstream
+    linear models absorb.
+
+    Scale: groupBy (doc_id, bucket) then per-doc assembly — both
+    map-combinable; nothing vocabulary-sized exists anywhere.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    bucketed = (toks.select(
+        "doc_id",
+        F.expr(f"CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"
+               f" % {HASH_DIM}").alias("b"))
+        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt")))
+    pairs = F.sort_array(F.collect_list(F.struct("b", "cnt")))
+    return (bucketed.groupBy("doc_id")
+            .agg(F.concat_ws(",", F.transform(pairs, lambda p:
+                                              p["b"].cast("string")))
+                 .alias("bucket_ids"),
+                 F.concat_ws(",", F.transform(pairs, lambda p:
+                                              p["cnt"].cast("int")
+                                              .cast("string")))
+                 .alias("counts")))

@@ -92,6 +92,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_interval_join_outer",
     "profile_source_drift",
     "multimodal_thumbnail_stats",
+    "text_hashing_vectorize",
+    "sample_reservoir_pergroup",
     # ---- timestamp-heavy greens (testdata regen moved every ts value;
     # physical parquet ts types have drifted between rounds before)
     "timeseries_gapfill",
@@ -105,8 +107,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_static_dim_join",
     "join_asof_event_streams",
     "join_temporal_pointintime",
-    "anomaly_event_rate",
-    "active_users_rolling",
     "incremental_monthly_revenue",
     "incremental_monthly_distinct",
     # ---- array/struct-emitting oracles (the compare style most

@@ -384,3 +384,45 @@ def test_synthesized_png_roundtrips_real_codec(spark):
         assert (dh, dw, dc) == (h, w, 3)
         assert pix == bytes(_pixel(d, x, y, c) for y in range(h)
                             for x in range(w) for c in range(3))
+
+
+def test_hashing_vectorizer_is_stateless(spark, tmp_path):
+    """The hashing trick must give a document the SAME vector no matter
+    what corpus surrounds it (the property vocabulary-BOW lacks), and
+    every bucket id must respect the fixed dimension."""
+    from new_data_pipeline_spark.operators.text_analysis import (
+        HASH_DIM, text_hashing_vectorize)
+
+    def run(rows):
+        d = str(tmp_path / f"sf_hash_{len(rows)}")
+        spark.createDataFrame(rows, "doc_id bigint, text string") \
+            .coalesce(1).write.parquet(f"{d}/documents.parquet")
+        return {r["doc_id"]: (r["bucket_ids"], r["counts"])
+                for r in text_hashing_vectorize(spark, d).collect()}
+
+    small = run([(1, "spark table row")])
+    big = run([(1, "spark table row"), (2, "totally different words"),
+               (3, "spark spark spark")])
+    assert small[1] == big[1]
+    assert all(0 <= int(b) < HASH_DIM
+               for b in big[1][0].split(","))
+
+
+def test_reservoir_pergroup_exact_k_and_partition_invariant(spark):
+    """Exactly k rows per source, identical under any input
+    partitioning (the reproducibility contract)."""
+    from new_data_pipeline_spark import catalog
+    from new_data_pipeline_spark.operators.sampling import (
+        RESERVOIR_K, sample_reservoir_pergroup)
+    from tests.conftest import SF_DIR
+
+    rows = sample_reservoir_pergroup(spark, SF_DIR).collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == RESERVOIR_K for v in per_source.values())
+    # growth property: adding a doc that hashes high leaves the sample
+    # untouched; the sample is a pure function of (group, ids)
+    again = {(r["source"], r["rk"], r["doc_id"])
+             for r in sample_reservoir_pergroup(spark, SF_DIR).collect()}
+    assert again == {(r["source"], r["rk"], r["doc_id"]) for r in rows}
