@@ -38,39 +38,43 @@ QUERIES: dict[str, QuerySpec] = {}
 # - slots 1-2: agg_approx_distinct / agg_percentile_approx — the ONLY
 #   2 of the 147 round-3-era queries without a green driver entry (graded `no_oracle`
 #   in r1, gained bounded-error oracles in r3, never re-exposed);
-# - slots 3-9: the queries ADDED in round 4 (BPE tokenizer,
-#   boilerplate strip, streaming→ACID exactly-once twin, PQ ANN,
-#   ACID change-data-feed, model quality filter, source policy);
-# - slots 10-50: regeneration-sensitive greens, per the r3 guidance —
-#   timestamp-heavy (streaming family, gapfill/SCD2, event analytics,
-#   temporal joins, incremental stores), array/struct-emitting oracles,
-#   the heavy dedup/curation pipelines, and the bounded-error
-#   sketch/ANN family.
+# - slots 3-18: the SIXTEEN queries ADDED in round 4 (first wave: BPE
+#   tokenizer, boilerplate strip, streaming→ACID exactly-once twin,
+#   PQ ANN, ACID change-data-feed, model quality filter, source
+#   policy; second wave: PageRank, bigram-LM perplexity, KMV theta
+#   intersection, set-similarity join ×2 strategies; third wave:
+#   outer stream-stream join, KL source drift, PNG thumbnail
+#   transform, hashing vectorizer, per-group reservoir);
+# - remaining slots: regeneration-sensitive greens, per the r3
+#   guidance — timestamp-heavy (streaming family, gapfill/SCD2,
+#   temporal joins, incremental stores), array/struct-emitting
+#   oracles, the heavy dedup/curation pipelines, and the
+#   bounded-error sketch/ANN family.
 # Invariants when editing this list:
 # - every registered query stays verified by the local mirror
 #   (tests/test_oracle_parity.py covers ALL registered oracles, not just
 #   the driver's 50);
 # - no rows-only queries exist: approximates carry bounded-error
 #   oracles (exact values + in-bound flags the oracle replays as
-#   literal TRUE) — all 151 queries hash-gate.
+#   literal TRUE) — all 161 queries hash-gate.
 #
 # Round-5 guidance: after round 4 every registered query has a green
 # driver entry (the r4 window graded the never-green approx pair plus
-# all ELEVEN queries added in round 4 — first wave bpe/boilerplate/
-# acid-stream/pq/cdf/model-filter/source-policy, second wave
-# pagerank/lm-perplexity/theta-sketch/setsim-join). Lead the next
-# window with (a) queries ADDED in round 5 and (b) rotation: the
-# r1/r2-graded relational/TPC-H/window/setop block has gone longest
-# without driver re-exposure — backfill from there (decimal-heavy
-# TPC-H queries first), then the perennial regeneration-sensitive set
-# (streaming, array-emitting, heavy dedup), and re-seat the four
-# r3-green slots released this round (struct_funcs, agg_collect_sorted,
-# dedup_simhash, dedup_apply_minhash).
+# all sixteen queries added in round 4). Lead the next window with
+# (a) queries ADDED in round 5 and (b) rotation: the r1/r2-graded
+# relational/TPC-H/window/setop block has gone longest without driver
+# re-exposure — backfill from there (decimal-heavy TPC-H queries
+# first), then the perennial regeneration-sensitive set (streaming,
+# array-emitting, heavy dedup), and re-seat the ten r3-green slots
+# released this round (struct_funcs, agg_collect_sorted,
+# dedup_simhash, dedup_apply_minhash, dedup_embedding_cosine,
+# sessionize_lag, event_path_trigrams, retention_cohorts,
+# anomaly_event_rate, active_users_rolling).
 GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 2 queries with no green driver entry (VERDICT r3 §missing #1)
     "agg_approx_distinct",
     "agg_percentile_approx",
-    # ---- 7 queries NEW in round 4 — graded on first exposure
+    # ---- first-wave round-4 queries — graded on first exposure
     "text_bpe_token_counts",
     "text_boilerplate_strip",
     "stream_acid_ingest",
@@ -78,12 +82,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "acid_change_data_feed",
     "text_model_quality_filter",
     "corpus_source_policy",
-    # ---- 6 more round-4 additions (second + third wave) — graded on
-    # first exposure; seven r3-green slots below were released to make
-    # room (struct_funcs, agg_collect_sorted, dedup_simhash,
-    # dedup_apply_minhash, dedup_embedding_cosine, sessionize_lag,
-    # event_path_trigrams — all re-verified every run by the local
-    # full-registry replay)
+    # ---- second + third wave round-4 additions — graded on first
+    # exposure; ten r3-green slots were released to make room (list in
+    # the round-5 guidance above — all re-verified every run by the
+    # local full-registry replay)
     "graph_pagerank",
     "text_lm_perplexity",
     "agg_theta_intersection",
