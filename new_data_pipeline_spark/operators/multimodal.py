@@ -470,3 +470,80 @@ def multimodal_thumbnail_stats(spark: SparkSession,
     replays symbolically."""
     docs = catalog.load(spark, sf_dir, "documents")
     return thumbnail_images(synthesize_png_column(docs))
+
+
+@register(
+    "multimodal_e2e_curation",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST((doc_id % 4) * 32 + 64 AS INTEGER) AS height,
+             octet_length(encode(text)) AS nb,
+             CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                  ELSE CAST(list_sum([ascii(c)
+                            for c in string_split(text, '')]) AS DOUBLE)
+                       / octet_length(encode(text)) END AS mb,
+             md5(substr(text, 1, 40)) AS h
+      FROM documents
+    ), q AS (
+      SELECT * FROM m WHERE nb >= 64 AND mb > 93 AND mb < 96
+    ), k AS (
+      SELECT h, MIN(doc_id) AS keeper FROM q GROUP BY h
+    ), kept AS (
+      SELECT q.* FROM q JOIN k ON q.h = k.h AND q.doc_id = k.keeper
+    ), s AS (
+      SELECT height, COUNT(*) AS n_scanned FROM m GROUP BY height
+    ), qq AS (
+      SELECT height, COUNT(*) AS n_quality FROM q GROUP BY height
+    ), kk AS (
+      SELECT height, COUNT(*) AS n_kept FROM kept GROUP BY height
+    )
+    SELECT s.height, s.n_scanned,
+           COALESCE(qq.n_quality, 0) AS n_quality,
+           COALESCE(kk.n_kept, 0) AS n_kept,
+           COALESCE(qq.n_quality, 0) - COALESCE(kk.n_kept, 0)
+             AS n_dupes_removed
+    FROM s
+    LEFT JOIN qq ON s.height = qq.height
+    LEFT JOIN kk ON s.height = kk.height
+    """,
+    tags=("multimodal", "e2e", "curation", "dedup"),
+)
+def multimodal_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal twin of corpus_e2e_curation: synthesize →
+    Arrow-decode → quality-filter → content-fingerprint dedup →
+    per-geometry report, as ONE Catalyst tree (no intermediate
+    materialization — the optimizer sees the whole pipeline).
+
+    Stages: the real mapInPandas decode computes per-image byte
+    statistics; a quality band (n_bytes ≥ 64, mean byte in (93, 96))
+    drops degenerate payloads; exact dedup keeps the min-doc_id per
+    40-byte-prefix content fingerprint (the planted near-dup pairs
+    collapse here); the report counts scanned/quality/kept/removed per
+    image height. Everything after decode is built-in expressions, so
+    the oracle replays the full pipeline symbolically.
+
+    Scale: decode is map-only; the filter prunes before the only
+    data-sized shuffle (fingerprint groupBy); report aggregates are
+    height-cardinality (4 rows)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    imgs = synthesize_image_column(docs)
+    dec = decode_images(imgs)
+    quality = dec.filter((F.col("n_bytes") >= 64)
+                         & (F.col("mean_byte") > 93)
+                         & (F.col("mean_byte") < 96))
+    fp = docs.select("doc_id", F.md5(F.substring("text", 1, 40)).alias("h"))
+    j = quality.join(fp, "doc_id")
+    keepers = j.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    kept = j.join(keepers, (j["h"] == keepers["h"])
+                  & (j["doc_id"] == keepers["keeper"]))
+    s = dec.groupBy("height").agg(F.count(F.lit(1)).alias("n_scanned"))
+    qq = quality.groupBy("height").agg(F.count(F.lit(1)).alias("n_quality"))
+    kk = kept.groupBy(j["height"]).agg(F.count(F.lit(1)).alias("n_kept"))
+    return (s.join(qq, "height", "left").join(kk, "height", "left")
+            .select("height", "n_scanned",
+                    F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.coalesce("n_quality", F.lit(0))
+                     - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_dupes_removed")))

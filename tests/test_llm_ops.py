@@ -426,3 +426,21 @@ def test_reservoir_pergroup_exact_k_and_partition_invariant(spark):
     again = {(r["source"], r["rk"], r["doc_id"])
              for r in sample_reservoir_pergroup(spark, SF_DIR).collect()}
     assert again == {(r["source"], r["rk"], r["doc_id"]) for r in rows}
+
+
+def test_multimodal_e2e_pipeline_invariants(spark):
+    """The composed pipeline's counts must be internally consistent and
+    the dedup stage must actually fire (the planted near-dup prefixes
+    collapse): scanned >= quality >= kept per height, and total
+    removed == total prefix-duplicates among quality-passing docs."""
+    from new_data_pipeline_spark.operators.multimodal import (
+        multimodal_e2e_curation)
+    from tests.conftest import SF_DIR
+
+    rows = multimodal_e2e_curation(spark, SF_DIR).collect()
+    assert len(rows) == 4  # one row per synthesized height
+    for r in rows:
+        assert r["n_scanned"] >= r["n_quality"] >= r["n_kept"] >= 0
+        assert r["n_dupes_removed"] == r["n_quality"] - r["n_kept"]
+    assert sum(r["n_dupes_removed"] for r in rows) > 0, \
+        "dedup stage must remove the planted near-dup prefixes"
