@@ -50,6 +50,12 @@ HEADLINE = (
     # boilerplate filter (posexplode + regexp density heuristic)
     "text_bpe_token_counts",
     "text_boilerplate_strip",
+    # round 4 second wave: the iterative graph workload (5 chained
+    # join+agg rounds over a persisted edge table) and the
+    # overlap-counting set-similarity join (gram equi-join with
+    # map-side partial pair counts)
+    "graph_pagerank",
+    "join_set_similarity",
 )
 
 
