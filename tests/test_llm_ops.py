@@ -444,3 +444,39 @@ def test_multimodal_e2e_pipeline_invariants(spark):
         assert r["n_dupes_removed"] == r["n_quality"] - r["n_kept"]
     assert sum(r["n_dupes_removed"] for r in rows) > 0, \
         "dedup stage must remove the planted near-dup prefixes"
+
+
+def test_quantile_binning_balance(spark):
+    """Exact-decile boundaries must yield near-equal bins (each within
+    1% of n/10 plus interpolation slack) covering all 10 bins, and the
+    bins must partition the value range monotonically."""
+    from new_data_pipeline_spark.operators.feature_eng import (
+        N_BINS, ml_quantile_binning)
+    from tests.conftest import SF_DIR
+
+    rows = {r["bin"]: r for r in ml_quantile_binning(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(1, N_BINS + 1))
+    n = sum(r["n_orders"] for r in rows.values())
+    for r in rows.values():
+        assert abs(r["n_orders"] - n / N_BINS) <= max(2, 0.01 * n)
+    for b in range(1, N_BINS):
+        assert rows[b]["max_price"] <= rows[b + 1]["min_price"]
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark):
+    """With m=50 every segment's encoding must sit strictly between
+    its raw mean and the global mean (the defining shrinkage
+    property), closer to the raw mean for large segments."""
+    from new_data_pipeline_spark.operators.feature_eng import (
+        ml_target_encoding)
+    from tests.conftest import SF_DIR
+
+    rows = ml_target_encoding(spark, SF_DIR).collect()
+    total_n = sum(r["n"] for r in rows)
+    approx_global = sum(r["raw_mean"] * r["n"] for r in rows) / total_n
+    for r in rows:
+        lo, hi = sorted([r["raw_mean"], approx_global])
+        assert lo - 1e-6 <= r["encoded"] <= hi + 1e-6, r
+        # big segments barely move
+        assert abs(r["encoded"] - r["raw_mean"]) <= \
+            abs(approx_global - r["raw_mean"]) * 51 / (r["n"] + 50) + 1e-6
