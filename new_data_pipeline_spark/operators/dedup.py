@@ -746,3 +746,54 @@ def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.count("__rm").alias("n_removed"),
                  (F.count(F.lit(1)) - F.count("__rm")).alias("n_kept")))
+
+
+@register(
+    "dedup_priority_keeper",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, md5(substr(text, 1, 40)) AS h,
+             CAST(substr(source, 4) AS INTEGER) % 3 AS priority
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY priority, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY h) AS n_members
+      FROM fp
+    )
+    SELECT h AS cluster, doc_id AS keeper_doc, source AS keeper_source,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1 AND n_members > 1
+    """,
+    tags=("dedup", "keeper", "priority"),
+)
+def dedup_priority_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-priority keeper selection: when near-duplicates span
+    sources, keep the copy from the most-trusted tier (the wiki-beats-
+    CommonCrawl rule every real mixture dedup applies), tie-broken by
+    doc_id. Clusters come from the 40-char-prefix content fingerprint;
+    the keeper is a map-side-combinable min(struct(priority, doc_id))
+    — no window over the corpus — with one narrow self-join to recover
+    the keeper's source.
+
+    Reference analog: none — complements dedup_apply_minhash's
+    min-doc_id keeper with the policy-ordered variant.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source",
+        F.md5(F.substring("text", 1, 40)).alias("h"),
+        F.expr("CAST(substring(source, 4, 8) AS INT) % 3")
+        .alias("priority"))
+    agg = (fp.groupBy("h")
+           .agg(F.min(F.struct("priority", "doc_id")).alias("m"),
+                F.count(F.lit(1)).alias("n_members"))
+           .filter(F.col("n_members") > 1))
+    keeper = fp.select(F.col("doc_id").alias("kd"),
+                       F.col("source").alias("keeper_source"))
+    return (agg.join(keeper, agg["m"]["doc_id"] == F.col("kd"))
+            .select(F.col("h").alias("cluster"),
+                    F.col("kd").alias("keeper_doc"),
+                    "keeper_source",
+                    F.col("n_members").cast("bigint").alias("n_members")))

@@ -475,3 +475,56 @@ def profile_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", F.col("n_s").alias("n_tokens"), "n_distinct",
                     F.round(F.col("kl").cast("double"), 6)
                     .alias("kl_divergence")))
+
+
+PATTERN = "view,click,purchase"
+
+
+@register(
+    "events_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY ts, event_id), ',')
+               AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           (length(s) - length(replace(s, '{PATTERN}', '')))
+             // length('{PATTERN}') AS n_patterns
+    FROM seq
+    WHERE length(s) <> length(replace(s, '{PATTERN}', ''))
+    """,
+    tags=("analytics", "cep", "pattern"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style STRICT-contiguity pattern detection: per user, count
+    non-overlapping contiguous view→click→purchase runs in the exact
+    event sequence (MATCH_RECOGNIZE's simplest pattern class;
+    funnel_conversion is the relaxed any-gap version, this is the
+    no-intervening-event one).
+
+    The sequence materializes as a per-user ordered token string
+    (sort_array over (ts, event_id, type) structs — one keyed
+    aggregation, no window, no self-join), and the count falls out of
+    length arithmetic on non-overlapping replace — identical
+    left-to-right semantics on both engines. Event-type tokens are
+    from a fixed closed vocabulary, so a comma-joined pattern cannot
+    misalign across token boundaries.
+
+    Scale: state per user is its event-type string — for unbounded
+    histories the same count is computable from (prev 2 types, count)
+    running state via applyInPandasWithState on the streaming path.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    seq = (events.groupBy("user_id")
+           .agg(F.concat_ws(",", F.transform(
+               F.sort_array(F.collect_list(
+                   F.struct("ts", "event_id", "event_type"))),
+               lambda x: x["event_type"])).alias("s")))
+    plen = len(PATTERN)
+    stripped = F.replace(F.col("s"), F.lit(PATTERN), F.lit(""))
+    n = F.expr(f"(length(s) - length(replace(s, '{PATTERN}', '')))"
+               f" DIV {plen}")
+    return (seq.filter(F.length("s") != F.length(stripped))
+            .select("user_id", n.alias("n_patterns")))

@@ -101,3 +101,91 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      <= 0.05 * F.col("exact_users"))
                     .cast("int").alias("within_5pct"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# CountMin sketch (Cormode & Muthukrishnan 2005): mergeable approximate
+# FREQUENCY estimation — the point-query complement of the registry's
+# other summaries (HLL: distinct counts; KLL: quantiles; KMV: set
+# intersections; Misra-Gries in text_analysis: exact heavy hitters).
+# DEPTH independent md5-derived hash rows × WIDTH counters; a cell is
+# the SUM of counts of every token hashing to it (mergeable by cell
+# addition), and a point estimate is the MIN over the token's DEPTH
+# cells — always ≥ the true count, within εN with high probability.
+# The whole sketch is SQL-replayable, so the gate hash-checks cells,
+# estimates, AND the one-sided error guarantee.
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+CM_PROBES = 20
+
+
+def _cm_col(row_col: str, term_col: str) -> str:
+    """Deterministic column index of ``term_col`` in hash row
+    ``row_col`` (both are COLUMN names; the seed string is
+    'cm<row>|<term>' on both engines)."""
+    return (f"CAST(conv(substring(md5(concat('cm', CAST({row_col} AS STRING),"
+            f" '|', {term_col})), 1, 8), 16, 10) AS BIGINT) % {CM_WIDTH}")
+
+
+@register(
+    "agg_countmin_point_estimates",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), cnt AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), probes AS (
+      SELECT w AS term, c AS exact_count
+      FROM cnt ORDER BY c DESC, w LIMIT {CM_PROBES}
+    ), cells AS (
+      SELECT r.r,
+             CAST(('0x' || substr(md5('cm' || r.r || '|' || cnt.w), 1, 8))
+                  AS BIGINT) % {CM_WIDTH} AS col,
+             CAST(SUM(cnt.c) AS BIGINT) AS cell
+      FROM cnt, (SELECT unnest(range(0, {CM_DEPTH})) AS r) r
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT p.term, p.exact_count,
+             MIN(cells.cell) AS est_count
+      FROM probes p
+      JOIN cells
+        ON cells.col = CAST(('0x' || substr(md5('cm' || cells.r || '|'
+                            || p.term), 1, 8)) AS BIGINT) % {CM_WIDTH}
+      GROUP BY 1, 2
+    )
+    SELECT term, exact_count, est_count,
+           CAST(est_count >= exact_count AS INTEGER) AS never_under
+    FROM est
+    """,
+    tags=("agg", "sketch", "countmin"),
+)
+def agg_countmin_point_estimates(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CountMin point estimates for the corpus' 20 most frequent
+    tokens, next to their exact counts and the one-sided-error witness
+    (CMS never underestimates — a flag the oracle replays as computed,
+    so a broken sketch fails the hash)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    cnt = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+           .persist())
+    probes = (cnt.orderBy(F.col("c").desc(), "w").limit(CM_PROBES)
+              .select(F.col("w").alias("term"),
+                      F.col("c").alias("exact_count")))
+    rows = spark.range(CM_DEPTH).select(F.col("id").alias("r"))
+    cells = (cnt.crossJoin(rows)
+             .select("r", F.expr(_cm_col("r", "w")).alias("col"), "c")
+             .groupBy("r", "col").agg(F.sum("c").alias("cell")))
+    probe_cells = (probes.crossJoin(rows)
+                   .select("term", "exact_count", "r",
+                           F.expr(_cm_col("r", "term")).alias("pcol")))
+    est = (probe_cells
+           .join(cells, (probe_cells["r"] == cells["r"])
+                 & (probe_cells["pcol"] == cells["col"]))
+           .groupBy("term", "exact_count")
+           .agg(F.min("cell").alias("est_count")))
+    return est.select(
+        "term", "exact_count", "est_count",
+        (F.col("est_count") >= F.col("exact_count"))
+        .cast("int").alias("never_under"))
