@@ -157,3 +157,75 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("long").alias("rank_scaled"),
                     F.round(F.col("rank") / F.lit(float(RANK_SCALE)), 6)
                     .alias("rank_value")))
+
+
+@register(
+    "graph_triangle_stats",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ), tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6)
+             AS clustering_coeff
+    """,
+    tags=("graph", "triangles", "clustering"),
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts bought in
+    the same order share an edge): edge count, wedge count
+    Σ C(deg, 2), triangle count via the ordered two-hop join (each
+    triangle u<v<w counted exactly once), and the global clustering
+    coefficient 3·triangles/wedges — four interlocking values in one
+    row, so a miscount in any stage breaks the hash.
+
+    Scale: the canonical distributed triangle count. Edges are
+    id-ordered here (what SQL replays deterministically); at real
+    scale the ordering key becomes (degree, id) so high-degree hubs
+    never anchor the two-hop join — same plan, skew-proof ordering.
+    The wedge aggregate is map-combinable; the triangle join shuffles
+    on single node keys.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o2"),
+                  F.col("l_partkey").alias("v"))
+    e = (a.join(b, (F.col("o") == F.col("o2"))
+                & (F.col("u") < F.col("v")))
+         .select("u", "v").distinct().persist())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    wedges = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    two_hop = e1.join(e2, F.col("y") == F.col("y2")).select("x", "y", "z")
+    closing = e.select(F.col("u").alias("x2"), F.col("v").alias("z2"))
+    tri = (two_hop.join(closing, (F.col("x") == F.col("x2"))
+                        & (F.col("z") == F.col("z2")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (edges.crossJoin(wedges).crossJoin(tri)
+            .select(F.col("n_edges").cast("bigint").alias("n_edges"),
+                    F.col("n_wedges").cast("bigint").alias("n_wedges"),
+                    F.col("n_triangles").cast("bigint")
+                    .alias("n_triangles"),
+                    F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                            6).alias("clustering_coeff")))

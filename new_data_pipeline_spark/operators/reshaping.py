@@ -227,3 +227,47 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"))
+
+
+@register(
+    "timeseries_ohlc_bars",
+    oracle="""
+    WITH k AS (
+      SELECT *,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|'
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM events
+    )
+    SELECT date_trunc('hour', ts) AS bar_ts, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close
+    FROM k
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "ohlc", "resample"),
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the financial-bars shape of downsampling):
+    hourly open/high/low/close of event values per type. Open/close
+    are argmin/argmax over the (ts, event_id) total order — map-side
+    combinable min_by/max_by, never a window sort (the argmin-window
+    trap measured in operators/pq.py); values are picked, not
+    computed, so the gate is float-exact with zero rounding devices.
+    The ordering key is a zero-padded string encoding of
+    (epoch-µs, event_id) — DuckDB's arg_min orders scalars only, and
+    the string encoding is order-isomorphic on both engines.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    key = F.concat(F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+                   F.lit("|"),
+                   F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    return (events.groupBy(F.date_trunc("hour", "ts").alias("bar_ts"),
+                           "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min_by("value", key).alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", key).alias("close")))

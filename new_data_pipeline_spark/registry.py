@@ -38,7 +38,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # - slots 1-2: agg_approx_distinct / agg_percentile_approx — the ONLY
 #   2 of the 147 round-3-era queries without a green driver entry (graded `no_oracle`
 #   in r1, gained bounded-error oracles in r3, never re-exposed);
-# - slots 3-24: the TWENTY-TWO queries ADDED in round 4 (first wave: BPE
+# - slots 3-26: the TWENTY-FOUR queries ADDED in round 4 (first wave: BPE
 #   tokenizer, boilerplate strip, streaming→ACID exactly-once twin,
 #   PQ ANN, ACID change-data-feed, model quality filter, source
 #   policy; second wave: PageRank, bigram-LM perplexity, KMV theta
@@ -46,7 +46,8 @@ QUERIES: dict[str, QuerySpec] = {}
 #   outer stream-stream join, KL source drift, PNG thumbnail
 #   transform, hashing vectorizer, per-group reservoir, multimodal
 #   e2e curation, quantile binning, target encoding, CountMin
-#   estimates, CEP pattern match, priority keeper);
+#   estimates, CEP pattern match, priority keeper, triangle census,
+#   OHLC bars);
 # - remaining slots: regeneration-sensitive greens, per the r3
 #   guidance — timestamp-heavy (streaming family, gapfill/SCD2,
 #   temporal joins, incremental stores), array/struct-emitting
@@ -58,22 +59,23 @@ QUERIES: dict[str, QuerySpec] = {}
 #   the driver's 50);
 # - no rows-only queries exist: approximates carry bounded-error
 #   oracles (exact values + in-bound flags the oracle replays as
-#   literal TRUE) — all 167 queries hash-gate.
+#   literal TRUE) — all 169 queries hash-gate.
 #
 # Round-5 guidance: after round 4 every registered query has a green
 # driver entry (the r4 window graded the never-green approx pair plus
-# all twenty-two queries added in round 4). Lead the next window with
+# all twenty-four queries added in round 4). Lead the next window with
 # (a) queries ADDED in round 5 and (b) rotation: the r1/r2-graded
 # relational/TPC-H/window/setop block has gone longest without driver
 # re-exposure — backfill from there (decimal-heavy TPC-H queries
 # first), then the perennial regeneration-sensitive set (streaming,
-# array-emitting, heavy dedup), and re-seat the sixteen r3-green slots
+# array-emitting, heavy dedup), and re-seat the eighteen r3-green slots
 # released this round (struct_funcs, agg_collect_sorted,
 # dedup_simhash, dedup_apply_minhash, dedup_embedding_cosine,
 # sessionize_lag, event_path_trigrams, retention_cohorts,
 # anomaly_event_rate, active_users_rolling, curriculum_rank_global,
 # text_contamination_ngrams, corpus_e2e_curation, lateral_explode,
-# sim_bruteforce_topk, cluster_kmeans_assign).
+# sim_bruteforce_topk, cluster_kmeans_assign, scalar_array_funcs,
+# array_higher_order).
 GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 2 queries with no green driver entry (VERDICT r3 §missing #1)
     "agg_approx_distinct",
@@ -106,6 +108,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_countmin_point_estimates",
     "events_pattern_match",
     "dedup_priority_keeper",
+    "graph_triangle_stats",
+    "timeseries_ohlc_bars",
     # ---- timestamp-heavy greens (testdata regen moved every ts value;
     # physical parquet ts types have drifted between rounds before)
     "timeseries_gapfill",
@@ -121,10 +125,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_temporal_pointintime",
     "incremental_monthly_revenue",
     "incremental_monthly_distinct",
-    # ---- array/struct-emitting oracles (the compare style most
-    # sensitive to engine-side rendering differences)
-    "scalar_array_funcs",
-    "array_higher_order",
     # ---- heavy dedup / curation pipelines (most moving parts per
     # query; every stage replays in the oracle)
     "dedup_minhash_lsh",
