@@ -557,3 +557,88 @@ def multimodal_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce("n_quality", F.lit(0))
                      - F.coalesce("n_kept", F.lit(0)))
                     .alias("n_dupes_removed")))
+
+
+RESAMPLE_FACTOR = 2
+AUDIO_RESAMPLE_SCHEMA = ("doc_id bigint, sample_rate_out int, "
+                         "n_samples_out bigint, mean_amp_out double, "
+                         "first_sample int, last_sample int")
+
+
+def resample_audio(df: DataFrame, factor: int = RESAMPLE_FACTOR,
+                   pcm_col: str = "pcm") -> DataFrame:
+    """Audio TRANSFORM stage (the thumbnail's audio twin): real WAV
+    roundtrip, then decimate-by-``factor`` (keep every factor-th
+    sample — naive downsampling; a production resampler adds an
+    anti-alias filter on the same plumbing). Emits the downsampled
+    stream's stats plus first/last sample witnesses so an off-by-one
+    or reversed decimation cannot hide inside the mean."""
+    from new_data_pipeline_spark.functions.wav_codec import (
+        decode_wav, encode_wav)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rates, counts, means, firsts, lasts = [], [], [], [], []
+            for raw in pdf[pcm_col]:
+                raw = bytes(raw)
+                wav = encode_wav([b - 128 for b in raw],
+                                 n_channels=1, sample_rate=AUDIO_RATE,
+                                 sample_width=1)
+                d = decode_wav(wav)
+                ds = d.samples[::factor]
+                n = len(ds)
+                rates.append(d.sample_rate // factor)
+                counts.append(n)
+                means.append(sum(ds) / n / 128.0 if n else 0.0)
+                firsts.append(ds[0] if n else 0)
+                lasts.append(ds[-1] if n else 0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sample_rate_out": rates,
+                "n_samples_out": counts,
+                "mean_amp_out": means,
+                "first_sample": firsts,
+                "last_sample": lasts,
+            })
+
+    return df.mapInPandas(batches, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             [ascii(c) - 128 for c in string_split(text, '')] AS smp,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n,
+             [smp[i] for i in range(1, n + 1)
+              if i % {RESAMPLE_FACTOR} = 1] AS ds
+      FROM s
+    )
+    SELECT doc_id,
+           CAST({AUDIO_RATE // RESAMPLE_FACTOR} AS INTEGER)
+             AS sample_rate_out,
+           CAST(len(ds) AS BIGINT) AS n_samples_out,
+           CASE WHEN len(ds) = 0 THEN 0.0
+                ELSE (CAST(list_sum(ds) AS DOUBLE) / len(ds)) / 128.0
+           END AS mean_amp_out,
+           CAST(CASE WHEN len(ds) = 0 THEN 0 ELSE ds[1] END AS INTEGER)
+             AS first_sample,
+           CAST(CASE WHEN len(ds) = 0 THEN 0 ELSE ds[len(ds)] END
+                AS INTEGER) AS last_sample
+    FROM d
+    """,
+    tags=("multimodal", "audio", "transform", "resample"),
+)
+def multimodal_audio_resample(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Audio transform under the VALUE gate: PCM → real WAV → real
+    decode → decimate-by-2 → stats; the oracle replays the decimated
+    sample arithmetic symbolically (every odd 1-based position = every
+    even 0-based sample), with first/last-sample witnesses pinning the
+    decimation geometry."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return resample_audio(synthesize_audio_column(docs))

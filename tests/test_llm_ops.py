@@ -480,3 +480,24 @@ def test_target_encoding_shrinks_toward_global_mean(spark):
         # big segments barely move
         assert abs(r["encoded"] - r["raw_mean"]) <= \
             abs(approx_global - r["raw_mean"]) * 51 / (r["n"] + 50) + 1e-6
+
+
+def test_audio_resample_decimation_geometry(spark):
+    """Decimate-by-2 must keep exactly the even-index samples of the
+    real-WAV-roundtripped stream — pinned by replaying the expected
+    values in plain Python from the source bytes."""
+    from new_data_pipeline_spark.operators.multimodal import (
+        RESAMPLE_FACTOR, resample_audio, synthesize_audio_column)
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefg"), (2, "xy"), (3, "q")], "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           resample_audio(synthesize_audio_column(docs)).collect()}
+    for d, text in [(1, "abcdefg"), (2, "xy"), (3, "q")]:
+        samples = [ord(c) - 128 for c in text][::RESAMPLE_FACTOR]
+        r = got[d]
+        assert r["n_samples_out"] == len(samples)
+        assert r["first_sample"] == samples[0]
+        assert r["last_sample"] == samples[-1]
+        assert r["mean_amp_out"] == sum(samples) / len(samples) / 128.0
+        assert r["sample_rate_out"] == 4000
