@@ -189,3 +189,111 @@ def agg_countmin_point_estimates(spark: SparkSession,
         "term", "exact_count", "est_count",
         (F.col("est_count") >= F.col("exact_count"))
         .cast("int").alias("never_under"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as an aggregate: set-MEMBERSHIP summaries, completing
+# the mergeable-sketch suite (HLL: distinct counts; KLL: quantiles;
+# KMV: intersections; CMS: frequencies; Misra-Gries: heavy hitters;
+# Bloom: membership). The filter is M bits in ceil(M/63) longs (63 usable bits per word — bit 63 stays clear because DuckDB range-checks shifts into the sign bit), built by
+# OR-aggregating per-element bit masks — mergeable by word-wise OR,
+# exactly how Catalyst's runtime bloom join (plans/physical.py)
+# exchanges filters, but here as a first-class query surface with a
+# SQL-replayable md5 hash family.
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 4
+BLOOM_PROBES = 30
+
+
+def _bloom_pos(hash_idx: str, elem: str) -> str:
+    """Bit position of ``elem`` under hash row ``hash_idx``."""
+    return (f"CAST(conv(substring(md5(concat('bf', CAST({hash_idx} AS STRING),"
+            f" '|', {elem})), 1, 8), 16, 10) AS BIGINT) % {BLOOM_BITS}")
+
+
+@register(
+    "agg_bloom_membership",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS elem
+      FROM orders
+    ), bits AS (
+      SELECT (CAST(('0x' || substr(md5('bf' || h.h || '|' || m.elem), 1, 8))
+                   AS BIGINT) % {BLOOM_BITS}) // 63 AS word,
+             bit_or(1::BIGINT <<
+                    ((CAST(('0x' || substr(md5('bf' || h.h || '|' || m.elem),
+                            1, 8)) AS BIGINT) % {BLOOM_BITS}) % 63)) AS w
+      FROM members m, (SELECT unnest(range(0, {BLOOM_HASHES})) AS h) h
+      GROUP BY 1
+    ), probes AS (
+      SELECT c_custkey AS probe,
+             CAST(c_custkey AS VARCHAR) AS elem,
+             CAST(c_custkey IN (SELECT o_custkey FROM orders) AS INTEGER)
+               AS actually_member
+      FROM customer ORDER BY c_custkey LIMIT {BLOOM_PROBES}
+    ), checks AS (
+      SELECT p.probe, p.actually_member, COUNT(*) AS n_hits
+      FROM probes p, (SELECT unnest(range(0, {BLOOM_HASHES})) AS h) h
+      JOIN bits
+        ON bits.word = (CAST(('0x' || substr(md5('bf' || h.h || '|'
+                             || p.elem), 1, 8)) AS BIGINT)
+                        % {BLOOM_BITS}) // 63
+      WHERE (bits.w >> ((CAST(('0x' || substr(md5('bf' || h.h || '|'
+                              || p.elem), 1, 8)) AS BIGINT)
+                         % {BLOOM_BITS}) % 63)) & 1 = 1
+      GROUP BY 1, 2
+    )
+    SELECT p.probe, p.actually_member,
+           CAST(COALESCE(c.n_hits, 0) = {BLOOM_HASHES} AS INTEGER)
+             AS bloom_says_member,
+           CAST(p.actually_member <=
+                CAST(COALESCE(c.n_hits, 0) = {BLOOM_HASHES} AS INTEGER)
+                AS INTEGER) AS no_false_negative
+    FROM probes p LEFT JOIN checks c ON p.probe = c.probe
+    """,
+    tags=("agg", "sketch", "bloom", "membership"),
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership of the first 30 customers against the set of
+    customers who ever ordered: the filter is built as a word-wise
+    bit_or aggregate over md5-derived positions, probes AND-check
+    their k bits, and the no-false-negative guarantee rides along as a
+    hash-gated witness column (false POSITIVES are allowed — that's
+    the trade — but a member the filter denies breaks the gate)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    customer = catalog.load(spark, sf_dir, "customer")
+    members = (orders.select(F.col("o_custkey").cast("string")
+                             .alias("elem")).distinct())
+    hashes = spark.range(BLOOM_HASHES).select(F.col("id").alias("h"))
+    pos_sql = _bloom_pos("h", "elem")
+    bits = (members.crossJoin(hashes)
+            .select(F.expr(f"({pos_sql}) DIV 63").alias("word"),
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+                           f" CAST(({pos_sql}) % 63 AS INT))").alias("mask"))
+            .groupBy("word").agg(F.bit_or("mask").alias("w")))
+    member_keys = orders.select("o_custkey").distinct()
+    probes = (customer.orderBy("c_custkey").limit(BLOOM_PROBES)
+              .join(member_keys,
+                    customer["c_custkey"] == member_keys["o_custkey"],
+                    "left")
+              .select(F.col("c_custkey").alias("probe"),
+                      F.col("c_custkey").cast("string").alias("elem"),
+                      F.col("o_custkey").isNotNull().cast("int")
+                      .alias("actually_member")))
+    checks = (probes.crossJoin(hashes)
+              .select("probe", "actually_member",
+                      F.expr(f"({pos_sql}) DIV 63").alias("pword"),
+                      F.expr(f"CAST(({pos_sql}) % 63 AS INT)")
+                      .alias("pbit"))
+              .join(bits, F.col("pword") == F.col("word"))
+              .filter(F.expr("(shiftright(w, pbit) & 1) = 1"))
+              .groupBy("probe", "actually_member")
+              .agg(F.count(F.lit(1)).alias("n_hits")))
+    says = F.coalesce(F.col("n_hits"), F.lit(0)) == BLOOM_HASHES
+    return (probes.select("probe", "actually_member")
+            .join(checks, ["probe", "actually_member"], "left")
+            .select("probe", "actually_member",
+                    says.cast("int").alias("bloom_says_member"),
+                    (F.col("actually_member") <= says.cast("int"))
+                    .cast("int").alias("no_false_negative")))
