@@ -227,11 +227,19 @@ def _bloom_pos(hash_idx: str, elem: str) -> str:
       FROM members m, (SELECT unnest(range(0, {BLOOM_HASHES})) AS h) h
       GROUP BY 1
     ), probes AS (
-      SELECT c_custkey AS probe,
-             CAST(c_custkey AS VARCHAR) AS elem,
-             CAST(c_custkey IN (SELECT o_custkey FROM orders) AS INTEGER)
+      -- half real customers (members), half shifted keys guaranteed
+      -- absent (non-members) so both Bloom outcomes are exercised
+      SELECT CASE WHEN side = 1 THEN c_custkey
+                  ELSE c_custkey + 1000000 END AS probe,
+             CAST(CASE WHEN side = 1 THEN c_custkey
+                       ELSE c_custkey + 1000000 END AS VARCHAR) AS elem,
+             CAST(CASE WHEN side = 1 THEN c_custkey
+                       ELSE c_custkey + 1000000 END
+                  IN (SELECT o_custkey FROM orders) AS INTEGER)
                AS actually_member
-      FROM customer ORDER BY c_custkey LIMIT {BLOOM_PROBES}
+      FROM (SELECT c_custkey FROM customer
+            ORDER BY c_custkey LIMIT {BLOOM_PROBES // 2}),
+           (SELECT unnest([1, 2]) AS side)
     ), checks AS (
       SELECT p.probe, p.actually_member, COUNT(*) AS n_hits
       FROM probes p, (SELECT unnest(range(0, {BLOOM_HASHES})) AS h) h
@@ -273,12 +281,17 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                            f" CAST(({pos_sql}) % 63 AS INT))").alias("mask"))
             .groupBy("word").agg(F.bit_or("mask").alias("w")))
     member_keys = orders.select("o_custkey").distinct()
-    probes = (customer.orderBy("c_custkey").limit(BLOOM_PROBES)
-              .join(member_keys,
-                    customer["c_custkey"] == member_keys["o_custkey"],
-                    "left")
-              .select(F.col("c_custkey").alias("probe"),
-                      F.col("c_custkey").cast("string").alias("elem"),
+    base = customer.orderBy("c_custkey").limit(BLOOM_PROBES // 2)
+    sides = spark.range(1, 3).select(F.col("id").alias("side"))
+    keyed = (base.crossJoin(sides)
+             .select(F.when(F.col("side") == 1, F.col("c_custkey"))
+                     .otherwise(F.col("c_custkey") + 1000000)
+                     .alias("probe")))
+    probes = (keyed.join(member_keys,
+                         keyed["probe"] == member_keys["o_custkey"],
+                         "left")
+              .select("probe",
+                      F.col("probe").cast("string").alias("elem"),
                       F.col("o_custkey").isNotNull().cast("int")
                       .alias("actually_member")))
     checks = (probes.crossJoin(hashes)

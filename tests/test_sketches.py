@@ -68,3 +68,18 @@ def test_hll_merge_tracks_single_pass(spark):
     for r in engine.QUERIES["agg_hll_mergeable_rollup"].fn(spark, SF_DIR) \
             .collect():
         assert r["within_5pct"] == 1, r
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Every actual member must be claimed by the filter (the Bloom
+    guarantee), and the probe set must exercise both member and
+    non-member rows so the gate isn't vacuous."""
+    from new_data_pipeline_spark.operators.sketches import (
+        agg_bloom_membership)
+    from tests.conftest import SF_DIR
+
+    rows = agg_bloom_membership(spark, SF_DIR).collect()
+    assert len(rows) == 30
+    assert all(r["no_false_negative"] == 1 for r in rows)
+    kinds = {r["actually_member"] for r in rows}
+    assert kinds == {0, 1}, "probes must include members AND non-members"
