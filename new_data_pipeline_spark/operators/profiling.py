@@ -528,3 +528,57 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                f" DIV {plen}")
     return (seq.filter(F.length("s") != F.length(stripped))
             .select("user_id", n.alias("n_patterns")))
+
+
+@register(
+    "profile_benford_deviation",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs
+    )
+    SELECT obs.digit, obs.n,
+           ROUND(CAST(obs.n AS DOUBLE) / (SELECT t FROM tot), 6)
+             AS observed_share,
+           ROUND(log10(1.0 + 1.0 / obs.digit), 6) AS benford_share,
+           ROUND(ABS(CAST(obs.n AS DOUBLE) / (SELECT t FROM tot)
+                     - ROUND(log10(1.0 + 1.0 / obs.digit), 6)), 6)
+             AS abs_deviation
+    FROM obs
+    """,
+    tags=("profiling", "quality", "benford"),
+)
+def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on order totals (the accounting
+    anomaly test: organically-generated amounts follow
+    P(d) = log10(1 + 1/d); synthetic or tampered ones don't).
+    First digits are taken from explicitly FLOORed integer cents —
+    never a bare double→int cast, which truncates on Spark but
+    ROUNDS on DuckDB (the engine divergence the differential
+    fuzzer's template rules also ban) — shares are single IEEE
+    divisions, and log10 is 6-dp-rounded before the deviation so the
+    gate stays engine-exact.
+
+    Scale: one map-side digit extraction + a 9-group aggregate; the
+    total enters as a scalar aggregate.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    d = (orders.filter(F.col("o_totalprice") > 0)
+         .select(F.expr(
+             "CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
+             " AS STRING), 1, 1) AS INT)").alias("digit")))
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    share = F.round(F.col("n").cast("double") / F.col("t"), 6)
+    return (obs.crossJoin(tot)
+            .select("digit", "n",
+                    share.alias("observed_share"),
+                    benford.alias("benford_share"),
+                    F.round(F.abs(F.col("n").cast("double") / F.col("t")
+                                  - benford), 6).alias("abs_deviation")))

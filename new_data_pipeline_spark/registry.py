@@ -38,7 +38,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # - slots 1-2: agg_approx_distinct / agg_percentile_approx — the ONLY
 #   2 of the 147 round-3-era queries without a green driver entry (graded `no_oracle`
 #   in r1, gained bounded-error oracles in r3, never re-exposed);
-# - slots 3-28: the TWENTY-SIX queries ADDED in round 4 (first wave: BPE
+# - slots 3-29: the TWENTY-SEVEN queries ADDED in round 4 (first wave: BPE
 #   tokenizer, boilerplate strip, streaming→ACID exactly-once twin,
 #   PQ ANN, ACID change-data-feed, model quality filter, source
 #   policy; second wave: PageRank, bigram-LM perplexity, KMV theta
@@ -47,7 +47,7 @@ QUERIES: dict[str, QuerySpec] = {}
 #   transform, hashing vectorizer, per-group reservoir, multimodal
 #   e2e curation, quantile binning, target encoding, CountMin
 #   estimates, CEP pattern match, priority keeper, triangle census,
-#   OHLC bars, audio decimation, Bloom membership);
+#   OHLC bars, audio decimation, Bloom membership, Benford screen);
 # - remaining slots: regeneration-sensitive greens, per the r3
 #   guidance — timestamp-heavy (streaming family, gapfill/SCD2,
 #   temporal joins, incremental stores), array/struct-emitting
@@ -59,23 +59,24 @@ QUERIES: dict[str, QuerySpec] = {}
 #   the driver's 50);
 # - no rows-only queries exist: approximates carry bounded-error
 #   oracles (exact values + in-bound flags the oracle replays as
-#   literal TRUE) — all 171 queries hash-gate.
+#   literal TRUE) — all 172 queries hash-gate.
 #
 # Round-5 guidance: after round 4 every registered query has a green
 # driver entry (the r4 window graded the never-green approx pair plus
-# all twenty-six queries added in round 4). Lead the next window with
+# all twenty-seven queries added in round 4). Lead the next window with
 # (a) queries ADDED in round 5 and (b) rotation: the r1/r2-graded
 # relational/TPC-H/window/setop block has gone longest without driver
 # re-exposure — backfill from there (decimal-heavy TPC-H queries
 # first), then the perennial regeneration-sensitive set (streaming,
-# array-emitting, heavy dedup), and re-seat the twenty r3-green slots
+# array-emitting, heavy dedup), and re-seat the twenty-one r3-green slots
 # released this round (struct_funcs, agg_collect_sorted,
 # dedup_simhash, dedup_apply_minhash, dedup_embedding_cosine,
 # sessionize_lag, event_path_trigrams, retention_cohorts,
 # anomaly_event_rate, active_users_rolling, curriculum_rank_global,
 # text_contamination_ngrams, corpus_e2e_curation, lateral_explode,
 # sim_bruteforce_topk, cluster_kmeans_assign, scalar_array_funcs,
-# array_higher_order, dedup_exact_substrings, stream_dedup_keep_first).
+# array_higher_order, dedup_exact_substrings, stream_dedup_keep_first,
+# stream_interval_join).
 GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 2 queries with no green driver entry (VERDICT r3 §missing #1)
     "agg_approx_distinct",
@@ -112,6 +113,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_ohlc_bars",
     "multimodal_audio_resample",
     "agg_bloom_membership",
+    "profile_benford_deviation",
     # ---- timestamp-heavy greens (testdata regen moved every ts value;
     # physical parquet ts types have drifted between rounds before)
     "timeseries_gapfill",
@@ -119,7 +121,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
-    "stream_interval_join",
     "stream_running_totals",
     "stream_static_dim_join",
     "join_asof_event_streams",
