@@ -38,7 +38,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # - slots 1-2: agg_approx_distinct / agg_percentile_approx — the ONLY
 #   2 of the 147 round-3-era queries without a green driver entry (graded `no_oracle`
 #   in r1, gained bounded-error oracles in r3, never re-exposed);
-# - slots 3-29: the TWENTY-SEVEN queries ADDED in round 4 (first wave: BPE
+# - slots 3-30: the TWENTY-EIGHT queries ADDED in round 4 (first wave: BPE
 #   tokenizer, boilerplate strip, streaming→ACID exactly-once twin,
 #   PQ ANN, ACID change-data-feed, model quality filter, source
 #   policy; second wave: PageRank, bigram-LM perplexity, KMV theta
@@ -63,7 +63,7 @@ QUERIES: dict[str, QuerySpec] = {}
 #
 # Round-5 guidance: after round 4 every registered query has a green
 # driver entry (the r4 window graded the never-green approx pair plus
-# all twenty-seven queries added in round 4). Lead the next window with
+# all twenty-eight queries added in round 4). Lead the next window with
 # (a) queries ADDED in round 5 and (b) rotation: the r1/r2-graded
 # relational/TPC-H/window/setop block has gone longest without driver
 # re-exposure — backfill from there (decimal-heavy TPC-H queries
