@@ -408,3 +408,85 @@ def join_temporal_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
                  .alias("sum_value"))
             .orderBy("state"))
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS is_purchase
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), seq AS (
+      SELECT *,
+             MAX(CASE WHEN is_click = 1 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, is_click DESC,
+                     event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_click_ts,
+             MIN(CASE WHEN is_click = 1 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, is_click DESC,
+                     event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_click_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           CASE
+             WHEN prev_click_ts IS NULL AND next_click_ts IS NULL
+               THEN CAST(-1 AS BIGINT)
+             WHEN next_click_ts IS NULL
+               THEN CAST(epoch_us(ts) - epoch_us(prev_click_ts) AS BIGINT)
+             WHEN prev_click_ts IS NULL
+               THEN CAST(epoch_us(next_click_ts) - epoch_us(ts) AS BIGINT)
+             ELSE CAST(LEAST(epoch_us(ts) - epoch_us(prev_click_ts),
+                             epoch_us(next_click_ts) - epoch_us(ts))
+                       AS BIGINT)
+           END AS nearest_click_gap_us
+    FROM seq WHERE is_purchase = 1
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event as-of: for each purchase, the time gap to the
+    closest click in EITHER direction (backward as-of joins answer
+    "what preceded"; attribution and sensor alignment often want
+    "what's closest"). Same single-shuffle union+window shape as
+    asof_join — both directions come from one partitioned sort: a
+    running MAX of click times (backward) and a MIN over the following
+    frame (forward), then pick the smaller gap. -1 marks purchases by
+    users who never clicked.
+
+    Scale: one shuffle on user_id, one within-partition sort, two
+    frame aggregates — never a self-join of the event stream.
+    """
+    from pyspark.sql import Window as W
+    events = catalog.load(spark, sf_dir, "events")
+    tagged = (events.filter(F.col("event_type").isin("click", "purchase"))
+              .select("user_id", "ts", "event_id",
+                      (F.col("event_type") == "click").cast("int")
+                      .alias("is_click"),
+                      (F.col("event_type") == "purchase").cast("int")
+                      .alias("is_purchase")))
+    order = [F.col("ts"), F.col("is_click").desc(), F.col("event_id")]
+    back = (W.partitionBy("user_id").orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    fwd = (W.partitionBy("user_id").orderBy(*order)
+           .rowsBetween(W.currentRow, W.unboundedFollowing))
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    seq = (tagged
+           .withColumn("prev_click_ts", F.max(click_ts).over(back))
+           .withColumn("next_click_ts", F.min(click_ts).over(fwd)))
+    gap_back = F.unix_micros("ts") - F.unix_micros("prev_click_ts")
+    gap_fwd = F.unix_micros("next_click_ts") - F.unix_micros("ts")
+    gap = (F.when(F.col("prev_click_ts").isNull()
+                  & F.col("next_click_ts").isNull(), F.lit(-1))
+           .when(F.col("next_click_ts").isNull(), gap_back)
+           .when(F.col("prev_click_ts").isNull(), gap_fwd)
+           .otherwise(F.least(gap_back, gap_fwd))).cast("bigint")
+    return (seq.filter(F.col("is_purchase") == 1)
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("purchase_ts"),
+                    gap.alias("nearest_click_gap_us")))

@@ -220,3 +220,65 @@ def agg_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("value").alias("max_value"),
                  F.min("value").alias("min_value"))
             .orderBy("event_type"))
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             -- quantities are integral-valued doubles; FLOOR before the
+             -- int cast (bare double->int casts truncate on Spark but
+             -- round on DuckDB)
+             CAST(FLOOR(l_quantity) AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), c AS (
+      SELECT flag, price, wt,
+             CAST(SUM(wt) OVER (PARTITION BY flag
+                                ORDER BY price, l_orderkey, l_linenumber
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT) AS total
+      FROM w
+    )
+    SELECT flag, CAST(total AS BIGINT) AS total_weight,
+           MIN(price) AS weighted_median_price
+    FROM c
+    WHERE 2 * cum >= total
+    GROUP BY flag, total
+    """,
+    tags=("agg", "weighted", "median"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile no built-in aggregate provides (percentile/median treat
+    every row equally; pricing and survey analytics weight rows).
+    Lower weighted median: the first price (under a total (price,
+    orderkey, linenumber) order) whose running weight reaches half the
+    group total. Integer weights and integer comparisons (2·cum ≥
+    total) leave nothing to rounding; the median itself is a PICKED
+    value.
+
+    Scale: one window partitioned by group (each partition sorts only
+    its own rows) + a filtered min — no global sort; for extreme
+    groups the KLL sketch (functions/kll.py) is the approximate
+    counterpart.
+    """
+    from pyspark.sql import Window as W
+    li = catalog.load(spark, sf_dir, "lineitem")
+    w = li.select(F.col("l_returnflag").alias("flag"),
+                  F.col("l_extendedprice").alias("price"),
+                  F.floor("l_quantity").cast("bigint").alias("wt"),
+                  "l_orderkey", "l_linenumber")
+    run = (W.partitionBy("flag")
+           .orderBy("price", "l_orderkey", "l_linenumber")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = W.partitionBy("flag")
+    c = (w.withColumn("cum", F.sum("wt").over(run))
+         .withColumn("total", F.sum("wt").over(tot)))
+    return (c.filter(2 * F.col("cum") >= F.col("total"))
+            .groupBy("flag", "total")
+            .agg(F.min("price").alias("weighted_median_price"))
+            .select("flag", F.col("total").cast("bigint")
+                    .alias("total_weight"), "weighted_median_price"))
