@@ -271,3 +271,55 @@ def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("value").alias("high"),
                  F.min("value").alias("low"),
                  F.max_by("value", key).alias("close")))
+
+
+EWMA_DEPTH = 8  # alpha = 1/2; weights 2^-1 .. 2^-8 are exact doubles
+
+
+@register(
+    "timeseries_ewma",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, h, n,
+             {", ".join(f"lag(n, {k}) OVER (PARTITION BY event_type "
+                        f"ORDER BY h) AS l{k}" for k in range(1, 9))}
+      FROM hourly
+    )
+    SELECT event_type, h, n,
+           CAST(n AS DOUBLE) / 2
+             {" ".join(f"+ COALESCE(l{k}, 0) / {2 ** (k + 1)}"
+                       for k in range(1, 9))}
+             AS ewma
+    FROM lagged
+    """,
+    tags=("timeseries", "smoothing", "ewma"),
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event rates
+    (α = 1/2, truncated at depth 8 — the smoothing primitive of
+    monitoring/forecasting pipelines). The parity trick: α = 1/2 makes
+    every weight an exact power of two, and the sum is a FIXED
+    left-to-right chain of 9 LAG terms — no recursive state, no
+    reduction-order ambiguity, no rounding device needed. The window
+    is partitioned per series; missing leading lags coalesce to 0
+    (the zero-initialized EWMA convention).
+
+    Scale: one keyed aggregate + one partitioned window; depth is a
+    constant, so the plan is the same at any history length.
+    """
+    from pyspark.sql import Window as W
+    events = catalog.load(spark, sf_dir, "events")
+    hourly = (events.groupBy("event_type",
+                             F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("event_type").orderBy("h")
+    ewma = F.col("n").cast("double") / 2
+    out = hourly
+    for k in range(1, EWMA_DEPTH + 1):
+        out = out.withColumn(f"l{k}", F.lag("n", k).over(w))
+        ewma = ewma + F.coalesce(F.col(f"l{k}"), F.lit(0)) / (2 ** (k + 1))
+    return out.select("event_type", "h", "n", ewma.alias("ewma"))

@@ -282,3 +282,40 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("price").alias("weighted_median_price"))
             .select("flag", F.col("total").cast("bigint")
                     .alias("total_weight"), "weighted_median_price"))
+
+
+@register(
+    "agg_exact_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT flag,
+           arg_min(q, CAST(-n AS BIGINT) * 1000 + q) AS mode_quantity,
+           CAST(MAX(n) AS BIGINT) AS mode_count
+    FROM c GROUP BY flag
+    """,
+    tags=("agg", "mode"),
+)
+def agg_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE (most frequent quantity per return flag) with a
+    deterministic smallest-value tie-break — the statistical aggregate
+    ANSI added as MODE() but engines implement with arbitrary ties.
+    Two map-combinable aggregations: value counts, then
+    min_by(value, (-count, value)) encoded as one integer ordering key
+    (quantities are bounded < 1000, so -n·1000 + q orders by count
+    desc then value asc exactly).
+
+    Scale: group × distinct-value counts then a per-group argmin —
+    never a sort of the raw rows.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    c = (li.select(F.col("l_returnflag").alias("flag"),
+                   F.floor("l_quantity").cast("bigint").alias("q"))
+         .groupBy("flag", "q").agg(F.count(F.lit(1)).alias("n")))
+    key = (-F.col("n")) * 1000 + F.col("q")
+    return (c.groupBy("flag")
+            .agg(F.min_by("q", key).alias("mode_quantity"),
+                 F.max("n").cast("bigint").alias("mode_count")))

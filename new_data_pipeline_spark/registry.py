@@ -38,7 +38,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # - slots 1-2: agg_approx_distinct / agg_percentile_approx — the ONLY
 #   2 of the 147 round-3-era queries without a green driver entry (graded `no_oracle`
 #   in r1, gained bounded-error oracles in r3, never re-exposed);
-# - slots 3-32: the THIRTY queries ADDED in round 4 (first wave: BPE
+# - slots 3-34: the THIRTY-TWO queries ADDED in round 4 (first wave: BPE
 #   tokenizer, boilerplate strip, streaming→ACID exactly-once twin,
 #   PQ ANN, ACID change-data-feed, model quality filter, source
 #   policy; second wave: PageRank, bigram-LM perplexity, KMV theta
@@ -48,7 +48,7 @@ QUERIES: dict[str, QuerySpec] = {}
 #   e2e curation, quantile binning, target encoding, CountMin
 #   estimates, CEP pattern match, priority keeper, triangle census,
 #   OHLC bars, audio decimation, Bloom membership, Benford screen,
-#   nearest-event as-of, weighted median);
+#   nearest-event as-of, weighted median, EWMA smoothing, exact mode);
 # - remaining slots: regeneration-sensitive greens, per the r3
 #   guidance — timestamp-heavy (streaming family, gapfill/SCD2,
 #   temporal joins, incremental stores), array/struct-emitting
@@ -60,16 +60,16 @@ QUERIES: dict[str, QuerySpec] = {}
 #   the driver's 50);
 # - no rows-only queries exist: approximates carry bounded-error
 #   oracles (exact values + in-bound flags the oracle replays as
-#   literal TRUE) — all 174 queries hash-gate.
+#   literal TRUE) — all 176 queries hash-gate.
 #
 # Round-5 guidance: after round 4 every registered query has a green
 # driver entry (the r4 window graded the never-green approx pair plus
-# all thirty queries added in round 4). Lead the next window with
+# all thirty-two queries added in round 4). Lead the next window with
 # (a) queries ADDED in round 5 and (b) rotation: the r1/r2-graded
 # relational/TPC-H/window/setop block has gone longest without driver
 # re-exposure — backfill from there (decimal-heavy TPC-H queries
 # first), then the perennial regeneration-sensitive set (streaming,
-# array-emitting, heavy dedup), and re-seat the twenty-three r3-green slots
+# array-emitting, heavy dedup), and re-seat the twenty-five r3-green slots
 # released this round (struct_funcs, agg_collect_sorted,
 # dedup_simhash, dedup_apply_minhash, dedup_embedding_cosine,
 # sessionize_lag, event_path_trigrams, retention_cohorts,
@@ -78,7 +78,8 @@ QUERIES: dict[str, QuerySpec] = {}
 # sim_bruteforce_topk, cluster_kmeans_assign, scalar_array_funcs,
 # array_higher_order, dedup_exact_substrings, stream_dedup_keep_first,
 # stream_interval_join, join_asof_event_streams,
-# join_temporal_pointintime).
+# join_temporal_pointintime, stream_tumbling_window,
+# stream_sliding_window).
 GATE_PRIORITY: tuple[str, ...] = (
     # ---- the 2 queries with no green driver entry (VERDICT r3 §missing #1)
     "agg_approx_distinct",
@@ -118,12 +119,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "profile_benford_deviation",
     "join_asof_nearest",
     "agg_weighted_median",
+    "timeseries_ewma",
+    "agg_exact_mode",
     # ---- timestamp-heavy greens (testdata regen moved every ts value;
     # physical parquet ts types have drifted between rounds before)
     "timeseries_gapfill",
     "scd2_user_state",
-    "stream_tumbling_window",
-    "stream_sliding_window",
     "stream_session_window",
     "stream_running_totals",
     "stream_static_dim_join",
