@@ -275,6 +275,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
            .distinct().localCheckpoint())
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id")))
+    rounds = 0
     for rounds in range(1, max_iters + 1):
         nbr = (sym.join(labels, sym["v"] == labels["id"])
                .select(sym["u"].alias("id"), "label"))
@@ -346,6 +347,11 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
     nodes = (edges.select(F.col(src).alias("id"))
              .union(edges.select(F.col(dst).alias("id")))
              .distinct().localCheckpoint())
+    rounds = 0
+    if max_iters <= 0:  # clean no-op: identity labels, rounds=0
+        if stats is not None:
+            stats["rounds"] = 0
+        return nodes.withColumn("label", F.col("id"))
     for rounds in range(1, max_iters + 1):
         nxt = _small_star(_large_star(canon)).localCheckpoint()
         changed = (nxt.exceptAll(canon).limit(1).count()
@@ -753,7 +759,7 @@ def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fp AS (
       SELECT doc_id, source, md5(substr(text, 1, 40)) AS h,
-             CAST(substr(source, 4) AS INTEGER) % 3 AS priority
+             TRY_CAST(substr(source, 4) AS INTEGER) % 3 AS priority
       FROM documents
     ), ranked AS (
       SELECT *,
@@ -784,7 +790,7 @@ def dedup_priority_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = docs.select(
         "doc_id", "source",
         F.md5(F.substring("text", 1, 40)).alias("h"),
-        F.expr("CAST(substring(source, 4, 8) AS INT) % 3")
+        F.expr("TRY_CAST(substring(source, 4) AS INT) % 3")
         .alias("priority"))
     agg = (fp.groupBy("h")
            .agg(F.min(F.struct("priority", "doc_id")).alias("m"),

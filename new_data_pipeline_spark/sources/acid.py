@@ -303,9 +303,10 @@ def rollback(table: str, to_version: int) -> int:
 
 
 def history(table: str) -> list[dict]:
-    """Version log, oldest first: (version, operation, n_files, ts)."""
+    """Version log, oldest first: (version, operation, n_files, ts,
+    txn — the (stream_id, epoch_id) marker for streaming commits)."""
     return [{k: s[k] for k in ("version", "parent", "operation", "timestamp")}
-            | {"n_files": len(s["files"])}
+            | {"n_files": len(s["files"]), "txn": s.get("txn")}
             for v in _versions(table)
             for s in [_load_snapshot(table, v)]]
 

@@ -23,7 +23,9 @@ stream writing 100 TB commits the same way it commits 100 MB.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +41,19 @@ def idempotent_epoch_writer(table: str, stream_id: str):
     """foreachBatch callback: append the micro-batch to ``table`` under
     (stream_id, epoch_id), skipping epochs already in the commit log.
     Epochs of one stream arrive in increasing order, so "at or below
-    last committed" detects every replay."""
+    last committed" detects every replay.
+
+    Assumptions (the Delta-txn contract, stated explicitly): ONE live
+    writer per ``stream_id``, and a stable (source, checkpoint) pairing
+    — epoch numbers only identify batch CONTENT relative to the
+    checkpoint that produced them. Restarting against a FRESH checkpoint
+    (or changed batching config, e.g. another maxFilesPerTrigger) with
+    the same stream_id reuses epoch numbers for different rows and this
+    filter would silently drop them: use a new stream_id per
+    (source, checkpoint) lineage. The check-then-append is likewise not
+    atomic across concurrent writers sharing a stream_id — concurrency
+    comes from many stream_ids, not shared ones.
+    """
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         last = acid.last_committed_epoch(table, stream_id)
         if last is not None and epoch_id <= last:
@@ -88,7 +102,9 @@ def stream_acid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream→txn-log→snapshot-read path moved every row exactly once —
     the oracle aggregates the raw source directly.
     """
-    work = tempfile.mkdtemp(prefix="ndp_acid_ingest_")
+    token = hashlib.md5(("acid_ingest:" + sf_dir).encode()).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"ndp_acid_ingest_{token}")
+    shutil.rmtree(work, ignore_errors=True)  # rerun isolation, no leak
     src = os.path.join(work, "src")
     table = os.path.join(work, "table")
     ckpt = os.path.join(work, "ckpt")

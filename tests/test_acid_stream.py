@@ -129,6 +129,47 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert old.count() == 2
 
 
+def test_available_now_matches_microbatch_mode(spark, tmp_path):
+    """VERDICT r4 #7: the same ingest run under Trigger.AvailableNow
+    and under micro-batch processingTime must leave IDENTICAL table
+    contents and the same (stream_id, epoch) txn-trail shape — the
+    commit protocol is trigger-agnostic."""
+    src = str(tmp_path / "src")
+    batch = catalog.load(spark, SMOKE_DIR, "events")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    t_avail = str(tmp_path / "t_avail")
+    run_ingest(stream(), t_avail, str(tmp_path / "ck_a"),
+               stream_id="s", available_now=True)
+
+    t_micro = str(tmp_path / "t_micro")
+    q = run_ingest(stream(), t_micro, str(tmp_path / "ck_m"),
+                   stream_id="s", available_now=False)
+    deadline = time.time() + 60
+    n = batch.count()
+    while time.time() < deadline:
+        try:
+            if acid.read(spark, t_micro).count() >= n:
+                break
+        except FileNotFoundError:
+            pass  # first epoch not committed yet
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+
+    assert _rows(spark, t_avail) == _rows(spark, t_micro)
+    trail_a = sorted((h["txn"]["stream_id"], h["txn"]["epoch_id"])
+                     for h in acid.history(t_avail) if h.get("txn"))
+    trail_m = sorted((h["txn"]["stream_id"], h["txn"]["epoch_id"])
+                     for h in acid.history(t_micro) if h.get("txn"))
+    assert trail_a == trail_m
+
+
 def test_full_redelivery_all_epochs_skipped(spark, tmp_path):
     """Deterministic worst-case replay: run the whole stream, then run
     it AGAIN with a fresh checkpoint but the same stream_id — every

@@ -207,6 +207,19 @@ def test_connected_components_planted_graph(spark):
     assert star == labels
 
 
+def test_connected_components_zero_iters_no_op(spark):
+    """ADVICE r4: max_iters=0 with a stats dict must be a clean no-op
+    (rounds=0, identity labels), not an UnboundLocalError."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a bigint, doc_b bigint")
+    for fn in (dedup.connected_components, dedup.connected_components_star):
+        stats: dict = {}
+        labels = {r["id"]: r["label"]
+                  for r in fn(edges, max_iters=0, stats=stats).collect()}
+        assert stats["rounds"] == 0
+        assert labels == {1: 1, 2: 2, 3: 3}
+
+
 def test_star_components_logarithmic_rounds(spark):
     """Large-star/small-star must (a) agree with label propagation on a
     worst-case chain graph and (b) converge in O(log n) rounds where
