@@ -530,6 +530,103 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", n.alias("n_patterns")))
 
 
+SKIP_PATTERN = "view(,click)+,purchase"
+# the synthetic events table is time-sparse per user (~minutes-to-days
+# between events), so the session bound is 2 days — 563 sessions / 276
+# matches at sf0.01; a web-analytics deployment would use 30 minutes
+SESSION_GAP = "INTERVAL 2 DAYS"
+
+
+@register(
+    "events_pattern_skip_match",
+    oracle=f"""
+    WITH rel AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > {SESSION_GAP}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM rel
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    ), seqs AS (
+      SELECT user_id, session_seq,
+             array_to_string(list(event_type ORDER BY ts, event_id), ',')
+               AS s
+      FROM sess GROUP BY user_id, session_seq
+    ), counted AS (
+      SELECT user_id, session_seq,
+             len(regexp_extract_all(s, '{SKIP_PATTERN}')) AS n
+      FROM seqs
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_matches,
+           CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions_matched
+    FROM counted GROUP BY user_id HAVING SUM(n) > 0
+    """,
+    tags=("analytics", "cep", "pattern", "quantifier"),
+)
+def events_pattern_skip_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP skip-till-next-match with a quantifier: count per user the
+    non-overlapping ``view click+ purchase`` funnels completed inside a
+    2-day-gap session, SKIPPING irrelevant events (error/signup)
+    between pattern elements — the MATCH_RECOGNIZE class
+    (``PATTERN (V C+ P) AFTER MATCH SKIP PAST LAST ROW`` over a
+    relevance-filtered stream with a session time bound) that
+    events_pattern_match's strict-contiguity device cannot express.
+
+    Construction: relevance filter → gaps-and-islands sessionization
+    (lag + cumulative sum, the sessionize_lag device) → per-session
+    ordered token string → leftmost non-overlapping regex count
+    (``view(,click)+,purchase``). Java and RE2 regex agree on
+    leftmost-earliest non-overlapping counting for this pattern, and
+    the closed comma-joined vocabulary cannot misalign across token
+    boundaries. The time bound is the session gap: no match spans a
+    silence longer than SESSION_GAP.
+
+    Scale: two keyed shuffles (user window, session groupBy) and state
+    bounded by one session's RELEVANT tokens — never the corpus. On
+    the streaming path the same pattern runs as an
+    applyInPandasWithState NFA keyed by user, the standard CEP
+    deployment; this batch twin is the oracle-checkable shape.
+    """
+    from pyspark.sql import Window as W
+    events = catalog.load(spark, sf_dir, "events")
+    rel = events.filter(
+        F.col("event_type").isin("view", "click", "purchase"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = rel.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.col("ts") - F.lag("ts").over(w)
+                  > F.expr(SESSION_GAP)), 1)
+         .otherwise(0).alias("is_new"))
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = marked.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum("is_new").over(cum).alias("session_seq"))
+    seqs = (sess.groupBy("user_id", "session_seq")
+            .agg(F.concat_ws(",", F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"])).alias("s")))
+    counted = seqs.select(
+        "user_id",
+        F.regexp_count(F.col("s"), F.lit(SKIP_PATTERN)).alias("n"))
+    return (counted.groupBy("user_id")
+            .agg(F.sum("n").cast("bigint").alias("n_matches"),
+                 F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_sessions_matched"))
+            .filter(F.col("n_matches") > 0))
+
+
 @register(
     "profile_benford_deviation",
     oracle="""

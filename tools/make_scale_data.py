@@ -1,0 +1,134 @@
+"""Synthesize a ~10x blowup of /root/testdata/sf0.1 for the scale-
+evidence audit (VERDICT r4 next-round #1).
+
+Design: ten FK-consistent copies of every fact table, each copy's
+bigint keys offset by i * 10^12, so the result is ten disjoint
+subgraphs — the "ten independent crawls" model of corpus growth.
+Per-copy perturbations keep WITHIN-copy structure identical while
+making ACROSS-copy content (shingles, signatures) disjoint:
+
+- documents: per-copy letter `translate` (vowels rotated by i%5,
+  'bcdfg' rotated by (2i)%5) — length-preserving, word-boundary-
+  preserving, so within-copy dup structure and n_chars are exactly
+  preserved while cross-copy shingle sets are disjoint. Candidate-pair
+  counts therefore scale ~linearly (10x), the realistic web-corpus
+  regime, not the 100x worst case verbatim replication would inject.
+- embeddings: deterministic small perturbation per (copy, dim):
+  emb[j] + 0.003 * ((7i + j) % 11 - 5). Keeps cluster geometry
+  near-identical per copy; vec_id offsets keep id-derived seeds valid.
+- events: disjoint user populations per copy (user_id offset) — group
+  counts scale 10x, per-group sizes stay constant.
+- dims nation/region stay verbatim (fixed-cardinality dimensions).
+
+Output: /tmp/ndp_scale10/<table>.parquet (overwritten). Run:
+    python tools/make_scale_data.py [factor]
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
+OUT = os.environ.get("SCALE_OUT", "/tmp/ndp_scale10")
+OFF = 10**12
+
+VOWELS = "aeiou"
+CONS = "bcdfg"
+
+
+def _rot(s: str, k: int) -> str:
+    k %= len(s)
+    return s[k:] + s[:k]
+
+
+def _perturb_text(col, i: int):
+    if i == 0:
+        return col
+    src = VOWELS + CONS + VOWELS.upper() + CONS.upper()
+    dst = (_rot(VOWELS, i % 5) + _rot(CONS, (2 * i) % 5)
+           + _rot(VOWELS.upper(), i % 5) + _rot(CONS.upper(), (2 * i) % 5))
+    return F.translate(col, src, dst)
+
+
+def _copies(df: DataFrame, factor: int, build) -> DataFrame:
+    out = None
+    for i in range(factor):
+        c = build(df, i)
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main(factor: int = 10) -> None:
+    spark = (SparkSession.builder.master("local[16]")
+             .appName("ndp-scale-data")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+             .config("spark.driver.memory", "48g")
+             .getOrCreate())
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+
+    def load(name):
+        return spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+
+    def save(df, name, parts=16):
+        df.repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(OUT, f"{name}.parquet"))
+        print(f"{name}: {df.count()} rows", flush=True)
+
+    # fixed dims: verbatim single copy
+    for name in ("nation", "region"):
+        save(load(name), name, parts=1)
+
+    key_offsets = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for name, keys in key_offsets.items():
+        df = load(name)
+
+        def build(d, i, keys=keys):
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(i * OFF))
+            return d
+
+        save(_copies(df, factor, build), name)
+
+    docs = load("documents")
+
+    def build_docs(d, i):
+        return (d.withColumn("doc_id", F.col("doc_id") + F.lit(i * OFF))
+                .withColumn("text", _perturb_text(F.col("text"), i)))
+
+    save(_copies(docs, factor, build_docs), "documents")
+
+    emb = load("embeddings")
+
+    def build_emb(d, i):
+        if i == 0:
+            return d
+        return (d.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFF))
+                .withColumn(
+                    "embedding",
+                    F.expr(f"""transform(embedding, (x, j) ->
+                        CAST(x + 0.003 * ((7 * {i} + j) % 11 - 5)
+                             AS FLOAT))""")))
+
+    save(_copies(emb, factor, build_emb), "embeddings")
+    spark.stop()
+    print(f"done: {OUT} at {factor}x {SRC}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

@@ -1,0 +1,91 @@
+"""Scale-evidence audit (VERDICT r4 next-round #1): run the heavy
+query family at 1x (sf0.1) and Nx (tools/make_scale_data.py output),
+record wall-clock medians and the implied scaling exponent
+alpha = log(t_Nx / t_1x) / log(N)  (alpha <= 1 = linear or better).
+
+Usage:
+    python tools/make_scale_data.py 10          # once
+    python tools/scale_audit.py [reps]          # default 3
+
+Prints one JSON line per query plus a BASELINE.md-ready markdown table.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+BASE = os.environ.get("SCALE_BASE", "/root/testdata/sf0.1")
+BIG = os.environ.get("SCALE_OUT", "/tmp/ndp_scale10")
+FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
+
+HEAVY = [
+    "dedup_minhash_lsh",
+    "dedup_simhash64_hamming",
+    "dedup_cluster_components",
+    "dedup_semdedup_cells",
+    "join_set_similarity",
+    "join_set_similarity_prefix",
+    "graph_pagerank",
+    "sim_pq_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "text_bpe_token_counts",
+    "dedup_exact_substrings",
+]
+
+
+def main(reps: int = 3, only: list[str] | None = None) -> None:
+    from new_data_pipeline_spark import registry  # noqa: F401
+    import __spark_entry__ as entry
+
+    spark = (SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("ndp-scale-audit")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "96g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry.queries()
+
+    rows = []
+    for name in (only or HEAVY):
+        fn = queries[name]
+        rec = {"query": name}
+        fn(spark, BASE).count()  # discarded warmup: JIT + codegen + FS cache
+        spark.catalog.clearCache()
+        for tag, sf_dir in (("t1", BASE), (f"t{FACTOR}", BIG)):
+            times = []
+            for _ in range(reps):
+                t0 = time.monotonic()
+                n = fn(spark, sf_dir).count()
+                times.append(time.monotonic() - t0)
+                spark.catalog.clearCache()
+            rec[tag] = round(statistics.median(times), 2)
+            rec[f"{tag}_rows"] = n
+        ratio = rec[f"t{FACTOR}"] / max(rec["t1"], 1e-9)
+        rec["ratio"] = round(ratio, 2)
+        rec["alpha"] = round(math.log(max(ratio, 1e-9)) / math.log(FACTOR), 2)
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    print("\n| query | t(1x) s | t(%dx) s | ratio | alpha |" % FACTOR)
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['query']} | {r['t1']} | {r[f't{FACTOR}']} "
+              f"| {r['ratio']} | {r['alpha']} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3,
+         sys.argv[2:] or None)
