@@ -83,19 +83,44 @@ MINHASH_B = (268_435_399, 785_685_301, 417_793_621, 675_977_531,
              354_875_821, 86_028_157, 611_953_517, 177_635_683)
 
 
-def minhash_signature_expr(shingle_col: str, k: int = MINHASH_K):
+def hashed_shingles_expr(text_col: str = "text"):
+    """Distinct md5-derived 60-bit hashes of the word-3-gram shingles —
+    the setsim_join payload device applied to minhash: the Jaccard
+    verify join moves arrays of LONGS (8 B/element), not the shingle
+    strings themselves (~20-30 B + offsets). A 60-bit collision merges
+    elements IDENTICALLY in Spark and DuckDB (same md5-prefix
+    expression both sides), so the gate stays exact by construction.
+    Caller must pre-filter to ≥ SHINGLE_W tokens (sequence() descends
+    for n < 1, as in _spark_shingles)."""
+    return F.expr(f"""
+        array_distinct(transform(
+          transform(
+            sequence(1, size(split({text_col}, ' ')) - {SHINGLE_W - 1}),
+            i -> concat_ws(' ', slice(split({text_col}, ' '), i, {SHINGLE_W}))),
+          s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))""")
+
+
+def minhash_signature_expr(shingle_col: str, k: int = MINHASH_K,
+                           hashed: bool = False):
     """k minhash values via the affine family over one base hash:
     base = int64(md5(s)[:15]) mod P; h_i = (A_i*base + B_i) mod P.
 
     Single-pass: ONE aggregate over the base hashes carrying all k
     running minima (zip_with + least). Catalyst does not CSE across k
     separate array_min expressions, so the naive form md5s every
-    shingle k times — the aggregate evaluates the md5 transform once."""
+    shingle k times — the aggregate evaluates the md5 transform once.
+
+    With ``hashed=True`` the column already holds the 60-bit md5-derived
+    longs (hashed_shingles_expr) and base = h mod P — bit-identical
+    signatures to the string path, zero additional md5 passes."""
     a_arr = "array(" + ", ".join(f"{a}L" for a in MINHASH_A[:k]) + ")"
     b_arr = "array(" + ", ".join(f"{b}L" for b in MINHASH_B[:k]) + ")"
-    bases = (f"transform({shingle_col}, "
-             f"s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
-             f" % {MINHASH_P})")
+    if hashed:
+        bases = f"transform({shingle_col}, h -> h % {MINHASH_P})"
+    else:
+        bases = (f"transform({shingle_col}, "
+                 f"s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+                 f" % {MINHASH_P})")
     return F.expr(f"""
         aggregate(
           {bases},
@@ -151,20 +176,19 @@ _SQL_MINHASH_PAIR_CTES = f"""
     t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), s AS (
-      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t
+      SELECT doc_id,
+             list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                            for x in {_SQL_SHINGLES}]) AS hs
+      FROM t
       WHERE len(toks) >= {SHINGLE_W}
-    ), base AS (
-      SELECT doc_id, sh,
-             [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % {MINHASH_P}
-              for x in sh] AS hs
-      FROM s
     ), m AS (
-      SELECT doc_id, sh,
-             [list_min([([{','.join(str(a) for a in MINHASH_A)}][k + 1] * h
+      SELECT doc_id,
+             [list_min([([{','.join(str(a) for a in MINHASH_A)}][k + 1]
+                          * (h % {MINHASH_P})
                          + [{','.join(str(b) for b in MINHASH_B)}][k + 1])
                         % {MINHASH_P} for h in hs])
               for k in range(0, {MINHASH_K})] AS sig
-      FROM base
+      FROM s
     ), bands AS (
       SELECT doc_id, b AS band_id,
              CAST(sig[{MINHASH_R} * b + 1] AS VARCHAR) || ',' ||
@@ -177,13 +201,13 @@ _SQL_MINHASH_PAIR_CTES = f"""
        AND a.doc_id < b.doc_id
     ), pairs AS (
       SELECT c.doc_a, c.doc_b,
-             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                   / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+             round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                   / len(list_distinct(sa.hs || sb.hs)), 6) AS jaccard
       FROM cand c
       JOIN s sa ON sa.doc_id = c.doc_a
       JOIN s sb ON sb.doc_id = c.doc_b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_THRESHOLD}
+      WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+            / len(list_distinct(sa.hs || sb.hs)) >= {JACCARD_THRESHOLD}
     )"""
 
 
@@ -191,13 +215,14 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH near-dup pair pipeline (doc_a, doc_b, jaccard) — shared
     by ``dedup_minhash_lsh`` and the cluster-components pass."""
     docs = catalog.load(spark, sf_dir, "documents")
-    # Persist the shingle sets: the plan consumes them four times (band
+    # Persist the HASHED shingle sets (60-bit longs, not strings — see
+    # hashed_shingles_expr): the plan consumes them four times (band
     # build ×2 via the self-join, Jaccard verify ×2) and recomputing the
     # shingle+minhash subtree dominated the un-persisted runtime ~5×.
     s = (docs.filter(F.size(F.split("text", " ")) >= SHINGLE_W)
-         .select("doc_id", _spark_shingles().alias("sh"))
+         .select("doc_id", hashed_shingles_expr().alias("hs"))
          .persist())
-    m = s.withColumn("sig", minhash_signature_expr("sh"))
+    m = s.withColumn("sig", minhash_signature_expr("hs", hashed=True))
     bands = m.select(
         "doc_id",
         F.explode(F.array(*[
@@ -218,10 +243,10 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-           / F.size(F.array_union("sh_a", "sh_b")))
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    jac = (F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+           / F.size(F.array_union("hs_a", "hs_b")))
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .filter(jac >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))

@@ -535,6 +535,17 @@ SKIP_PATTERN = "view(,click)+,purchase"
 # between events), so the session bound is 2 days — 563 sessions / 276
 # matches at sf0.01; a web-analytics deployment would use 30 minutes
 SESSION_GAP = "INTERVAL 2 DAYS"
+# Hard per-session state bound: only the first CAP relevant tokens of a
+# session enter the pattern string (row_number filter BEFORE the
+# collect_list, so the agg buffer itself is bounded, not just the
+# output). At 100× event density a heavy user's whole history can
+# collapse into ONE 2-day-gap session; without the cap that session's
+# token string is the unbounded object (VERDICT r5). Matches past the
+# cap are not counted — the documented bounded-state trade; both
+# engines truncate identically so the gate stays exact. 512 × ~9 B
+# ≈ 5 KB ceiling per session; max observed session is 52 tokens at
+# sf0.01, 65 at sf0.1, so gated output is unchanged at test scales.
+SESSION_TOKEN_CAP = 512
 
 
 @register(
@@ -555,11 +566,18 @@ SESSION_GAP = "INTERVAL 2 DAYS"
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM marked
+    ), capped AS (
+      SELECT user_id, session_seq, event_type, ts, event_id
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                     ORDER BY ts, event_id) AS rn
+        FROM sess
+      ) WHERE rn <= {SESSION_TOKEN_CAP}
     ), seqs AS (
       SELECT user_id, session_seq,
              array_to_string(list(event_type ORDER BY ts, event_id), ',')
                AS s
-      FROM sess GROUP BY user_id, session_seq
+      FROM capped GROUP BY user_id, session_seq
     ), counted AS (
       SELECT user_id, session_seq,
              len(regexp_extract_all(s, '{SKIP_PATTERN}')) AS n
@@ -592,13 +610,24 @@ def events_pattern_skip_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     silence longer than SESSION_GAP.
 
     Scale: two keyed shuffles (user window, session groupBy) and state
-    bounded by one session's RELEVANT tokens — never the corpus. On
+    HARD-bounded at SESSION_TOKEN_CAP relevant tokens per session (see
+    the cap comment) — never the corpus, never an unbounded session. On
     the streaming path the same pattern runs as an
     applyInPandasWithState NFA keyed by user, the standard CEP
     deployment; this batch twin is the oracle-checkable shape.
     """
-    from pyspark.sql import Window as W
     events = catalog.load(spark, sf_dir, "events")
+    return skip_match_counts(events)
+
+
+def skip_match_counts(events: DataFrame,
+                      token_cap: int = None) -> DataFrame:
+    """The skip-till-next-match pipeline over an arbitrary events frame
+    (unit-testable core of events_pattern_skip_match; columns used:
+    user_id, ts, event_id, event_type)."""
+    from pyspark.sql import Window as W
+    if token_cap is None:
+        token_cap = SESSION_TOKEN_CAP
     rel = events.filter(
         F.col("event_type").isin("view", "click", "purchase"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -612,6 +641,13 @@ def events_pattern_skip_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = marked.select(
         "user_id", "event_type", "ts", "event_id",
         F.sum("is_new").over(cum).alias("session_seq"))
+    # state bound: first CAP relevant tokens per session; the
+    # (user_id, session_seq) window reuses the user_id hash
+    # partitioning (HashPartitioning(user_id) satisfies the clustered
+    # distribution on the superset key) — a sort, not a new shuffle
+    wsess = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    sess = (sess.withColumn("rn", F.row_number().over(wsess))
+            .filter(F.col("rn") <= token_cap))
     seqs = (sess.groupBy("user_id", "session_seq")
             .agg(F.concat_ws(",", F.transform(
                 F.sort_array(F.collect_list(

@@ -80,69 +80,80 @@ QUERIES: dict[str, QuerySpec] = {}
 # stream_interval_join, join_asof_event_streams,
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
+# Round-6 window (re-aimed per VERDICT r5 #2). Composition:
+# - slots 1-3: queries CHANGED this round — events_pattern_skip_match
+#   (added r5, never driver-graded, now capped + unit-pinned) and the
+#   two minhash queries whose shared pair pipeline moved to 60-bit
+#   hashed-shingle verification (oracle CTEs updated both sides);
+# - next: queries ADDED in round 6 (inserted here as they land — each
+#   displaces one rotation backfill from the tail, keeping the
+#   "every new query graded in its landing round" invariant);
+# - next 25: the r3-green slots released in round 4 (longest without
+#   driver re-exposure besides the r1/r2 block; includes
+#   dedup_apply_minhash, which ALSO changed this round);
+# - tail: the r1/r2-graded relational/TPC-H rotation, decimal-heavy
+#   TPC-H first (q17/q18/q19, pricing_summary shape twins) — these
+#   have not been driver-graded on regenerated data since round 2.
+# Released this round (all r4/r5-green, all still re-verified every
+# run by the local full-registry replay): the 32 round-4 additions,
+# the timestamp-heavy block, simhash64/semdedup, and the sketch/ANN
+# family — re-seat them in round 7.
 GATE_PRIORITY: tuple[str, ...] = (
-    # ---- the 2 queries with no green driver entry (VERDICT r3 §missing #1)
-    "agg_approx_distinct",
-    "agg_percentile_approx",
-    # ---- first-wave round-4 queries — graded on first exposure
-    "text_bpe_token_counts",
-    "text_boilerplate_strip",
-    "stream_acid_ingest",
-    "sim_pq_topk",
-    "acid_change_data_feed",
-    "text_model_quality_filter",
-    "corpus_source_policy",
-    # ---- second + third wave round-4 additions — graded on first
-    # exposure; ten r3-green slots were released to make room (list in
-    # the round-5 guidance above — all re-verified every run by the
-    # local full-registry replay)
-    "graph_pagerank",
-    "text_lm_perplexity",
-    "agg_theta_intersection",
-    "join_set_similarity",
-    "join_set_similarity_prefix",
-    "stream_interval_join_outer",
-    "profile_source_drift",
-    "multimodal_thumbnail_stats",
-    "text_hashing_vectorize",
-    "sample_reservoir_pergroup",
-    "multimodal_e2e_curation",
-    "ml_quantile_binning",
-    "ml_target_encoding",
-    "agg_countmin_point_estimates",
-    "events_pattern_match",
-    "dedup_priority_keeper",
-    "graph_triangle_stats",
-    "timeseries_ohlc_bars",
-    "multimodal_audio_resample",
-    "agg_bloom_membership",
-    "profile_benford_deviation",
-    "join_asof_nearest",
-    "agg_weighted_median",
-    "timeseries_ewma",
-    "agg_exact_mode",
-    # ---- timestamp-heavy greens (testdata regen moved every ts value;
-    # physical parquet ts types have drifted between rounds before)
-    "timeseries_gapfill",
-    "scd2_user_state",
-    "stream_session_window",
-    "stream_running_totals",
-    "stream_static_dim_join",
-    "incremental_monthly_revenue",
-    "incremental_monthly_distinct",
-    # ---- heavy dedup / curation pipelines (most moving parts per
-    # query; every stage replays in the oracle)
+    # ---- changed this round: never-driver-graded CEP + re-verified
+    # minhash pipeline (hashed-shingle verify payload)
+    "events_pattern_skip_match",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
-    "dedup_simhash64_hamming",
-    "dedup_semdedup_cells",
-    # ---- bounded-error sketch/ANN family (error-flag oracles whose
-    # margins are cardinality-dependent — re-verify on fresh data)
-    "agg_hll_sketch",
-    "agg_hll_mergeable_rollup",
-    "agg_kll_quantile_rollup",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
+    # ---- round-6 additions land here ----
+    # ---- the 25 r3-green slots released in round 4 ----
+    "struct_funcs",
+    "agg_collect_sorted",
+    "dedup_simhash",
+    "dedup_apply_minhash",
+    "dedup_embedding_cosine",
+    "sessionize_lag",
+    "event_path_trigrams",
+    "retention_cohorts",
+    "anomaly_event_rate",
+    "active_users_rolling",
+    "curriculum_rank_global",
+    "text_contamination_ngrams",
+    "corpus_e2e_curation",
+    "lateral_explode",
+    "sim_bruteforce_topk",
+    "cluster_kmeans_assign",
+    "scalar_array_funcs",
+    "array_higher_order",
+    "dedup_exact_substrings",
+    "stream_dedup_keep_first",
+    "stream_interval_join",
+    "join_asof_event_streams",
+    "join_temporal_pointintime",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    # ---- r1/r2 relational/TPC-H rotation, decimal-heavy first ----
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicate",
+    "pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q8_market_share",
+    "tpch_q7_volume_shipping",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q22_idle_customers",
+    "tpch_q13_customer_distribution",
+    "tpch_q4_order_priority",
+    "flagship_revenue_by_nation",
+    "report_revenue_share",
+    "composite_shipping_priority",
+    "composite_returned_items",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "window_topk_per_group",
     # ---- first-50 window boundary (positions above are 0-49) ----
     # earlier-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.

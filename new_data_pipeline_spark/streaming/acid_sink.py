@@ -102,7 +102,13 @@ def stream_acid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream→txn-log→snapshot-read path moved every row exactly once —
     the oracle aggregates the raw source directly.
     """
-    token = hashlib.md5(("acid_ingest:" + sf_dir).encode()).hexdigest()[:12]
+    # Workdir key includes the pid: two concurrent invocations for the
+    # same sf_dir (parallel test workers, bench overlapping correctness)
+    # must not rmtree each other's live source/checkpoint mid-stream
+    # (ADVICE r5). Same-process reruns still reuse + reset one dir, so
+    # repeated gate runs cannot leak an unbounded dir-per-call.
+    token = hashlib.md5(
+        f"acid_ingest:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
     work = os.path.join(tempfile.gettempdir(), f"ndp_acid_ingest_{token}")
     shutil.rmtree(work, ignore_errors=True)  # rerun isolation, no leak
     src = os.path.join(work, "src")

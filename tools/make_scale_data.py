@@ -47,12 +47,21 @@ def _rot(s: str, k: int) -> str:
     return s[k:] + s[:k]
 
 
+def _rotations(i: int) -> tuple[int, int]:
+    """Distinct (vowel, consonant) rotation pair per copy. The naive
+    (i%5, 2i%5) repeats with period 5 (copy i+5 == copy i — ADVICE r5:
+    verbatim cross-copy duplicates); folding i//5 into the consonant
+    rotation makes the pair injective over i in [0, 25)."""
+    return i % 5, (2 * i + i // 5) % 5
+
+
 def _perturb_text(col, i: int):
     if i == 0:
         return col
+    rv, rc = _rotations(i)
     src = VOWELS + CONS + VOWELS.upper() + CONS.upper()
-    dst = (_rot(VOWELS, i % 5) + _rot(CONS, (2 * i) % 5)
-           + _rot(VOWELS.upper(), i % 5) + _rot(CONS.upper(), (2 * i) % 5))
+    dst = (_rot(VOWELS, rv) + _rot(CONS, rc)
+           + _rot(VOWELS.upper(), rv) + _rot(CONS.upper(), rc))
     return F.translate(col, src, dst)
 
 
@@ -72,6 +81,9 @@ def main(factor: int = 10) -> None:
              .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
              .config("spark.driver.memory", "48g")
              .getOrCreate())
+    pairs = [_rotations(i) for i in range(factor)]
+    assert len(set(pairs)) == factor, (
+        f"text perturbation not injective for factor={factor}: {pairs}")
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT, exist_ok=True)
 

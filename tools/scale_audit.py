@@ -61,9 +61,12 @@ def main(reps: int = 3, only: list[str] | None = None) -> None:
     for name in (only or HEAVY):
         fn = queries[name]
         rec = {"query": name}
-        fn(spark, BASE).count()  # discarded warmup: JIT + codegen + FS cache
-        spark.catalog.clearCache()
         for tag, sf_dir in (("t1", BASE), (f"t{FACTOR}", BIG)):
+            # discarded warmup per (query, dataset): JIT + codegen + FS
+            # cache — without the BIG-side warmup, reps=1-2 inflates the
+            # ratio with the 10x dataset's cold file-cache cost (ADVICE r5)
+            fn(spark, sf_dir).count()
+            spark.catalog.clearCache()
             times = []
             for _ in range(reps):
                 t0 = time.monotonic()
@@ -87,5 +90,10 @@ def main(reps: int = 3, only: list[str] | None = None) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3,
-         sys.argv[2:] or None)
+    # argv: [reps] [query ...] — a non-integer first arg is a query name
+    _argv = sys.argv[1:]
+    _reps = 3
+    if _argv and _argv[0].isdigit():
+        _reps = int(_argv[0])
+        _argv = _argv[1:]
+    main(_reps, _argv or None)
