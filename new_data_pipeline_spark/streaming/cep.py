@@ -1,0 +1,158 @@
+"""Streaming CEP: the skip-till-next-match pattern as a stateful NFA
+over `applyInPandasWithState` — the streaming twin of the batch
+`events_pattern_skip_match` query (operators/profiling.py), which is
+the oracle-checkable shape of the same semantics.
+
+Pattern: ``view click+ purchase`` per user, skipping irrelevant event
+types between elements (MATCH_RECOGNIZE ``PATTERN (V C+ P) AFTER MATCH
+SKIP PAST LAST ROW`` over a relevance-filtered stream), with a session
+time bound (no match spans a silence longer than the gap) and a hard
+per-session token cap.
+
+Why an NFA and not the batch shape: the batch twin materializes one
+token string per session and counts regex matches — fine for bounded
+replays, but a stream never "finishes" a session until the gap
+elapses. The NFA carries O(1) state per user (DFA state + counters +
+last event time), emits running totals every micro-batch, and its
+state store entry is bytes, not a token list — the standard CEP
+deployment shape (Flink CEP / MATCH_RECOGNIZE engines compile to the
+same keyed automaton).
+
+Token-level DFA for leftmost non-overlapping ``view click+ purchase``
+(equivalent to Java regex counting on the comma-joined token string —
+the batch oracle's device; equivalence is pinned test-by-test in
+tests/test_cep.py):
+
+    state 0 (idle):        view -> 1   click -> 0       purchase -> 0
+    state 1 (view seen):   view -> 1   click -> 2       purchase -> 0
+    state 2 (view click+): view -> 1   click -> 2       purchase -> MATCH, -> 0
+
+The ``view -> 1`` edge from states 1-2 is the leftmost-retry rule: a
+failed attempt restarts at the next ``view``, exactly where the regex
+scanner's next viable start position is.
+
+Ordering contract: events must arrive per-user in (ts, event_id) order
+across micro-batches (within a batch the operator sorts). That is the
+standard CEP input contract; a production deployment fronts this with
+a watermark-delay reorder buffer (hold events until the watermark
+passes their ts, then release in order), which composes with this
+operator unchanged — the buffer is itself a keyed state store holding
+at most one watermark-delay of events per user.
+
+Reference parity: the reference has no CEP (SURVEY.md §2.2 — this is
+the LLM/analytics extension surface); its only long-lived per-stream
+state is the in-RAM reader counters (reference serialize.py:417-425),
+which running_user_stats already rebuilds on the state store. This
+module extends the same GroupState device from accumulators to
+automata.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark.operators.profiling import (
+    SESSION_TOKEN_CAP)
+
+RELEVANT = ("view", "click", "purchase")
+GAP_SECONDS = 2 * 24 * 3600  # = the batch twin's SESSION_GAP (2 days)
+
+CEP_OUTPUT_SCHEMA = ("user_id bigint, n_matches bigint, "
+                     "n_sessions_matched bigint")
+# last_us: microseconds of the last RELEVANT event (session-gap clock —
+# capped-out tokens still extend the session, matching the batch twin
+# where sessionization runs BEFORE the cap); dfa: 0/1/2 above;
+# cur_n: matches in the OPEN session; done_sessions: closed sessions
+# that matched; total: matches over closed sessions + cur_n folds in
+# at emit; sess_tokens: tokens seen in the open session (cap gate).
+CEP_STATE_SCHEMA = ("last_us bigint, dfa int, cur_n bigint, "
+                    "done_sessions bigint, total bigint, "
+                    "sess_tokens bigint")
+
+
+def _step(dfa: int, tok: str) -> tuple[int, int]:
+    """One DFA transition; returns (next_state, matched 0/1)."""
+    if tok == "view":
+        return 1, 0
+    if tok == "click":
+        return (2, 0) if dfa in (1, 2) else (0, 0)
+    # purchase
+    return (0, 1) if dfa == 2 else (0, 0)
+
+
+def cep_skip_match_stream(events: DataFrame,
+                          gap_seconds: int = GAP_SECONDS,
+                          token_cap: int = SESSION_TOKEN_CAP) -> DataFrame:
+    """Per-user running (n_matches, n_sessions_matched) for the
+    ``view click+ purchase`` funnel — streaming (applyInPandasWithState,
+    update mode) or batch (same code path, Spark runs the stateful
+    operator once over the whole input) from the same call.
+
+    Emits one row per user per micro-batch in which that user had
+    events; the LAST emitted row per user is the converged answer and
+    equals the batch query for in-order delivery (tests/test_cep.py).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state):
+        if state.exists:
+            last_us, dfa, cur_n, done_sessions, total, sess_tokens = state.get
+            if last_us < 0:  # sentinel for "no relevant event yet"
+                last_us = None
+        else:
+            last_us, dfa, cur_n, done_sessions, total, sess_tokens = (
+                None, 0, 0, 0, 0, 0)
+        saw = False
+        for pdf in pdfs:
+            pdf = pdf[pdf["event_type"].isin(RELEVANT)]
+            if len(pdf) == 0:
+                continue
+            saw = True
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # int64 microseconds: arithmetic-only session clock
+            # (normalize to ns first — Arrow hands the batch over as
+            # datetime64[ns]; going through ns makes the scale explicit
+            # rather than guessed from the incoming dtype)
+            ts_us = (pdf["ts"].to_numpy().astype("datetime64[ns]")
+                     .astype("int64") // 1000)
+            for t_us, tok in zip(ts_us, pdf["event_type"]):
+                t_us = int(t_us)
+                if last_us is None or t_us - last_us > gap_us:
+                    # session rollover: bank the closing session
+                    if cur_n > 0:
+                        done_sessions += 1
+                        total += cur_n
+                    cur_n, dfa, sess_tokens = 0, 0, 0
+                last_us = t_us
+                sess_tokens += 1
+                if sess_tokens > token_cap:
+                    continue  # capped out, but session clock advanced
+                dfa, hit = _step(dfa, tok)
+                cur_n += hit
+        state.update((last_us if last_us is not None else -1,
+                      dfa, cur_n, done_sessions, total, sess_tokens))
+        if saw:
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_matches": [total + cur_n],
+                "n_sessions_matched": [done_sessions
+                                       + (1 if cur_n > 0 else 0)]})
+
+    return (events.select("user_id", "ts", "event_id", "event_type")
+            .groupBy("user_id").applyInPandasWithState(
+                update,
+                outputStructType=CEP_OUTPUT_SCHEMA,
+                stateStructType=CEP_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def cep_matched_users_batch(events: DataFrame) -> DataFrame:
+    """Batch projection with the registered query's output contract
+    (users with ≥1 match only) — convenience for equivalence checks."""
+    out = cep_skip_match_stream(events)
+    return out.filter(F.col("n_matches") > 0)

@@ -117,3 +117,128 @@ def test_ties_resolve_by_event_id(spark):
     # view then purchase at t=1 with a click between by id — match
     rows = [(1, 0, "view"), (1, 1, "click"), (1, 1, "purchase")]
     assert _counts(spark, rows) == {1: (1, 1)}
+
+
+# ---------------------------------------------------------------------
+# Streaming twin: the applyInPandasWithState NFA (streaming/cep.py)
+# must converge to the batch query's answer for in-order delivery.
+# ---------------------------------------------------------------------
+
+from new_data_pipeline_spark.streaming import cep  # noqa: E402
+
+
+def test_dfa_transition_table():
+    # the token-level DFA encodes leftmost non-overlapping
+    # `view click+ purchase` (table derivation in cep.py's docstring)
+    assert cep._step(0, "view") == (1, 0)
+    assert cep._step(0, "click") == (0, 0)
+    assert cep._step(0, "purchase") == (0, 0)
+    assert cep._step(1, "view") == (1, 0)
+    assert cep._step(1, "click") == (2, 0)
+    assert cep._step(1, "purchase") == (0, 0)
+    assert cep._step(2, "view") == (1, 0)
+    assert cep._step(2, "click") == (2, 0)
+    assert cep._step(2, "purchase") == (0, 1)
+
+
+def _stream_counts(spark, tmp_path, rows, n_files=3, **kw):
+    """Run the NFA as a REAL multi-micro-batch stream: rows split into
+    time-contiguous files consumed one per trigger (in-order delivery),
+    update-mode memory sink; returns the LAST update per user."""
+    import time
+
+    import os
+
+    src = str(tmp_path / "cep_src")
+    df = _events(spark, rows).orderBy("ts", "event_id")
+    pdf = df.toPandas()
+    n = max(1, len(pdf) // n_files)
+    chunks = [pdf.iloc[i:i + n] for i in range(0, len(pdf), n)]
+    os.makedirs(src, exist_ok=True)
+    for i, c in enumerate(chunks):
+        c.to_parquet(os.path.join(src, f"part-{i:03d}.parquet"),
+                     index=False)
+        time.sleep(0.05)  # strictly increasing mtimes = arrival order
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    out = cep.cep_skip_match_stream(stream, **kw)
+    qname = f"cep_out_{abs(hash(str(rows))) % 10**8}"
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName(qname).start())
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress
+                     if p["numInputRows"] > 0])
+    q.stop()
+    upd = spark.sql(f"SELECT * FROM {qname}").toPandas()
+    final = upd.groupby("user_id").last()
+    got = {int(u): (int(r["n_matches"]), int(r["n_sessions_matched"]))
+           for u, r in final.iterrows() if r["n_matches"] > 0}
+    return got, n_batches
+
+
+def test_stream_nfa_matches_batch_query(spark, tmp_path):
+    # real events (sf0.001), multi-batch, state carried across
+    # micro-batches — final updates must equal the oracle-gated batch
+    # query's (user_id, n_matches, n_sessions_matched)
+    from new_data_pipeline_spark import catalog
+    ev = catalog.load(spark, "/root/testdata/sf0.001", "events")
+    pdf = (ev.select("user_id", "ts", "event_id", "event_type")
+           .orderBy("ts", "event_id").toPandas())
+    import os
+    import time
+    src = str(tmp_path / "real_src")
+    os.makedirs(src, exist_ok=True)
+    n = max(1, len(pdf) // 4)
+    for i in range(0, len(pdf), n):
+        pdf.iloc[i:i + n].to_parquet(
+            os.path.join(src, f"part-{i // n:03d}.parquet"), index=False)
+        time.sleep(0.05)
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (cep.cep_skip_match_stream(stream).writeStream
+         .outputMode("update").format("memory")
+         .queryName("cep_real_out").start())
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    assert n_batches > 1, "must exercise more than one micro-batch"
+    upd = spark.sql("SELECT * FROM cep_real_out").toPandas()
+    final = upd.groupby("user_id").last()
+    got = {int(u): (int(r["n_matches"]), int(r["n_sessions_matched"]))
+           for u, r in final.iterrows() if r["n_matches"] > 0}
+    want = {r["user_id"]: (r["n_matches"], r["n_sessions_matched"])
+            for r in profiling.skip_match_counts(
+                spark.createDataFrame(pdf)).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_nfa_funnel_split_across_batches(spark, tmp_path):
+    # a funnel whose view/click land in batch 1 and purchase in batch 2
+    # must still match — the DFA state crosses the micro-batch boundary
+    rows = [(1, 0, "view"), (1, 1, "click"), (1, 2, "purchase")]
+    got, n_batches = _stream_counts(spark, tmp_path, rows, n_files=3)
+    assert n_batches > 1
+    assert got == {1: (1, 1)}
+
+
+def test_stream_nfa_session_rollover_across_batches(spark, tmp_path):
+    # batch 1 ends with a matched session; the 3-day gap to batch 2
+    # rolls the session over, and a second funnel matches there
+    gap = 3 * 24 * 60
+    rows = [(1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+            (1, gap, "view"), (1, gap + 1, "click"),
+            (1, gap + 2, "purchase")]
+    got, n_batches = _stream_counts(spark, tmp_path, rows, n_files=2)
+    assert n_batches > 1
+    assert got == {1: (2, 2)}
+
+
+def test_stream_nfa_token_cap(spark, tmp_path):
+    # the cap gates DFA input but the session clock still advances
+    rows = [(1, 0, "view"), (1, 1, "click"), (1, 2, "click"),
+            (1, 3, "purchase")]
+    got, _ = _stream_counts(spark, tmp_path, rows, n_files=1, token_cap=3)
+    assert got == {}
