@@ -23,6 +23,7 @@ stream writing 100 TB commits the same way it commits 100 MB.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
@@ -111,6 +112,10 @@ def stream_acid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"acid_ingest:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
     work = os.path.join(tempfile.gettempdir(), f"ndp_acid_ingest_{token}")
     shutil.rmtree(work, ignore_errors=True)  # rerun isolation, no leak
+    # The returned DataFrame reads the table lazily, so the workdir must
+    # outlive this call — reclaim it at process exit instead (ADVICE r6:
+    # without this, every distinct pid leaks one dir forever).
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = os.path.join(work, "src")
     table = os.path.join(work, "table")
     ckpt = os.path.join(work, "ckpt")

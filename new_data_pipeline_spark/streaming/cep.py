@@ -106,12 +106,16 @@ def cep_skip_match_stream(events: DataFrame,
         else:
             last_us, dfa, cur_n, done_sessions, total, sess_tokens = (
                 None, 0, 0, 0, 0, 0)
-        saw = False
-        for pdf in pdfs:
-            pdf = pdf[pdf["event_type"].isin(RELEVANT)]
-            if len(pdf) == 0:
-                continue
-            saw = True
+        # Materialize the WHOLE group's micro-batch before sorting:
+        # applyInPandasWithState hands one key's rows over as multiple
+        # Arrow chunks in arbitrary cross-chunk order, so a per-chunk
+        # sort would feed the DFA out of (ts, event_id) order for
+        # large per-trigger batches. One key's per-trigger volume is
+        # bounded by the trigger interval, so this concat is small.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf[pdf["event_type"].isin(RELEVANT)]
+        saw = len(pdf) > 0
+        if saw:
             pdf = pdf.sort_values(["ts", "event_id"])
             # int64 microseconds: arithmetic-only session clock
             # (normalize to ns first — Arrow hands the batch over as

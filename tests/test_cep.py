@@ -156,8 +156,12 @@ def _stream_counts(spark, tmp_path, rows, n_files=3, **kw):
     chunks = [pdf.iloc[i:i + n] for i in range(0, len(pdf), n)]
     os.makedirs(src, exist_ok=True)
     for i, c in enumerate(chunks):
+        # coerce_timestamps: pandas/pyarrow default to TIMESTAMP(NANOS),
+        # which Spark's file-stream reader rejects against the declared
+        # `ts timestamp` (microsecond) schema
         c.to_parquet(os.path.join(src, f"part-{i:03d}.parquet"),
-                     index=False)
+                     index=False, coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
         time.sleep(0.05)  # strictly increasing mtimes = arrival order
     stream = (spark.readStream.schema(df.schema)
               .option("maxFilesPerTrigger", 1)
@@ -171,7 +175,9 @@ def _stream_counts(spark, tmp_path, rows, n_files=3, **kw):
                      if p["numInputRows"] > 0])
     q.stop()
     upd = spark.sql(f"SELECT * FROM {qname}").toPandas()
-    final = upd.groupby("user_id").last()
+    # counters are monotonic non-decreasing per user, so max == the
+    # converged answer regardless of the memory sink's row order
+    final = upd.groupby("user_id").max()
     got = {int(u): (int(r["n_matches"]), int(r["n_sessions_matched"]))
            for u, r in final.iterrows() if r["n_matches"] > 0}
     return got, n_batches
@@ -192,7 +198,8 @@ def test_stream_nfa_matches_batch_query(spark, tmp_path):
     n = max(1, len(pdf) // 4)
     for i in range(0, len(pdf), n):
         pdf.iloc[i:i + n].to_parquet(
-            os.path.join(src, f"part-{i // n:03d}.parquet"), index=False)
+            os.path.join(src, f"part-{i // n:03d}.parquet"), index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True)
         time.sleep(0.05)
     schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
     stream = (spark.readStream.schema(schema)
@@ -205,7 +212,7 @@ def test_stream_nfa_matches_batch_query(spark, tmp_path):
     q.stop()
     assert n_batches > 1, "must exercise more than one micro-batch"
     upd = spark.sql("SELECT * FROM cep_real_out").toPandas()
-    final = upd.groupby("user_id").last()
+    final = upd.groupby("user_id").max()
     got = {int(u): (int(r["n_matches"]), int(r["n_sessions_matched"]))
            for u, r in final.iterrows() if r["n_matches"] > 0}
     want = {r["user_id"]: (r["n_matches"], r["n_sessions_matched"])

@@ -92,7 +92,10 @@ def test_stateful_running_stats_across_microbatches(spark, stream_source):
     # last emitted row per user (memory sink appends every update)
     import pandas as pd
     upd = spark.sql("SELECT * FROM state_out").toPandas()
-    final = upd.groupby("user_id").last()
+    # memory-sink row order is not guaranteed append order; n_events is
+    # strictly increasing per update, so sorting on it makes .last()
+    # pick the converged row deterministically (ADVICE r6)
+    final = upd.sort_values("n_events").groupby("user_id").last()
     want = {r["user_id"]: (r["n"], round(r["tv"], 2)) for r in
             batch.groupBy("user_id")
                  .agg(F.count(F.lit(1)).alias("n"),
