@@ -10,7 +10,8 @@ the quadratic step is bounded by cell size instead of corpus size).
 
 Scale design:
 - Seed centroids are a deterministic modulo sample of the corpus
-  (``vec_id % K_MOD == K_RESIDUE``) — no driver-side randomness, and
+  (``vec_id % m == r`` with a count-derived modulus giving ~sqrt(N)
+  cells) — no driver-side randomness, and
   the same rule is replayable in the DuckDB oracle, so even the
   "approximate" clustering queries are bit-checked end to end.
 - Assignment is a broadcast of the (tiny) centroid table against one
@@ -34,25 +35,41 @@ from pyspark.sql import functions as F
 from new_data_pipeline_spark import catalog
 from new_data_pipeline_spark.registry import register
 
-# deterministic seed centroids: vec_id % 29 == 3 (~N/29 cells; 17 at
-# sf0.01) — same device as similarity.py's IVF but a different stride,
-# so the two queries exercise independent cell geometries
-K_MOD, K_RESIDUE = 29, 3
+# Deterministic seed centroids: vec_id % m == 3 with a COUNT-DERIVED
+# modulus m = max(1, N // floor(sqrt(N))), giving C ≈ sqrt(N) cells —
+# sqrt is SemDeDup's balance point: assign cost N·C and within-cell
+# pair cost Σ size² ≈ N²/C are both N^1.5 there, whereas the old fixed
+# modulus (C ∝ N/29) made assign O(N²/29) — measured alpha=0.43 at 10x
+# in the r6 scale audit, and the dominant term at 100x. floor(sqrt(·))
+# runs through IEEE double sqrt on BOTH engines (Python math.sqrt ==
+# DuckDB SQRT, correctly rounded), so the derived m is identical.
+K_RESIDUE = 3  # base residue, taken mod the derived modulus
+
+
+def cells_mod(n_rows: int) -> int:
+    """max(1, N // floor(sqrt(N))) — exact twin of the oracle's
+    ``GREATEST(1, cnt // GREATEST(1, CAST(FLOOR(SQRT(...)) AS BIGINT)))``."""
+    import math
+    root = max(1, int(math.floor(math.sqrt(float(n_rows)))))
+    return max(1, n_rows // root)
 SEMDEDUP_TAU = 0.3  # cosine threshold; testdata embeddings are
                     # near-isotropic (max pairwise cos ≈ 0.51), so 0.3
                     # yields a small, stable set of within-cell dup pairs
-
-_DOT_AB = ("aggregate(zip_with(va, vb, (x, y) -> x * y), "
-           "0D, (acc, x) -> acc + x)")
 
 _ORACLE_ASSIGN = f"""
     e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), n AS (
       SELECT vec_id, label, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e
+    ), km AS (
+      SELECT GREATEST(1, COUNT(*) // GREATEST(1,
+               CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)))
+               AS md
+      FROM embeddings
     ), cents AS (
       SELECT vec_id AS cell, v AS cv, nrm AS cn
-      FROM n WHERE vec_id % {K_MOD} = {K_RESIDUE}
+      FROM n WHERE vec_id % (SELECT md FROM km)
+                   = {K_RESIDUE} % (SELECT md FROM km)
     ), sc AS (
       SELECT n.vec_id, n.label, n.v, n.nrm, cents.cell,
              list_sum([n.v[i] * cents.cv[i]
@@ -104,8 +121,13 @@ def assign_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def seed_centroids(n: DataFrame) -> DataFrame:
-    """Deterministic modulo-sampled seed centroids (oracle-replayable)."""
-    return (n.filter(F.col("vec_id") % K_MOD == K_RESIDUE)
+    """Deterministic modulo-sampled seed centroids (oracle-replayable):
+    ~sqrt(N) cells via the count-derived modulus (module docstring).
+    The count is a metadata-cheap action; both engines derive the same
+    modulus from the same table."""
+    mod = cells_mod(n.count())
+    res = K_RESIDUE % mod
+    return (n.filter(F.col("vec_id") % mod == res)
             .select(F.col("vec_id").alias("cell"),
                     F.col("v").alias("cv"), F.col("nrm").alias("cn")))
 
@@ -218,30 +240,44 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n = normalized(catalog.load(spark, sf_dir, "embeddings"))
     assigned = (assign_cells(n, seed_centroids(n))
-                .select("vec_id", "cell", "v", "nrm")
-                .persist())  # reused by both sides of the cell self-join
-    a = assigned.select("cell", F.col("vec_id").alias("vec_a"),
-                        F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = assigned.select("cell", F.col("vec_id").alias("vec_b"),
-                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = (a.join(b, ["cell"])
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .filter(F.expr(_DOT_AB) / (F.col("na") * F.col("nb"))
-                     > SEMDEDUP_TAU)
-             .select("cell", "vec_a", "vec_b"))
-    per_cell_pairs = pairs.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-    per_cell_removed = (pairs.select("cell", "vec_b").distinct()
-                        .groupBy("cell")
-                        .agg(F.count(F.lit(1)).cast("bigint")
-                             .alias("n_removed")))
-    return (assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n_members"))
-            .join(per_cell_pairs, ["cell"], "left")
-            .join(per_cell_removed, ["cell"], "left")
-            .select("cell", "n_members",
-                    F.coalesce("n_pairs", F.lit(0)).cast("bigint")
-                    .alias("n_pairs"),
-                    F.coalesce("n_removed", F.lit(0)).cast("bigint")
-                    .alias("n_removed"))
+                .select("vec_id", "cell", "v", "nrm"))
+    # Within-cell pairwise via applyInPandas, NOT a cell self-join: the
+    # join would materialize Σ size² pair rows each dragging two 64-dim
+    # arrays through the shuffle (measured 60.9 s at 10x with sqrt(N)
+    # cells, alpha=1.59). Here the shuffle moves each vector ONCE
+    # (grouped by cell) and the quadratic term runs as vectorized numpy
+    # inside the task — the designated Spark shape for per-group dense
+    # linear algebra. Arithmetic stays bit-identical to the oracle: the
+    # Gram accumulation adds x_d*y_d in ascending dim order (the same
+    # left fold DuckDB's list_sum replays), then one divide by na*nb.
+    out_schema = ("cell bigint, n_members bigint, n_pairs bigint, "
+                  "n_removed bigint")
+
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        V = np.stack([np.asarray(x, dtype=np.float64)
+                      for x in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        n_pairs = 0
+        removed = np.zeros(m, dtype=bool)
+        B = 2048  # column blocks bound peak memory to m x B doubles
+        for j0 in range(0, m, B):
+            j1 = min(j0 + B, m)
+            g = np.zeros((m, j1 - j0))
+            for d in range(V.shape[1]):  # ascending-dim left fold
+                g += np.outer(V[:, d], V[j0:j1, d])
+            cos = g / np.outer(nrm, nrm[j0:j1])
+            tri = (np.arange(m)[:, None]
+                   < np.arange(j0, j1)[None, :])  # vec_a < vec_b
+            hit = (cos > SEMDEDUP_TAU) & tri
+            n_pairs += int(hit.sum())
+            removed[j0:j1] |= hit.any(axis=0)
+        return pd.DataFrame({
+            "cell": [int(pdf["cell"].iloc[0])], "n_members": [m],
+            "n_pairs": [n_pairs], "n_removed": [int(removed.sum())]})
+
+    return (assigned.groupBy("cell").applyInPandas(_cell_pairs, out_schema)
             .orderBy("cell"))

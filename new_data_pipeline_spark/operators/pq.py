@@ -21,8 +21,9 @@ similarity-search extension's third regime beside LSH and IVF
 
 Determinism devices (same family as the IVF oracle):
 - codebooks are a deterministic id-sample of the corpus's own
-  subvectors (vec_id % PQ_CENT_MOD == PQ_CENT_RESIDUE) — no trained
-  randomness, SQL-replayable;
+  subvectors (vec_id % m == r with m = ceil(N / PQ_K_TARGET), so the
+  codebook size is ~constant in N) — no trained randomness,
+  SQL-replayable via a COUNT(*) scalar subquery;
 - the cross-subspace ADC sum is materialized as M per-subspace columns
   (each an exact single-element aggregate) added in fixed left-to-right
   order — NEVER a float SUM over rows, whose reduction order neither
@@ -42,10 +43,26 @@ PQ_M = 16          # sub-spaces (4 dims each over the 64-dim embeddings:
                    # finer quantization recovers the recall that coarse
                    # 16-dim subvectors measurably lose)
 PQ_SD = 4          # dims per sub-space
-PQ_CENT_MOD = 7    # codebook = subvectors of vec_id % 7 == 3 (~N/7 words)
-PQ_CENT_RESIDUE = 3
+# FIXED codebook size (real PQ trains K=256 codewords per sub-space so
+# codes fit one byte). The sampling modulus is DERIVED from the corpus
+# count — m = ceil(N / K) — so K stays ~constant as N grows. The r6
+# scale audit measured the old fixed-modulus policy (K ∝ N/7) at
+# alpha=1.46 (10x data -> 28.6x wall): encode cost is N·M·K, so K must
+# not scale with N. ceil-division in exact integer arithmetic replays
+# identically in the oracle's scalar subquery.
+PQ_K_TARGET = 256
+PQ_CENT_RESIDUE = 3  # base residue, taken mod the derived modulus
 N_QUERIES = 10
 TOP_K = 5
+
+
+def codebook_mod(n_rows: int) -> int:
+    """Sampling modulus for a ~PQ_K_TARGET-word codebook: the id-sample
+    vec_id % m == r keeps ~N/m vectors, so m = ceil(N/K) pins the
+    codebook size regardless of corpus scale. Mirrors the oracle's
+    ``GREATEST(1, (COUNT(*) + K - 1) // K)`` exactly (positive integer
+    arithmetic only — no float rounding to disagree on)."""
+    return max(1, (n_rows + PQ_K_TARGET - 1) // PQ_K_TARGET)
 
 # flat scalar chain, NOT a higher-order aggregate/zip_with fold: at
 # THIS dimensionality (4) the HOF route's per-lambda overhead measured
@@ -94,7 +111,11 @@ _SQL_ADC = " + ".join(f"t{s}" for s in range(PQ_M))
 @register(
     "sim_pq_topk",
     oracle=f"""
-    WITH e0 AS (
+    WITH km AS (
+      SELECT GREATEST(1, (COUNT(*) + {PQ_K_TARGET} - 1) // {PQ_K_TARGET})
+               AS md
+      FROM embeddings
+    ), e0 AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v0
       FROM embeddings
     ), e AS (
@@ -108,7 +129,8 @@ _SQL_ADC = " + ".join(f"t{s}" for s in range(PQ_M))
       FROM e CROSS JOIN range(0, {PQ_M}) t
     ), cents AS (
       SELECT vec_id AS cent_id, s, sub AS cent_sub
-      FROM subs WHERE vec_id % {PQ_CENT_MOD} = {PQ_CENT_RESIDUE}
+      FROM subs WHERE vec_id % (SELECT md FROM km)
+                     = {PQ_CENT_RESIDUE} % (SELECT md FROM km)
     ), dists AS (
       SELECT subs.vec_id, subs.label, subs.s, cents.cent_id,
              list_sum([(subs.sub[i] - cents.cent_sub[i])
@@ -152,8 +174,13 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays bit-exactly in the DuckDB oracle.
     """
     emb = catalog.load(spark, sf_dir, "embeddings")
+    # count-derived modulus: a parquet-metadata count, and the single
+    # device that keeps the codebook size CONSTANT in N (see module
+    # docstring — K ∝ N made the index build O(N^2))
+    mod = codebook_mod(emb.count())
+    res = PQ_CENT_RESIDUE % mod
     subs = _subspaces(emb, "vec_id")
-    cents = (subs.filter(F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_RESIDUE)
+    cents = (subs.filter(F.col("vec_id") % mod == res)
              .select(F.col("vec_id").alias("cent_id"), "s",
                      F.col("sub").alias("cent_sub")))
     dists = (subs.join(F.broadcast(cents), "s")

@@ -282,17 +282,37 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("cos", 4).alias("cosine"), "rn"))
 
 
-IVF_CENT_MOD = 31     # centroids = vectors with vec_id % 31 == 7 (~N/31 cells)
-IVF_CENT_RESIDUE = 7
+# FIXED cell-count target: the coarse quantizer's nlist is an index
+# parameter (FAISS-style), NOT a function of corpus size — the r6 scale
+# audit measured the old fixed-modulus policy (C ∝ N/31) at alpha=1.55
+# (10x data -> 35.1x wall) because the assign scan is N·C. The sampling
+# modulus is derived from the corpus count, m = ceil(N / C), so C stays
+# ~constant and assign is O(N·C) = O(N). An operator provisioning a
+# real deployment picks C ≈ sqrt(N) at index-build time (or composes a
+# two-level coarse quantizer at billion scale); the engine treats it as
+# a constant either way.
+IVF_C_TARGET = 64
+IVF_CENT_RESIDUE = 7  # base residue, taken mod the derived modulus
 IVF_NPROBE = 3
+
+
+def ivf_mod(n_rows: int) -> int:
+    """ceil(N / C_target) — exact-integer twin of the oracle's
+    ``GREATEST(1, (COUNT(*) + C - 1) // C)`` scalar subquery."""
+    return max(1, (n_rows + IVF_C_TARGET - 1) // IVF_C_TARGET)
 
 
 @register(
     "sim_ivf_topk",
     oracle=f"""
-    WITH {_ORACLE_NORM}, cents AS (
+    WITH {_ORACLE_NORM}, km AS (
+      SELECT GREATEST(1, (COUNT(*) + {IVF_C_TARGET} - 1) // {IVF_C_TARGET})
+               AS md
+      FROM embeddings
+    ), cents AS (
       SELECT vec_id AS cent_id, v AS cent_v, nrm AS cent_n
-      FROM n WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_RESIDUE}
+      FROM n WHERE vec_id % (SELECT md FROM km)
+                   = {IVF_CENT_RESIDUE} % (SELECT md FROM km)
     ), sc AS (
       SELECT n.vec_id, n.label, n.v, n.nrm, cents.cent_id,
              list_sum([n.v[i] * cents.cent_v[i]
@@ -333,21 +353,26 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus into cells; each query probes only its IVF_NPROBE nearest
     cells, then scores exact cosine within them.
 
-    Centroids are a deterministic 1/31 id-sample of the corpus itself
-    (the cheap KMeans init; no iterative fit, no driver randomness), so
-    the whole index build is two DataFrame passes: (1) assign every
-    vector to its max-cosine centroid — a broadcast O(N·C) scan, and
+    Centroids are a deterministic id-sample of the corpus itself (the
+    cheap KMeans init; no iterative fit, no driver randomness) sized to
+    ~IVF_C_TARGET cells via a count-derived modulus, so the whole index
+    build is two DataFrame passes: (1) assign every vector to its
+    max-cosine centroid — a broadcast O(N·C) scan with C constant, and
     (2) nothing: the "inverted lists" are just the cell column.
 
     Scale path vs LSH: cells adapt to the data distribution where
     hyperplanes don't, and candidate work per query is N·nprobe/C. At
     100 TB: repartition by cell (each inverted list is a partition
-    range), broadcast the C centroids, and raise C so N/C rows fit one
-    task — the classic billion-scale FAISS-style layout in pure
-    DataFrame ops.
+    range), broadcast the C centroids, and pick C ≈ sqrt(N) as the
+    provisioning rule — with a two-level coarse quantizer (assign to
+    sqrt(C) groups, then within the group) once C itself is too big to
+    scan per row. C is an index-build constant either way; the r6 scale
+    audit showed what happens when it silently tracks N (alpha=1.55).
     """
     n = _normalized(catalog.load(spark, sf_dir, "embeddings"))
-    cents = (n.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_RESIDUE)
+    mod = ivf_mod(catalog.load(spark, sf_dir, "embeddings").count())
+    res = IVF_CENT_RESIDUE % mod
+    cents = (n.filter(F.col("vec_id") % mod == res)
              .select(F.col("vec_id").alias("cent_id"),
                      F.col("v").alias("cent_v"), F.col("nrm").alias("cent_n")))
     cent_cos = (F.expr(

@@ -50,9 +50,10 @@ def test_codes_cover_every_subspace(spark):
     from new_data_pipeline_spark import catalog
 
     emb = catalog.load(spark, SF_DIR, "embeddings")
+    mod = pq.codebook_mod(emb.count())
+    res = pq.PQ_CENT_RESIDUE % mod
     subs = pq._subspaces(emb, "vec_id")
-    cents = (subs.filter(
-        F.col("vec_id") % pq.PQ_CENT_MOD == pq.PQ_CENT_RESIDUE)
+    cents = (subs.filter(F.col("vec_id") % mod == res)
         .select(F.col("vec_id").alias("cent_id"), "s",
                 F.col("sub").alias("cent_sub")))
     from pyspark.sql import Window
@@ -74,8 +75,7 @@ def test_codes_cover_every_subspace(spark):
     # distance to its code is 0, so its ADC from any query equals the
     # sum of the query's table entries — spot-check the self-encode
     # residual is zero for codewords
-    self_d2 = (codes.filter(
-        F.col("vec_id") % pq.PQ_CENT_MOD == pq.PQ_CENT_RESIDUE)
+    self_d2 = (codes.filter(F.col("vec_id") % mod == res)
         .filter(F.col("cent_id") == F.col("vec_id")))
     assert self_d2.count() == len(cent_ids) * pq.PQ_M
     assert self_d2.filter(F.col("d2") != 0.0).count() == 0
