@@ -60,6 +60,8 @@ HEADLINE = (
 
 
 def main() -> None:
+    from new_data_pipeline_spark.bench_lock import acquire
+    _lock = acquire("bench")  # noqa: F841 — held until process exit
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     engine.load_all()
     spark = get_spark(app_name="bench")

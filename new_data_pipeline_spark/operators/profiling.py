@@ -547,10 +547,11 @@ SESSION_GAP = "INTERVAL 2 DAYS"
 # sf0.01, 65 at sf0.1, so gated output is unchanged at test scales.
 SESSION_TOKEN_CAP = 512
 
-
-@register(
-    "events_pattern_skip_match",
-    oracle=f"""
+# Shared by events_pattern_skip_match (batch regex device, below) and
+# cep_stream_funnel (streaming/event_queries.py — the NFA executed in
+# batch): both must equal this sessionize→tokenize→regex-count replay,
+# proving automaton ≡ regex across engines.
+SKIP_MATCH_ORACLE = f"""
     WITH rel AS (
       SELECT user_id, ts, event_id, event_type FROM events
       WHERE event_type IN ('view', 'click', 'purchase')
@@ -588,7 +589,12 @@ SESSION_TOKEN_CAP = 512
            CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_sessions_matched
     FROM counted GROUP BY user_id HAVING SUM(n) > 0
-    """,
+    """
+
+
+@register(
+    "events_pattern_skip_match",
+    oracle=SKIP_MATCH_ORACLE,
     tags=("analytics", "cep", "pattern", "quantifier"),
 )
 def events_pattern_skip_match(spark: SparkSession, sf_dir: str) -> DataFrame:

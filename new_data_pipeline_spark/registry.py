@@ -80,80 +80,79 @@ QUERIES: dict[str, QuerySpec] = {}
 # stream_interval_join, join_asof_event_streams,
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
-# Round-6 window (re-aimed per VERDICT r5 #2). Composition:
-# - slots 1-3: queries CHANGED this round — events_pattern_skip_match
-#   (added r5, never driver-graded, now capped + unit-pinned) and the
-#   two minhash queries whose shared pair pipeline moved to 60-bit
-#   hashed-shingle verification (oracle CTEs updated both sides);
-# - next: queries ADDED in round 6 (inserted here as they land — each
-#   displaces one rotation backfill from the tail, keeping the
-#   "every new query graded in its landing round" invariant);
-# - next 25: the r3-green slots released in round 4 (longest without
-#   driver re-exposure besides the r1/r2 block; includes
-#   dedup_apply_minhash, which ALSO changed this round);
-# - tail: the r1/r2-graded relational/TPC-H rotation, decimal-heavy
-#   TPC-H first (q17/q18/q19, pricing_summary shape twins) — these
-#   have not been driver-graded on regenerated data since round 2.
-# Released this round (all r4/r5-green, all still re-verified every
-# run by the local full-registry replay): the 32 round-4 additions,
-# the timestamp-heavy block, simhash64/semdedup, and the sketch/ANN
-# family — re-seat them in round 7.
+# Round-7 window (re-aimed per VERDICT r6 #5). Composition:
+# - slots 1-4: the ANN/clustering family whose sampling policy CHANGED
+#   this round (count-derived moduli kill the O(N^2) index builds;
+#   oracle CTEs updated both sides) — sim_pq_topk, sim_ivf_topk,
+#   dedup_semdedup_cells (also rewritten to a per-cell applyInPandas
+#   pairwise), cluster_kmeans_assign (shares the seed policy; the one
+#   deliberate carry-over from the r6 window);
+# - slot 5: cep_stream_funnel, ADDED this round (the streaming NFA's
+#   batch-mode twin, VERDICT r6 #6 — graded in its landing round);
+# - backfill: the blocks released in round 6 and longest without
+#   driver exposure since — simhash64 + the sketch/ANN family, the
+#   timestamp-heavy streaming/ACID block, then the round-4 additions
+#   (graph, set-similarity, ML-prep, multimodal, text-curation).
+# Released this round (all r6-green, all still re-verified every run
+# by the local full-registry replay): events_pattern_skip_match, the
+# minhash/components trio, the 25 r3 slots, and the r1/r2
+# relational/TPC-H rotation — re-seat them in round 8.
 GATE_PRIORITY: tuple[str, ...] = (
-    # ---- changed this round: never-driver-graded CEP + re-verified
-    # minhash pipeline (hashed-shingle verify payload)
-    "events_pattern_skip_match",
-    "dedup_minhash_lsh",
-    "dedup_cluster_components",
-    # ---- round-6 additions land here ----
-    # ---- the 25 r3-green slots released in round 4 ----
-    "struct_funcs",
-    "agg_collect_sorted",
-    "dedup_simhash",
-    "dedup_apply_minhash",
-    "dedup_embedding_cosine",
-    "sessionize_lag",
-    "event_path_trigrams",
-    "retention_cohorts",
-    "anomaly_event_rate",
-    "active_users_rolling",
-    "curriculum_rank_global",
-    "text_contamination_ngrams",
-    "corpus_e2e_curation",
-    "lateral_explode",
-    "sim_bruteforce_topk",
+    # ---- changed this round: count-derived sampling moduli ----
+    "sim_pq_topk",
+    "sim_ivf_topk",
+    "dedup_semdedup_cells",
     "cluster_kmeans_assign",
-    "scalar_array_funcs",
-    "array_higher_order",
-    "dedup_exact_substrings",
-    "stream_dedup_keep_first",
-    "stream_interval_join",
-    "join_asof_event_streams",
-    "join_temporal_pointintime",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    # ---- r1/r2 relational/TPC-H rotation, decimal-heavy first ----
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_predicate",
-    "pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q8_market_share",
-    "tpch_q7_volume_shipping",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q22_idle_customers",
-    "tpch_q13_customer_distribution",
-    "tpch_q4_order_priority",
-    "flagship_revenue_by_nation",
-    "report_revenue_share",
-    "composite_shipping_priority",
-    "composite_returned_items",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "window_topk_per_group",
+    # ---- added this round ----
+    "cep_stream_funnel",
+    # ---- sketch/ANN family (released r6) ----
+    "dedup_simhash64_hamming",
+    "sim_lsh_topk",
+    "agg_hll_sketch",
+    "agg_hll_mergeable_rollup",
+    "agg_countmin_point_estimates",
+    "agg_bloom_membership",
+    "agg_kll_quantile_rollup",
+    "agg_theta_intersection",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_priority_keeper",
+    # ---- timestamp-heavy streaming/ACID block (released r6) ----
+    "timeseries_gapfill",
+    "scd2_user_state",
+    "timeseries_ohlc_bars",
+    "timeseries_ewma",
+    "stream_session_window",
+    "stream_interval_join_outer",
+    "stream_running_totals",
+    "stream_static_dim_join",
+    "stream_acid_ingest",
+    "acid_change_data_feed",
+    # ---- round-4 additions (released r6) ----
+    "text_bpe_token_counts",
+    "text_boilerplate_strip",
+    "graph_pagerank",
+    "graph_triangle_stats",
+    "join_set_similarity",
+    "join_set_similarity_prefix",
+    "text_lm_perplexity",
+    "ml_quantile_binning",
+    "ml_target_encoding",
+    "text_chunk_overlap",
+    "text_repetition_ratio",
+    "corpus_pack_sequences",
+    "split_leakage_check",
+    "multimodal_audio_stats",
+    "multimodal_metadata_stats",
+    "multimodal_decode_stats",
+    "multimodal_thumbnail_stats",
+    "multimodal_e2e_curation",
+    "multimodal_audio_resample",
+    "text_model_quality_filter",
+    "corpus_source_policy",
+    "text_hashing_vectorize",
+    "text_heavy_hitters",
+    "text_tfidf",
     # ---- first-50 window boundary (positions above are 0-49) ----
     # earlier-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.

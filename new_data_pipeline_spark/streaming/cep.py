@@ -82,6 +82,36 @@ def _step(dfa: int, tok: str) -> tuple[int, int]:
     return (0, 1) if dfa == 2 else (0, 0)
 
 
+def _scan(state: tuple, pdf: "pd.DataFrame",
+          gap_us: int, token_cap: int) -> tuple:
+    """Feed one user's (ts, event_id)-sorted RELEVANT events through
+    the DFA, threading the 6-tuple automaton state (the state-store
+    payload). Shared verbatim by the streaming update function and the
+    batch applyInPandas twin — one scan, two execution modes.
+
+    ts is normalized through int64 nanoseconds first: Arrow hands
+    batches over as datetime64[ns], and making the scale explicit
+    beats guessing it from the incoming dtype."""
+    last_us, dfa, cur_n, done_sessions, total, sess_tokens = state
+    ts_us = (pdf["ts"].to_numpy().astype("datetime64[ns]")
+             .astype("int64") // 1000)
+    for t_us, tok in zip(ts_us, pdf["event_type"]):
+        t_us = int(t_us)
+        if last_us is None or t_us - last_us > gap_us:
+            # session rollover: bank the closing session
+            if cur_n > 0:
+                done_sessions += 1
+                total += cur_n
+            cur_n, dfa, sess_tokens = 0, 0, 0
+        last_us = t_us
+        sess_tokens += 1
+        if sess_tokens > token_cap:
+            continue  # capped out, but session clock advanced
+        dfa, hit = _step(dfa, tok)
+        cur_n += hit
+    return last_us, dfa, cur_n, done_sessions, total, sess_tokens
+
+
 def cep_skip_match_stream(events: DataFrame,
                           gap_seconds: int = GAP_SECONDS,
                           token_cap: int = SESSION_TOKEN_CAP) -> DataFrame:
@@ -117,26 +147,10 @@ def cep_skip_match_stream(events: DataFrame,
         saw = len(pdf) > 0
         if saw:
             pdf = pdf.sort_values(["ts", "event_id"])
-            # int64 microseconds: arithmetic-only session clock
-            # (normalize to ns first — Arrow hands the batch over as
-            # datetime64[ns]; going through ns makes the scale explicit
-            # rather than guessed from the incoming dtype)
-            ts_us = (pdf["ts"].to_numpy().astype("datetime64[ns]")
-                     .astype("int64") // 1000)
-            for t_us, tok in zip(ts_us, pdf["event_type"]):
-                t_us = int(t_us)
-                if last_us is None or t_us - last_us > gap_us:
-                    # session rollover: bank the closing session
-                    if cur_n > 0:
-                        done_sessions += 1
-                        total += cur_n
-                    cur_n, dfa, sess_tokens = 0, 0, 0
-                last_us = t_us
-                sess_tokens += 1
-                if sess_tokens > token_cap:
-                    continue  # capped out, but session clock advanced
-                dfa, hit = _step(dfa, tok)
-                cur_n += hit
+            (last_us, dfa, cur_n, done_sessions, total,
+             sess_tokens) = _scan(
+                (last_us, dfa, cur_n, done_sessions, total, sess_tokens),
+                pdf, gap_us, token_cap)
         state.update((last_us if last_us is not None else -1,
                       dfa, cur_n, done_sessions, total, sess_tokens))
         if saw:
@@ -155,8 +169,39 @@ def cep_skip_match_stream(events: DataFrame,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
-def cep_matched_users_batch(events: DataFrame) -> DataFrame:
-    """Batch projection with the registered query's output contract
-    (users with ≥1 match only) — convenience for equivalence checks."""
-    out = cep_skip_match_stream(events)
-    return out.filter(F.col("n_matches") > 0)
+def cep_skip_match_batch(events: DataFrame,
+                         gap_seconds: int = GAP_SECONDS,
+                         token_cap: int = SESSION_TOKEN_CAP) -> DataFrame:
+    """The NFA executed in batch: one applyInPandas pass per user over
+    their full (ts, event_id)-sorted history, running the SAME ``_scan``
+    the state-store update function runs — Spark 4 restricts
+    applyInPandasWithState to streaming queries, so the batch twin is
+    the identical automaton minus the store.
+
+    Scale: the shuffle is one hash partitioning on user_id (the same
+    exchange the batch regex query pays for its session window), and
+    per-task memory is one user's relevant-event history — bounded by
+    per-user activity, not the corpus. Output contract matches the
+    registered query: users with >= 1 match only.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["event_type"].isin(RELEVANT)]
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"user_id": [], "n_matches": [],
+                 "n_sessions_matched": []}).astype("int64")
+        pdf = pdf.sort_values(["ts", "event_id"])
+        _, _, cur_n, done_sessions, total, _ = _scan(
+            (None, 0, 0, 0, 0, 0), pdf, gap_us, token_cap)
+        return pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_matches": [total + cur_n],
+            "n_sessions_matched": [done_sessions
+                                   + (1 if cur_n > 0 else 0)]})
+
+    return (events.select("user_id", "ts", "event_id", "event_type")
+            .groupBy("user_id")
+            .applyInPandas(run, CEP_OUTPUT_SCHEMA)
+            .filter(F.col("n_matches") > 0))

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from new_data_pipeline_spark import catalog
 from new_data_pipeline_spark.registry import register
+from new_data_pipeline_spark.operators import profiling as _profiling
 from new_data_pipeline_spark.streaming import events as ev
 
 
@@ -224,3 +225,30 @@ def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.enriched_segment_counts(
         catalog.load(spark, sf_dir, "events"),
         catalog.load(spark, sf_dir, "customer"))
+
+
+@register(
+    "cep_stream_funnel",
+    # the SAME oracle text as events_pattern_skip_match — automaton
+    # must equal the regex device corpus-wide
+    oracle=_profiling.SKIP_MATCH_ORACLE,
+    tags=("streaming", "cep", "nfa", "stateful"),
+)
+def cep_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CEP NFA's batch-mode twin (streaming/cep.py): the
+    SAME ``_scan`` automaton the applyInPandasWithState operator runs
+    per micro-batch, executed here as one applyInPandas pass per user
+    — per-user counts of non-overlapping ``view click+ purchase``
+    funnels within 2-day-gap sessions, skipping irrelevant events.
+
+    Gated against the SAME oracle as events_pattern_skip_match (the
+    sessionize→tokenize→regex-count device), so a hash match proves
+    automaton ≡ regex semantics cross-engine — the equivalence the
+    per-case unit tests in tests/test_cep.py pin pointwise, proved
+    corpus-wide. The streaming half (state carried across
+    micro-batches) is pinned by the multi-batch stream tests there.
+    """
+    from new_data_pipeline_spark.streaming import cep
+    return cep.cep_skip_match_batch(
+        catalog.load(spark, sf_dir, "events"))
+

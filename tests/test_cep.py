@@ -249,3 +249,17 @@ def test_stream_nfa_token_cap(spark, tmp_path):
             (1, 3, "purchase")]
     got, _ = _stream_counts(spark, tmp_path, rows, n_files=1, token_cap=3)
     assert got == {}
+
+
+def test_batch_nfa_equals_regex_device(spark):
+    # the registered cep_stream_funnel path: applyInPandas NFA over the
+    # real events table must equal the batch regex query exactly (the
+    # driver proves the same equivalence cross-engine via the shared
+    # oracle)
+    from new_data_pipeline_spark import catalog
+    ev = catalog.load(spark, "/root/testdata/sf0.001", "events")
+    nfa = cep.cep_skip_match_batch(ev)
+    want = profiling.skip_match_counts(ev)
+    assert nfa.exceptAll(want).count() == 0
+    assert want.exceptAll(nfa).count() == 0
+    assert nfa.count() > 0

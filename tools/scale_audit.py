@@ -43,6 +43,8 @@ HEAVY = [
 
 
 def main(reps: int = 3, only: list[str] | None = None) -> None:
+    from new_data_pipeline_spark.bench_lock import acquire
+    _lock = acquire("scale_audit")  # noqa: F841 — held until exit
     from new_data_pipeline_spark import registry  # noqa: F401
     import __spark_entry__ as entry
 
