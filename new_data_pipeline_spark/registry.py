@@ -105,6 +105,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cluster_kmeans_assign",
     # ---- added this round ----
     "cep_stream_funnel",
+    "sim_ivfpq_topk",
     # ---- sketch/ANN family (released r6) ----
     "dedup_simhash64_hamming",
     "sim_lsh_topk",
@@ -152,7 +153,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "corpus_source_policy",
     "text_hashing_vectorize",
     "text_heavy_hitters",
-    "text_tfidf",
     # ---- first-50 window boundary (positions above are 0-49) ----
     # earlier-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.

@@ -205,3 +205,114 @@ def cep_skip_match_batch(events: DataFrame,
             .groupBy("user_id")
             .applyInPandas(run, CEP_OUTPUT_SCHEMA)
             .filter(F.col("n_matches") > 0))
+
+
+# ---------------------------------------------------------------------
+# Watermark-delay reorder buffer composed with the NFA (VERDICT r6 #8
+# stretch): the module docstring's ordering contract says a production
+# deployment fronts the automaton with a buffer that holds events
+# until the watermark passes their timestamp, then releases them in
+# order. Spark disallows chaining a second arbitrary stateful operator
+# behind applyInPandasWithState, so the composition lives INSIDE one
+# keyed state function — which is also the efficient deployment shape:
+# one state-store entry per user carries (DFA registers + the pending
+# buffer), one shuffle total. The buffer holds at most one
+# watermark-delay of events per user, exactly as documented.
+# ---------------------------------------------------------------------
+
+CEP_RB_STATE_SCHEMA = (
+    "last_us bigint, dfa int, cur_n bigint, done_sessions bigint, "
+    "total bigint, sess_tokens bigint, "
+    "buf_ts array<bigint>, buf_id array<bigint>, buf_tok array<string>")
+
+
+def cep_skip_match_stream_reordered(
+        events: DataFrame,
+        delay_seconds: int = 3600,
+        gap_seconds: int = GAP_SECONDS,
+        token_cap: int = SESSION_TOKEN_CAP) -> DataFrame:
+    """The NFA with out-of-order tolerance up to ``delay_seconds``:
+    incoming relevant events are buffered in the state store; each
+    trigger releases — in (ts, event_id) order — only those whose
+    event time the query watermark has passed, and feeds them to the
+    SAME ``_scan`` automaton. Events later than the watermark bound
+    are dropped by Spark's watermark machinery itself (the standard
+    late-data contract); events early-but-out-of-order within the
+    bound are healed by the buffer, which is what the plain NFA's
+    in-order delivery contract cannot do.
+
+    Equivalence: for any delivery order that respects the watermark
+    bound, the released sequence per user is the event-time order, so
+    final counts equal the batch query (tests/test_cep.py pins this
+    with an out-of-order multi-batch stream).
+
+    Flush contract: a user whose last events are still buffered when
+    their stream goes quiet is woken by an event-time TIMEOUT the
+    moment the query watermark passes their earliest pending event —
+    the buffer drains without requiring further input for that key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state):
+        if state.exists:
+            (last_us, dfa, cur_n, done_sessions, total, sess_tokens,
+             buf_ts, buf_id, buf_tok) = state.get
+            if last_us < 0:
+                last_us = None
+            buf = list(zip(buf_ts, buf_id, buf_tok))
+        else:
+            last_us, dfa, cur_n, done_sessions, total, sess_tokens = (
+                None, 0, 0, 0, 0, 0)
+            buf = []
+        chunks = list(pdfs)  # empty on a timeout wake-up
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf[pdf["event_type"].isin(RELEVANT)]
+        else:
+            pdf = pd.DataFrame(
+                {"ts": [], "event_id": [], "event_type": []})
+        if len(pdf) > 0:
+            ts_us = (pdf["ts"].to_numpy().astype("datetime64[ns]")
+                     .astype("int64") // 1000)
+            buf.extend(zip((int(t) for t in ts_us),
+                           (int(i) for i in pdf["event_id"]),
+                           pdf["event_type"]))
+        # release everything the watermark has passed, in event order
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = sorted(t for t in buf if t[0] <= wm_us)
+        pend = [t for t in buf if t[0] > wm_us]
+        if ready:
+            rel = pd.DataFrame(ready, columns=["ts", "event_id",
+                                               "event_type"])
+            # _scan reads ts as datetime64 — rebuild from microseconds
+            rel["ts"] = pd.to_datetime(rel["ts"], unit="us")
+            (last_us, dfa, cur_n, done_sessions, total,
+             sess_tokens) = _scan(
+                (last_us, dfa, cur_n, done_sessions, total, sess_tokens),
+                rel, gap_us, token_cap)
+        state.update((last_us if last_us is not None else -1,
+                      dfa, cur_n, done_sessions, total, sess_tokens,
+                      [t[0] for t in pend], [t[1] for t in pend],
+                      [t[2] for t in pend]))
+        if pend:
+            # wake this key (with no new input) once the watermark
+            # passes its earliest pending event; pend ts > wm always
+            # holds here, as setTimeoutTimestamp requires
+            state.setTimeoutTimestamp(min(t[0] for t in pend) // 1000)
+        if ready or len(pdf) > 0:
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_matches": [total + cur_n],
+                "n_sessions_matched": [done_sessions
+                                       + (1 if cur_n > 0 else 0)]})
+
+    return (events.select("user_id", "ts", "event_id", "event_type")
+            .withWatermark("ts", f"{delay_seconds} seconds")
+            .groupBy("user_id").applyInPandasWithState(
+                update,
+                outputStructType=CEP_OUTPUT_SCHEMA,
+                stateStructType=CEP_RB_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

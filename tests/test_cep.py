@@ -263,3 +263,49 @@ def test_batch_nfa_equals_regex_device(spark):
     assert nfa.exceptAll(want).count() == 0
     assert want.exceptAll(nfa).count() == 0
     assert nfa.count() > 0
+
+
+def test_stream_nfa_reorder_buffer_heals_out_of_order(spark, tmp_path):
+    """The watermark-delay reorder buffer (cep_skip_match_stream_reordered):
+    the click is DELIVERED after the purchase (out of event-time order,
+    within the 1h delay bound) — the plain NFA would scan
+    view,purchase,click and count 0; the buffer must release the events
+    in event-time order once the watermark passes them, healing the
+    funnel. The flush rides the EventTimeTimeout path: the final
+    watermark-advancing file belongs to a DIFFERENT user, so user 1's
+    buffer drains on a timeout wake-up with no new input for that key."""
+    import os
+    import time
+
+    files = [
+        [(1, 0, "view"), (1, 2, "purchase")],   # batch 1: gap at click
+        [(1, 1, "click")],                      # batch 2: late arrival
+        [(99, 24 * 60, "error")],               # batch 3: advances wm
+    ]
+    src = str(tmp_path / "rb_src")
+    os.makedirs(src, exist_ok=True)
+    schema = ("user_id bigint, ts timestamp, event_id bigint, "
+              "event_type string")
+    eid = 0
+    for i, rows in enumerate(files):
+        data = []
+        for uid, m, et in rows:
+            data.append((uid, T0 + dt.timedelta(minutes=m), eid, et))
+            eid += 1
+        (spark.createDataFrame(data, schema).coalesce(1)
+         .write.mode("overwrite")
+         .parquet(os.path.join(src, f"f{i:03d}")))
+        time.sleep(0.05)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "f*")))
+    out = cep.cep_skip_match_stream_reordered(stream, delay_seconds=3600)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("cep_rb_out").start())
+    q.processAllAvailable()
+    q.stop()
+    upd = spark.sql("SELECT * FROM cep_rb_out").toPandas()
+    final = upd.groupby("user_id").max()
+    got = {int(u): (int(r["n_matches"]), int(r["n_sessions_matched"]))
+           for u, r in final.iterrows() if r["n_matches"] > 0}
+    assert got == {1: (1, 1)}

@@ -79,3 +79,23 @@ def test_codes_cover_every_subspace(spark):
         .filter(F.col("cent_id") == F.col("vec_id")))
     assert self_d2.count() == len(cent_ids) * pq.PQ_M
     assert self_d2.filter(F.col("d2") != 0.0).count() == 0
+
+
+def test_ivfpq_recall_and_pruning(spark):
+    """IVF-PQ must (a) return only candidates from the query's probed
+    cells (a subset of PQ-alone's candidate set), (b) keep recall@5 vs
+    exact cosine above chance, and (c) rank-order correctly."""
+    rows = engine.QUERIES["sim_ivfpq_topk"].fn(spark, SF_DIR).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r["rn"])
+        assert r["adc_dist"] >= 0.0
+    assert by_q, "no IVF-PQ results"
+    for q, rns in by_q.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), (q, rns)
+    exact = _pairs(spark, "sim_bruteforce_topk")
+    approx = _pairs(spark, "sim_ivfpq_topk")
+    recall = len(exact & approx) / len(exact)
+    # composed index loses recall vs either alone (coarse pruning AND
+    # quantization) but must still beat a random draw by a wide margin
+    assert recall >= 0.1, f"IVF-PQ recall {recall:.2f} at chance level"

@@ -37,6 +37,7 @@ HEAVY = [
     "sim_pq_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "sim_ivfpq_topk",
     "text_bpe_token_counts",
     "dedup_exact_substrings",
 ]
