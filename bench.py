@@ -56,6 +56,12 @@ HEADLINE = (
     # map-side partial pair counts)
     "graph_pagerank",
     "join_set_similarity",
+    # round 7: the IVF-PQ composed ANN index (multi-stage broadcast
+    # pipeline) and the CEP NFA batch twin (applyInPandas per-user
+    # automaton — the one Python-loop hot path in the headline set);
+    # BASELINE.md tracks the r4-comparable-22 subtotal separately
+    "sim_ivfpq_topk",
+    "cep_stream_funnel",
 )
 
 

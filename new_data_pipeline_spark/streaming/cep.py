@@ -201,7 +201,15 @@ def cep_skip_match_batch(events: DataFrame,
             "n_sessions_matched": [done_sessions
                                    + (1 if cur_n > 0 else 0)]})
 
+    # explicit numbered repartition on the group key: the shuffle's
+    # byte size is small enough that AQE would coalesce it to ~2
+    # partitions, serializing the per-row Python DFA onto 2 of 32
+    # cores — the cost is Python CPU per ROW, not bytes (same lesson
+    # as the thumbnail codec, BASELINE.md round 4). A user-specified
+    # partition count is exempt from AQE coalescing.
+    sc = events.sparkSession.sparkContext
     return (events.select("user_id", "ts", "event_id", "event_type")
+            .repartition(sc.defaultParallelism, "user_id")
             .groupBy("user_id")
             .applyInPandas(run, CEP_OUTPUT_SCHEMA)
             .filter(F.col("n_matches") > 0))
