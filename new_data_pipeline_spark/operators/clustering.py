@@ -279,5 +279,11 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell": [int(pdf["cell"].iloc[0])], "n_members": [m],
             "n_pairs": [n_pairs], "n_removed": [int(removed.sum())]})
 
-    return (assigned.groupBy("cell").applyInPandas(_cell_pairs, out_schema)
+    # numbered repartition on the group key: AQE would coalesce this
+    # small-byte shuffle onto ~2 partitions, serializing the per-cell
+    # numpy work (the cost is CPU per cell, not bytes — same trap as
+    # the CEP batch twin, streaming/cep.py)
+    sc = assigned.sparkSession.sparkContext
+    return (assigned.repartition(sc.defaultParallelism, "cell")
+            .groupBy("cell").applyInPandas(_cell_pairs, out_schema)
             .orderBy("cell"))

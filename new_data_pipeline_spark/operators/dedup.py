@@ -661,7 +661,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap as the LSH joins.
     """
     docs = catalog.load(spark, sf_dir, "documents")
+    # repartition BEFORE the gram build: a single-file documents table
+    # scans as ONE partition, and the per-row gram expression (~len·W
+    # bytes of substrings per doc) is the dominant CPU — left on the
+    # scan partitioning it runs on one of 32 cores (measured 18.6 s at
+    # sf0.1 vs 3.0 s at 10x, whose multi-file layout parallelized;
+    # same trap as the thumbnail codec, BASELINE.md round 4)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     g = (docs.filter(F.length("text") >= NGRAM_W)
+         .repartition(par)
          .select("doc_id",
                  F.md5(F.substring("text", 1, 40)).alias("block_key"),
                  F.expr(f"""array_distinct(transform(

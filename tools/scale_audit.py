@@ -40,6 +40,15 @@ HEAVY = [
     "sim_ivfpq_topk",
     "text_bpe_token_counts",
     "dedup_exact_substrings",
+    # round 7: the CEP family (per-row Python DFA — linear by
+    # construction, proven by measurement), the heavy text-curation
+    # pipelines, and the multimodal codec chain
+    "cep_stream_funnel",
+    "events_pattern_skip_match",
+    "text_contamination_ngrams",
+    "corpus_e2e_curation",
+    "dedup_ngram_jaccard",
+    "multimodal_e2e_curation",
 ]
 
 
