@@ -31,6 +31,7 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.setops  # noqa: F401
     import new_data_pipeline_spark.operators.composite  # noqa: F401
     import new_data_pipeline_spark.operators.tpch_suite  # noqa: F401
+    import new_data_pipeline_spark.operators.tpch_suite2  # noqa: F401
     import new_data_pipeline_spark.operators.stats_agg  # noqa: F401
     import new_data_pipeline_spark.operators.sampling  # noqa: F401
     import new_data_pipeline_spark.operators.sketches  # noqa: F401

@@ -1,0 +1,490 @@
+"""TPC-H completion suite: the seven queries (Q2/Q9/Q11/Q12/Q16/Q20/Q21)
+that need the ``partsupp`` table or the ship-mode/commit-date columns the
+testdata schema lacks — closing the suite to all 22 TPC-H shapes.
+
+``partsupp`` is DERIVED deterministically from ``part`` x ``supplier``
+with the dbgen association rule (4 suppliers per part, strided across
+the supplier key space so no two parts share the same 4-supplier set):
+
+    ps_suppkey(i) = (p_partkey + i*(S/4 + p_partkey/S)) mod S,  i in 0..3
+
+with S = COUNT(supplier) (count-derived, so the rule is sf-independent —
+same device as the ANN sampling moduli). ``ps_availqty`` and
+``ps_supplycost`` are integer hashes of the key pair. The SAME integer
+arithmetic runs on both engines (a CTE in each DuckDB oracle), so the
+gates stay bit-exact with zero float ambiguity: money flows through the
+queries as integer ten-thousandths (scale-4 fixed point) and is divided
+by a double constant only in the final projection.
+
+Missing-column substitutions (same policy as tpch_suite.py — predicates
+swapped for available columns, plan shapes kept):
+- l_shipmode            -> l_linestatus (Q12's GROUP BY mode)
+- l_receiptdate late    -> l_shipdate > o_orderdate + 90 days (Q12/Q21)
+- p_type LIKE '%BRASS'  -> p_type = 'LARGE' (Q2)
+- p_name LIKE 'forest%' -> p_name LIKE 'small%' (Q20)
+- s_comment complaints  -> s_acctbal < 0 suppliers excluded (Q16)
+- p_mfgr / s_address / s_phone / s_comment -> dropped from projections
+
+Reference parity: the reference has no relational surface (see
+tpch_suite.py header); this is SURVEY.md §2.2 capability-extension
+coverage.
+
+Scale notes: ``partsupp`` is 4x|part| rows built from dimension tables —
+at TPC-H SF100k that is still ~80B rows but built from a broadcast-free
+explode of the part scan, never shuffled wider than its own groupBy; in
+every query below it joins part/supplier via broadcast and reaches the
+fact table only through (partkey, suppkey) hash joins. Q21's classic
+double EXISTS/NOT-EXISTS correlated pair is re-expressed as ONE per-order
+aggregate (distinct suppliers vs distinct late suppliers) followed by a
+semi-join — two shuffles on o_orderkey total, instead of three correlated
+passes over lineitem; at 100 TB all three lineitem reads collapse into
+one scan + one reused shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.functions.exact import money, oracle_money
+from new_data_pipeline_spark.registry import register
+
+# revenue in integer ten-thousandths of a dollar (exact in BIGINT range:
+# price < 1e8 cents, so rev_e4 < 1e12 per row, sums < 1e18 at any sf)
+_REV_E4 = (
+    f"CAST({oracle_money('l_extendedprice')}"
+    f" * (1 - {oracle_money('l_discount')}) * 10000 AS BIGINT)")
+
+
+def _rev_e4() -> F.Column:
+    return (money("l_extendedprice") * (1 - money("l_discount"))
+            * 10000).cast("bigint")
+
+
+# DuckDB twin of _partsupp(): CTE text (S is count-derived inline).
+_ORACLE_PS = """
+    gen(i) AS (VALUES (0), (1), (2), (3)),
+    sup_n AS (SELECT COUNT(*) AS s FROM supplier),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * (s // 4 + p_partkey // s)) % s AS ps_suppkey,
+             (p_partkey * 31
+              + ((p_partkey + i * (s // 4 + p_partkey // s)) % s) * 17)
+               % 9000 + 1 AS ps_availqty,
+             (p_partkey * 7
+              + ((p_partkey + i * (s // 4 + p_partkey // s)) % s) * 13)
+               % 99900 + 100 AS ps_supplycost_cents
+      FROM part CROSS JOIN gen CROSS JOIN sup_n)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: ps_partkey, ps_suppkey, ps_availqty,
+    ps_supplycost_cents (BIGINT cents — exact; divide at output only).
+
+    The supplier count is a dimension-table action (tiny at any scale);
+    the explode never shuffles — partsupp inherits part's partitioning.
+    """
+    part, supplier = catalog.load_tables(spark, sf_dir, "part", "supplier")
+    s = supplier.count()
+    stride = s // 4
+    return (part.select("p_partkey")
+            .select("p_partkey",
+                    F.explode(F.array(*[F.lit(i) for i in range(4)]))
+                    .alias("i"))
+            .select(
+                F.col("p_partkey").alias("ps_partkey"),
+                ((F.col("p_partkey")
+                  + F.col("i") * (F.lit(stride)
+                                  + F.expr(f"p_partkey div {s}"))) % s)
+                .alias("ps_suppkey"))
+            .withColumn(
+                "ps_availqty",
+                (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17)
+                % 9000 + 1)
+            .withColumn(
+                "ps_supplycost_cents",
+                (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13)
+                % 99900 + 100))
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_ORACLE_PS},
+    eligible AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost_cents,
+             s_acctbal, s_name, n_name
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS ps_supplycost
+    FROM eligible
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 15 AND p_type = 'LARGE'
+      AND ps_supplycost_cents = (
+        SELECT MIN(e2.ps_supplycost_cents) FROM eligible e2
+        WHERE e2.ps_partkey = ps_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("composite", "tpch", "correlated-min", "broadcast"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: cheapest regional supplier per qualifying part.
+
+    The correlated MIN subquery is a window-min over ps_partkey on the
+    region-filtered partsupp — one pass, no self-join. part/supplier/
+    nation/region all broadcast; at real TPC-H scale partsupp is the
+    fact here and the window runs on its partkey partitioning.
+    """
+    from pyspark.sql import Window
+
+    part, supplier, nation, region = catalog.load_tables(
+        spark, sf_dir, "part", "supplier", "nation", "region")
+    eligible = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(supplier),
+              F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "ASIA"))
+    w = Window.partitionBy("ps_partkey")
+    cheapest = (eligible
+                .withColumn("min_cost",
+                            F.min("ps_supplycost_cents").over(w))
+                .filter(F.col("ps_supplycost_cents") == F.col("min_cost")))
+    return (cheapest
+            .join(F.broadcast(part.filter((F.col("p_size") == 15)
+                                          & (F.col("p_type") == "LARGE"))),
+                  F.col("p_partkey") == F.col("ps_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                    (F.col("ps_supplycost_cents").cast("double") / 100.0)
+                    .alias("ps_supplycost"))
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    WITH {_ORACLE_PS}
+    SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+           CAST(SUM({_REV_E4}
+                    - ps_supplycost_cents * CAST(l_quantity AS BIGINT) * 100
+                ) AS DOUBLE) / 10000.0 AS sum_profit
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("composite", "tpch", "star-join", "exact-decimal"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: per-nation per-year profit on 'red' parts.
+
+    Profit = revenue - supplycost*qty, carried as integer scale-4 fixed
+    point end to end (one double divide in the projection) — exact and
+    order-independent at any row count. The p_name filter prunes part
+    BEFORE the broadcast, so the lineitem⋈part join is a broadcast
+    semi-reduction; partsupp joins on the composite (partkey, suppkey)
+    lineitem key — at 100 TB that is the one shuffle, on the same key
+    bucketing lineitem would already use.
+    """
+    lineitem, part, supplier, orders, nation = catalog.load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
+    red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    profit_e4 = (_rev_e4()
+                 - F.col("ps_supplycost_cents")
+                 * F.col("l_quantity").cast("bigint") * 100)
+    return (lineitem
+            .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+            .join(_partsupp(spark, sf_dir),
+                  (F.col("ps_partkey") == F.col("l_partkey"))
+                  & (F.col("ps_suppkey") == F.col("l_suppkey")))
+            .join(F.broadcast(supplier),
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(nation),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg((F.sum(profit_e4).cast("double") / 10000.0)
+                 .alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_ORACLE_PS},
+    natps AS (
+      SELECT ps_partkey,
+             ps_supplycost_cents * ps_availqty AS value_cents
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3')
+    SELECT ps_partkey,
+           CAST(SUM(value_cents) AS DOUBLE) / 100.0 AS value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING SUM(value_cents) > (SELECT SUM(value_cents) // 1000 FROM natps)
+    ORDER BY value DESC, ps_partkey
+    """,
+    tags=("composite", "tpch", "scalar-subquery", "having"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts holding >0.1% of one nation's stock value.
+
+    Value is BIGINT cents*qty throughout; the global threshold is an
+    integer division, so the HAVING comparison is exact on both engines
+    (a double fraction here can flip boundary rows between engines).
+    The scalar subquery is a 1-row cross-join broadcast in Spark's
+    plan; the per-part aggregate is partial (map-side) before its one
+    shuffle.
+    """
+    supplier, nation = catalog.load_tables(spark, sf_dir,
+                                           "supplier", "nation")
+    natps = (_partsupp(spark, sf_dir)
+             .join(F.broadcast(supplier),
+                   F.col("s_suppkey") == F.col("ps_suppkey"))
+             .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+                   F.col("n_nationkey") == F.col("s_nationkey"))
+             .select("ps_partkey",
+                     (F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+                     .alias("value_cents")))
+    per_part = (natps.groupBy("ps_partkey")
+                .agg(F.sum("value_cents").alias("sum_cents")))
+    threshold = natps.agg(
+        F.expr("sum(value_cents) div 1000").alias("thr"))
+    return (per_part.crossJoin(F.broadcast(threshold))
+            .filter(F.col("sum_cents") > F.col("thr"))
+            .select("ps_partkey",
+                    (F.col("sum_cents").cast("double") / 100.0)
+                    .alias("value"))
+            .orderBy(F.desc("value"), "ps_partkey"))
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus AS ship_mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    ORDER BY ship_mode
+    """,
+    tags=("composite", "tpch", "conditional-agg"),
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: late-shipment priority split per mode (l_linestatus
+    stands in for l_shipmode; shipped >90 days after order stands in
+    for receipt-after-commit).
+
+    The year predicate reaches the lineitem scan (PushedFilters); the
+    late predicate is join-order dependent so it runs post-join. One
+    shuffle (the o_orderkey join), then a 2-group conditional agg.
+    """
+    orders, lineitem = catalog.load_tables(spark, sf_dir,
+                                           "orders", "lineitem")
+    year = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (orders.join(year, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .groupBy(F.col("l_linestatus").alias("ship_mode"))
+            .agg(F.sum(F.when(high, 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0))
+                 .alias("low_line_count"))
+            .orderBy("ship_mode"))
+
+
+@register(
+    "tpch_q16_supplier_part_count",
+    oracle=f"""
+    WITH {_ORACLE_PS}
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("composite", "tpch", "anti-join", "count-distinct"),
+)
+def tpch_q16_supplier_part_count(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct supplier counts per part attribute bucket,
+    excluding flagged suppliers (negative balance stands in for the
+    complaints comment scan).
+
+    NOT IN over a non-nullable key plans as a broadcast anti-join.
+    COUNT(DISTINCT) shuffles (brand, type, size, suppkey) once — the
+    expand-then-dedup Spark strategy — which is the scalable form (no
+    per-group set materialization).
+    """
+    part, supplier = catalog.load_tables(spark, sf_dir, "part", "supplier")
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep = part.filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    return (_partsupp(spark, sf_dir)
+            .join(F.broadcast(flagged),
+                  F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(keep), F.col("p_partkey") == F.col("ps_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+@register(
+    "tpch_q20_promotion_stock",
+    oracle=f"""
+    WITH {_ORACLE_PS},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (
+        SELECT ps_suppkey
+        FROM partsupp
+        JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND 2 * ps_availqty > qty)
+    ORDER BY s_name
+    """,
+    tags=("composite", "tpch", "nested-subquery", "semi-join"),
+)
+def tpch_q20_promotion_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers in one nation overstocked (>50% of a year's
+    shipments) on 'small' parts.
+
+    The 0.5 factor is flipped to ``2*availqty > qty`` so the comparison
+    is BIGINT vs BIGINT — no float boundary. Plan: lineitem aggregates
+    once on (partkey, suppkey) — its natural bucketing key — then
+    everything else is broadcast semi-joins down to the supplier dim.
+    """
+    lineitem, part, supplier, nation = catalog.load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    shipped = (lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty")))
+    small = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    overstocked = (_partsupp(spark, sf_dir)
+                   .join(F.broadcast(small),
+                         F.col("p_partkey") == F.col("ps_partkey"), "left_semi")
+                   .join(shipped,
+                         (F.col("l_partkey") == F.col("ps_partkey"))
+                         & (F.col("l_suppkey") == F.col("ps_suppkey")))
+                   .filter(2 * F.col("ps_availqty") > F.col("qty"))
+                   .select("ps_suppkey"))
+    return (supplier
+            .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .join(overstocked,
+                  F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+            .select("s_name", "n_name")
+            .orderBy("s_name"))
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("composite", "tpch", "exists", "anti-join", "agg-rewrite"),
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the sole-late supplier on failed multi-supplier orders
+    (shipped >90 days after order stands in for receipt-after-commit).
+
+    The oracle keeps the textbook correlated EXISTS / NOT EXISTS pair;
+    the Spark plan is the aggregate rewrite: one pass over lineitem
+    computes per-order distinct suppliers and distinct LATE suppliers,
+    and a supplier qualifies on orders where (suppliers > 1, late
+    suppliers = 1, and it is the late one). Equivalent set logic —
+    "another supplier exists" == distinct>1, "no other late supplier"
+    == late-distinct==1 given this supplier is late — but two shuffles
+    on o_orderkey instead of three correlated lineitem passes; numwait
+    counts l1's LATE lines exactly as the EXISTS form does.
+    """
+    lineitem, orders, supplier, nation = catalog.load_tables(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    failed = (orders.filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    lines = (lineitem
+             .join(failed, F.col("l_orderkey") == F.col("o_orderkey"))
+             .withColumn("late",
+                         F.col("l_shipdate")
+                         > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
+    per_order = (lines.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(F.col("late"),
+                                             F.col("l_suppkey")))
+                      .alias("n_late_supp"))
+                 .filter((F.col("n_supp") > 1)
+                         & (F.col("n_late_supp") == 1))
+                 .select("l_orderkey"))
+    nat7 = nation.filter(F.col("n_name") == "NATION_7")
+    return (lines.filter(F.col("late"))
+            .join(per_order.withColumnRenamed("l_orderkey", "ok"),
+                  F.col("l_orderkey") == F.col("ok"), "left_semi")
+            .join(F.broadcast(supplier),
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(nat7),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100))

@@ -106,6 +106,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     # ---- added this round ----
     "cep_stream_funnel",
     "sim_ivfpq_topk",
+    # ---- added this round: TPC-H completion (derived partsupp) ----
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_promotion_stock",
+    "tpch_q21_waiting_supplier",
     # ---- sketch/ANN family (released r6) ----
     "dedup_simhash64_hamming",
     "sim_lsh_topk",
