@@ -106,6 +106,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # ---- added this round ----
     "cep_stream_funnel",
     "sim_ivfpq_topk",
+    "ingest_datum_source_scan",
     # ---- added this round: TPC-H completion (derived partsupp) ----
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",

@@ -164,3 +164,64 @@ def ingest_flatten_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.element_at(F.col("features").cast("array<double>"), 2)
                      .alias("f1"),
                     F.col("c_mktsegment").alias("label")))
+
+
+@register(
+    "ingest_datum_source_scan",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id < 250
+    GROUP BY lang
+    """,
+    tags=("ingest", "source", "datum"),
+)
+def ingest_datum_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/W1/R3 as a first-class Spark source: serialize documents to the
+    reference's Datum wire format (reference serialize.py:796 layout),
+    write them through the ``ndpdatum`` Python DataSource (one file per
+    partition + manifest), read them BACK through the same source with a
+    key-range filter — which must prune non-matching files via the
+    manifest before any byte is read — then wire-decode and aggregate.
+
+    End-to-end proof that the custom source round-trips bytes exactly
+    and that its file-level data skipping returns the same answer as a
+    direct scan (the DuckDB oracle never sees the Datum detour).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from new_data_pipeline_spark.sources.datum_bridge import (
+        from_datum, to_datum)
+    from new_data_pipeline_spark.sources.datum_source import (
+        register_datum_source)
+
+    register_datum_source(spark)
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("key"),
+        F.struct(
+            F.col("doc_id").cast("string").alias("identifier"),
+            F.col("lang").alias("slabel"),
+            F.col("n_chars").cast("int").alias("nlabel"),
+            F.lit(None).cast("binary").alias("multilabel"),
+        ).alias("classs"))
+    wire = to_datum(docs, passthrough=["key"])
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ndp_datum_scan_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(out, ignore_errors=True)
+    (wire.repartitionByRange(8, "key")
+         .write.format("ndpdatum").mode("append").save(out))
+
+    back = (spark.read.format("ndpdatum").load(out)
+            .filter(F.col("key") < 250))
+    decoded = from_datum(back, passthrough=["key"])
+    return (decoded
+            .groupBy(F.col("classs.slabel").alias("lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("classs.nlabel").cast("bigint"))
+                  .alias("total_chars")))
