@@ -455,9 +455,10 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a supplier qualifies on orders where (suppliers > 1, late
     suppliers = 1, and it is the late one). Equivalent set logic —
     "another supplier exists" == distinct>1, "no other late supplier"
-    == late-distinct==1 given this supplier is late — but two shuffles
-    on o_orderkey instead of three correlated lineitem passes; numwait
-    counts l1's LATE lines exactly as the EXISTS form does.
+    == late-distinct==1 given this supplier is late — but one cascaded
+    shuffle pair ((l_orderkey, l_suppkey) then l_orderkey) instead of
+    three correlated lineitem passes; numwait counts l1's LATE lines
+    exactly as the EXISTS form does.
     """
     lineitem, orders, supplier, nation = catalog.load_tables(
         spark, sf_dir, "lineitem", "orders", "supplier", "nation")
@@ -468,11 +469,15 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("late",
                          F.col("l_shipdate")
                          > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
-    per_order = (lines.groupBy("l_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                      F.countDistinct(F.when(F.col("late"),
-                                             F.col("l_suppkey")))
-                      .alias("n_late_supp"))
+    # cascade instead of a double countDistinct: the pair of DISTINCT
+    # aggregates would plan an Expand (2x lineitem rows through the
+    # shuffle); aggregating per (order, supplier) first shuffles each
+    # line once, and the second aggregate input is already tiny
+    per_supp = (lines.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max(F.col("late").cast("int")).alias("any_late")))
+    per_order = (per_supp.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sum("any_late").alias("n_late_supp"))
                  .filter((F.col("n_supp") > 1)
                          & (F.col("n_late_supp") == 1))
                  .select("l_orderkey"))

@@ -107,6 +107,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cep_stream_funnel",
     "sim_ivfpq_topk",
     "ingest_datum_source_scan",
+    "join_bucketed_colocated",
+    "layout_zorder_scan",
+    "store_compaction_scan",
+    "store_delete_rows",
     # ---- added this round: TPC-H completion (derived partsupp) ----
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
@@ -150,6 +154,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ml_target_encoding",
     "text_chunk_overlap",
     "text_repetition_ratio",
+    # ---- first-50 window boundary: "text_repetition_ratio" is slot
+    # 49; everything below is OUTSIDE the graded window this round ----
     "corpus_pack_sequences",
     "split_leakage_check",
     "multimodal_audio_stats",
@@ -162,7 +168,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "corpus_source_policy",
     "text_hashing_vectorize",
     "text_heavy_hitters",
-    # ---- first-50 window boundary (positions above are 0-49) ----
     # earlier-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.
 )
