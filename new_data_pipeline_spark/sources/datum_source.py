@@ -192,10 +192,16 @@ class DatumReader(DataSourceReader):
         else:  # manifest-less directory: every data file scans
             files = sorted(f for f in os.listdir(self.path)
                            if f.endswith(".datum"))
+        if not files:
+            # an empty partition list makes Spark invoke read(None);
+            # hand it one explicit empty-scan sentinel instead
+            return [_FilePartition("")]
         return [_FilePartition(os.path.join(self.path, f)) for f in files]
 
     # -- execution -----------------------------------------------------
     def read(self, partition: _FilePartition):
+        if partition is None or not partition.path:
+            return
         yield from read_datum_file(partition.path)
 
 
