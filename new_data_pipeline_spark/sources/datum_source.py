@@ -7,27 +7,35 @@ hand-written codec) surfaced as a first-class ``spark.read.format(...)``
 Container layout (one directory = one dataset):
 - ``part-*.datum``: a record stream; each record is
   ``varint(key) varint(len) payload`` where payload is Datum wire bytes.
-  Record streams are not byte-splittable, so the parallelism unit is the
-  FILE — the writer emits one file per Spark partition (the same
-  contract as Avro/SequenceFile containers: many medium files, not one
-  giant one).
-- ``_ndp_datum_manifest.json``: per-file row counts and [min,max] key
-  ranges, written atomically at commit.
+- ``_ndp_datum_manifest.json``: per-file row counts, [min,max] key
+  ranges, and (manifest v2) per-BLOCK metadata — byte offset/length,
+  rows, key range, and a key bloom filter — recorded every
+  ``blockBytes`` (default 64 MB) at write, written atomically at
+  commit. Blocks make record streams splittable: a single large
+  foreign-written file fans out across tasks at block granularity,
+  the parquet row-group analog.
 
 Scale design:
-- partitions() = one InputPartition per data file → a 1000-file dataset
-  fans out across 1000 tasks with zero coordination.
-- pushFilters() accepts key-range predicates (=, <, <=, >, >=, IN on
-  ``key``) and prunes whole FILES via the manifest before any byte is
-  read — the same data-skipping contract parquet row-group stats give,
-  at the source-file granularity. Residual row-level filtering is
-  returned to Spark (conservative: we prune files, Spark re-checks
-  rows).
-- read() streams records lazily (no whole-file materialization beyond
-  the OS page cache granularity; files are one partition's worth).
+- partitions() = one InputPartition per manifest BLOCK (per file when
+  a v1 manifest or no manifest is present) → a 10 GB single-file
+  dataset still fans out across ~160 tasks with zero coordination.
+- pushFilters() accepts key predicates (=, <, <=, >, >=, IN on
+  ``key``) and prunes whole FILES and BLOCKS via the manifest before
+  any byte is read — min/max spans for range predicates plus a
+  per-block bloom filter for point predicates (the same data-skipping
+  ladder parquet row-group stats + bloom filters give). Residual
+  row-level filtering is returned to Spark (conservative: we prune
+  blocks, Spark re-checks rows).
+- read() seeks to the block offset and materializes only that block.
 - Writes are atomic-by-rename per task plus a manifest-at-commit, so a
   failed job leaves no visible partial dataset (same recipe as the
   multi-stream sink, sources/sink.py).
+
+Input contract (schema ``key bigint, datum binary``): keys must be
+non-negative (the wire varint is unsigned — a negative key would not
+round-trip and is rejected at write, not silently corrupted) and
+payloads must be non-NULL (NULL is rejected rather than coerced to
+b'', which would silently conflate NULL with the empty payload).
 
 Usage::
 
@@ -42,7 +50,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource, DataSourceReader, DataSourceWriter, EqualTo, Filter,
@@ -52,11 +60,18 @@ from pyspark.sql.types import StructType
 
 MANIFEST = "_ndp_datum_manifest.json"
 SCHEMA = "key bigint, datum binary"
+DEFAULT_BLOCK_BYTES = 64 * 1024 * 1024
+BLOOM_K = 7
+BLOOM_BITS_PER_KEY = 10
 
 
 # ------------------------------------------------------------ wire helpers
 
 def _write_varint(out: bytearray, v: int) -> None:
+    if v < 0:
+        # unsigned wire varint: Python's arithmetic right shift never
+        # terminates for negatives — reject instead of looping forever
+        raise ValueError(f"ndpdatum: negative value not encodable: {v}")
     while True:
         b = v & 0x7F
         v >>= 7
@@ -76,24 +91,80 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
-def write_datum_file(path: str, records: list[tuple[int, bytes]]) -> None:
+# ------------------------------------------------------------ key bloom
+
+_MASK64 = (1 << 64) - 1
+
+
+def _bloom_hashes(key: int, m: int) -> list[int]:
+    """k bit positions for one key (Kirsch-Mitzenmacher double hashing
+    over two multiplicative mixes — deterministic, no randomness)."""
+    h1 = (key * 0x9E3779B97F4A7C15 + 0x2545F4914F6CDD1D) & _MASK64
+    h1 ^= h1 >> 29
+    h2 = ((key * 0xC2B2AE3D27D4EB4F) | 1) & _MASK64
+    h2 ^= h2 >> 31
+    return [(h1 + i * h2) % m for i in range(BLOOM_K)]
+
+
+def _bloom_build(keys: list[int]) -> dict:
+    m = max(64, ((len(keys) * BLOOM_BITS_PER_KEY + 63) // 64) * 64)
+    bits = 0
+    for k in keys:
+        for pos in _bloom_hashes(k, m):
+            bits |= 1 << pos
+    return {"m": m, "k": BLOOM_K,
+            "bits": format(bits, "x")}
+
+
+def _bloom_might_contain(bloom: dict, key: int) -> bool:
+    m, bits = bloom["m"], int(bloom["bits"], 16)
+    return all(bits >> pos & 1 for pos in _bloom_hashes(key, m))
+
+
+# ------------------------------------------------------------ file writer
+
+def write_datum_file(path: str, records: list[tuple[int, bytes]],
+                     block_bytes: int = DEFAULT_BLOCK_BYTES) -> list[dict]:
     """Write one ``part-*.datum`` record stream (varint key, varint len,
-    payload), atomically via rename."""
+    payload), atomically via rename. Returns per-block metadata —
+    (offset, length, rows, min/max key, key bloom) cut every
+    ``block_bytes`` — for the manifest; block boundaries always fall on
+    record boundaries, so any block slices out as a valid stream."""
     out = bytearray()
+    blocks: list[dict] = []
+    b_off = 0
+    b_keys: list[int] = []
     for key, payload in records:
         _write_varint(out, key)
         _write_varint(out, len(payload))
         out += payload
+        b_keys.append(key)
+        if len(out) - b_off >= block_bytes:
+            blocks.append(_block_meta(b_off, len(out) - b_off, b_keys))
+            b_off, b_keys = len(out), []
+    if b_keys:
+        blocks.append(_block_meta(b_off, len(out) - b_off, b_keys))
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
         f.write(bytes(out))
     os.replace(tmp, path)
+    return blocks
 
 
-def read_datum_file(path: str):
-    """Yield (key, payload) from one record stream."""
+def _block_meta(offset: int, length: int, keys: list[int]) -> dict:
+    return {"offset": offset, "length": length, "rows": len(keys),
+            "min_key": min(keys), "max_key": max(keys),
+            "bloom": _bloom_build(keys)}
+
+
+def read_datum_file(path: str, offset: int = 0, length: int = -1):
+    """Yield (key, payload) from one record stream (or one block of
+    it): seek to ``offset``, materialize ``length`` bytes (whole file
+    when -1) — a task never reads outside its block."""
     with open(path, "rb") as f:
-        buf = f.read()
+        if offset:
+            f.seek(offset)
+        buf = f.read(length) if length >= 0 else f.read()
     pos, n = 0, len(buf)
     while pos < n:
         key, pos = _read_varint(buf, pos)
@@ -105,8 +176,10 @@ def read_datum_file(path: str):
 # ------------------------------------------------------------ reader
 
 @dataclass
-class _FilePartition(InputPartition):
+class _BlockPartition(InputPartition):
     path: str
+    offset: int = 0
+    length: int = -1
 
 
 class DatumReader(DataSourceReader):
@@ -114,33 +187,32 @@ class DatumReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ndpdatum: path option is required")
-        # key-range constraints accumulated by pushFilters:
-        # (lo, lo_inclusive, hi, hi_inclusive, in_set)
+        # key constraints accumulated by pushFilters. Range bounds
+        # (lo/hi with inclusivity) and POINT constraints (EqualTo/In)
+        # are tracked separately: folding EqualTo into the range via
+        # max/min corrupts the inclusivity flag left by an earlier
+        # strict bound ([key > 3, key = 5] must NOT become lo=5
+        # exclusive — that prunes the file holding key 5).
         self._lo: int | None = None
         self._lo_inc = True
         self._hi: int | None = None
         self._hi_inc = True
-        self._in: frozenset[int] | None = None
+        self._points: frozenset[int] | None = None  # EqualTo ∧ In sets
 
     # -- pushdown ------------------------------------------------------
     def pushFilters(self, filters):
         for flt in filters:
-            handled = self._try_push(flt)
-            if not handled:
-                yield flt
-            else:
-                # conservatively ask Spark to still evaluate row-level —
-                # we only prune FILES with it (manifest granularity)
-                yield flt
+            self._try_push(flt)
+            # conservatively ask Spark to still evaluate row-level —
+            # we only prune FILES/BLOCKS with it (manifest granularity)
+            yield flt
 
     def _try_push(self, flt: Filter) -> bool:
         col = getattr(flt, "attribute", None)
         if col != ("key",):
             return False
         if isinstance(flt, EqualTo):
-            v = int(flt.value)
-            self._lo = v if self._lo is None else max(self._lo, v)
-            self._hi = v if self._hi is None else min(self._hi, v)
+            self._add_points(frozenset((int(flt.value),)))
             return True
         if isinstance(flt, GreaterThan):
             v = int(flt.value)
@@ -163,46 +235,74 @@ class DatumReader(DataSourceReader):
                 self._hi, self._hi_inc = v, True
             return True
         if isinstance(flt, In):
-            vals = frozenset(int(v) for v in flt.values)
-            self._in = vals if self._in is None else (self._in & vals)
+            self._add_points(frozenset(int(v) for v in flt.values))
             return True
         return False
 
-    def _file_survives(self, meta: dict) -> bool:
-        fmin, fmax = meta["min_key"], meta["max_key"]
+    def _add_points(self, vals: frozenset[int]) -> None:
+        self._points = vals if self._points is None else (
+            self._points & vals)
+
+    def _span_survives(self, fmin: int, fmax: int) -> bool:
+        """Can any key in [fmin, fmax] satisfy the pushed constraints?"""
         if self._lo is not None:
             if fmax < self._lo or (fmax == self._lo and not self._lo_inc):
                 return False
         if self._hi is not None:
             if fmin > self._hi or (fmin == self._hi and not self._hi_inc):
                 return False
-        if self._in is not None and all(
-                v < fmin or v > fmax for v in self._in):
+        if self._points is not None and all(
+                v < fmin or v > fmax for v in self._points):
             return False
+        return True
+
+    def _block_survives(self, blk: dict) -> bool:
+        if not self._span_survives(blk["min_key"], blk["max_key"]):
+            return False
+        bloom = blk.get("bloom")
+        if bloom and self._points is not None:
+            # point-lookup pruning beyond min/max: the block's key
+            # bloom must admit at least one sought point
+            if not any(_bloom_might_contain(bloom, v)
+                       for v in self._points):
+                return False
         return True
 
     # -- planning ------------------------------------------------------
     def partitions(self):
         manifest_path = os.path.join(self.path, MANIFEST)
+        parts: list[_BlockPartition] = []
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 manifest = json.load(f)
-            files = [m["file"] for m in manifest["files"]
-                     if m["rows"] > 0 and self._file_survives(m)]
-        else:  # manifest-less directory: every data file scans
-            files = sorted(f for f in os.listdir(self.path)
-                           if f.endswith(".datum"))
-        if not files:
+            for m in manifest["files"]:
+                if m["rows"] == 0 or not self._span_survives(
+                        m["min_key"], m["max_key"]):
+                    continue
+                fpath = os.path.join(self.path, m["file"])
+                blocks = m.get("blocks")
+                if blocks:  # manifest v2: block-granular split + prune
+                    parts.extend(
+                        _BlockPartition(fpath, b["offset"], b["length"])
+                        for b in blocks if self._block_survives(b))
+                else:  # v1 entry: whole file is the task
+                    parts.append(_BlockPartition(fpath))
+        else:  # manifest-less directory: every data file scans whole
+            parts = [_BlockPartition(os.path.join(self.path, f))
+                     for f in sorted(os.listdir(self.path))
+                     if f.endswith(".datum")]
+        if not parts:
             # an empty partition list makes Spark invoke read(None);
             # hand it one explicit empty-scan sentinel instead
-            return [_FilePartition("")]
-        return [_FilePartition(os.path.join(self.path, f)) for f in files]
+            return [_BlockPartition("")]
+        return parts
 
     # -- execution -----------------------------------------------------
-    def read(self, partition: _FilePartition):
+    def read(self, partition: _BlockPartition):
         if partition is None or not partition.path:
             return
-        yield from read_datum_file(partition.path)
+        yield from read_datum_file(partition.path, partition.offset,
+                                   partition.length)
 
 
 # ------------------------------------------------------------ writer
@@ -213,6 +313,7 @@ class _FileCommit(WriterCommitMessage):
     rows: int
     min_key: int
     max_key: int
+    blocks: list = field(default_factory=list)
 
 
 class DatumWriter(DataSourceWriter):
@@ -221,6 +322,8 @@ class DatumWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("ndpdatum: path option is required")
         self.overwrite = overwrite
+        self.block_bytes = int(options.get("blockbytes",
+                                           DEFAULT_BLOCK_BYTES))
 
     def write(self, rows):
         from pyspark import TaskContext
@@ -230,14 +333,24 @@ class DatumWriter(DataSourceWriter):
         recs, kmin, kmax = [], None, None
         for row in rows:
             k = int(row["key"])
-            payload = bytes(row["datum"]) if row["datum"] is not None else b""
-            recs.append((k, payload))
+            if k < 0:
+                raise ValueError(
+                    f"ndpdatum: key must be non-negative, got {k} "
+                    "(the wire varint is unsigned)")
+            if row["datum"] is None:
+                raise ValueError(
+                    f"ndpdatum: NULL datum payload at key {k} — the "
+                    "record stream has no null marker, and coercing to "
+                    "b'' would silently conflate NULL with empty")
+            recs.append((k, bytes(row["datum"])))
             kmin = k if kmin is None else min(kmin, k)
             kmax = k if kmax is None else max(kmax, k)
-        write_datum_file(os.path.join(self.path, name), recs)
+        blocks = write_datum_file(os.path.join(self.path, name), recs,
+                                  self.block_bytes)
         return _FileCommit(file=name, rows=len(recs),
                            min_key=kmin if kmin is not None else 0,
-                           max_key=kmax if kmax is not None else -1)
+                           max_key=kmax if kmax is not None else -1,
+                           blocks=blocks)
 
     def commit(self, messages):
         if self.overwrite:
@@ -245,10 +358,11 @@ class DatumWriter(DataSourceWriter):
             for f in os.listdir(self.path):
                 if f.endswith(".datum") and f not in keep:
                     os.remove(os.path.join(self.path, f))
-        manifest = {"version": 1,
+        manifest = {"version": 2,
                     "files": sorted(
                         ({"file": m.file, "rows": m.rows,
-                          "min_key": m.min_key, "max_key": m.max_key}
+                          "min_key": m.min_key, "max_key": m.max_key,
+                          "blocks": m.blocks}
                          for m in messages), key=lambda d: d["file"])}
         tmp = os.path.join(self.path, f".{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
