@@ -380,15 +380,28 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("nrm") * F.col("cent_n")))
     scored_cells = (n.join(F.broadcast(cents))
                     .withColumn("ccos", cent_cos))
-    # (1) every corpus vector joins its single best cell
+    # (1) every corpus vector joins its single best cell — a map-side-
+    # combinable max_by argmax (VERDICT r7 #3), NOT a row_number window:
+    # the broadcast join leaves all C copies of a vec_id co-located, so
+    # the partial aggregate collapses the N·C fan-out to N rows BEFORE
+    # the shuffle; a window would shuffle the 64×-amplified intermediate
+    # (the rewrite pq.py's encode-argmin already measured, 12.0→9.2 s).
+    # max_by(payload, struct(ccos, -cent_id)) == "order ccos DESC,
+    # cent_id ASC, take first" — the oracle's ROW_NUMBER arn=1 exactly.
+    assigned = (scored_cells.groupBy("vec_id")
+                .agg(F.expr("max_by(struct(label, cent_id, v, nrm), "
+                            "struct(ccos, -cent_id))").alias("b"))
+                .select(F.col("vec_id").alias("candidate_id"),
+                        F.col("b.label").alias("label"),
+                        F.col("b.cent_id").alias("cell"),
+                        F.col("b.v").alias("cv"),
+                        F.col("b.nrm").alias("cn")))
+    # (2) each query probes its nprobe nearest cells — top-nprobe needs
+    # a rank, but only over the N_QUERIES·C rows that survive the
+    # pushed-down vec_id filter (Catalyst pushes it below the window:
+    # the predicate references only the partition key)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id"))
-    assigned = (scored_cells.withColumn("rn", F.row_number().over(w_assign))
-                .filter(F.col("rn") == 1)
-                .select(F.col("vec_id").alias("candidate_id"), "label",
-                        F.col("cent_id").alias("cell"),
-                        F.col("v").alias("cv"), F.col("nrm").alias("cn")))
-    # (2) each query probes its nprobe nearest cells
     probes = (scored_cells.filter(F.col("vec_id") < N_QUERIES)
               .withColumn("rn", F.row_number().over(w_assign))
               .filter(F.col("rn") <= IVF_NPROBE)

@@ -206,6 +206,23 @@ def test_pq_broadcasts_codebooks(spark):
         "code assignment must combine map-side"
 
 
+def test_ivf_assignment_is_mapside_argmax(spark):
+    """IVF cell assignment must be a map-side-combinable max_by over
+    the N·C scored fan-out (VERDICT r7 #3), never a row_number window
+    that shuffles the 64×-amplified intermediate. The only Window
+    operators left are the query-side probe rank (N_QUERIES·C rows —
+    the vec_id filter is pushed below it) and the final per-query
+    top-k."""
+    import re
+
+    p = plan_text(spark, "sim_ivf_topk")
+    assert "partial_max_by" in p, \
+        "cell assignment must combine map-side (max_by argmax)"
+    n_windows = len(re.findall(r"\bWindow\b", p))
+    assert n_windows <= 2 * 2, \
+        f"expected <=2 Window ops (x2 for formatted-plan echo), saw {n_windows}"
+
+
 def test_pagerank_partial_aggregates_and_caches_edges(spark):
     """Each power iteration must combine contributions map-side
     (partial_sum before the shuffle on dst) and reuse the persisted
