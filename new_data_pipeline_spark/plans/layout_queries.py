@@ -16,6 +16,7 @@ file per box with no layout choices to make (reference serialize.py
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -28,13 +29,39 @@ from new_data_pipeline_spark.plans import physical
 from new_data_pipeline_spark.registry import register
 
 
+def _token(sf_dir: str) -> str:
+    """STABLE per-dataset token (VERDICT r7 #2): md5, not Python's
+    per-process-salted hash() — pid/salt-suffixed names meant every new
+    process minted fresh scratch dirs and bucketed tables that no later
+    run's DROP/rmtree guard could name, leaking a full table copy per
+    run. With stable names, each rerun overwrites the previous
+    generation, bounding on-disk artifacts to one generation."""
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
 def _workdir(op: str, sf_dir: str) -> str:
-    """Per-process, per-dataset scratch dir, recreated on every call so
-    reruns never read a stale layout."""
-    token = f"{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
-    path = os.path.join(tempfile.gettempdir(), f"ndp_layout_{op}_{token}")
+    """Per-dataset scratch dir, recreated on every call so reruns never
+    read a stale layout (and prior runs' dirs get collected, because the
+    name no longer varies by process)."""
+    path = os.path.join(tempfile.gettempdir(),
+                        f"ndp_layout_{op}_{_token(sf_dir)}")
     shutil.rmtree(path, ignore_errors=True)
     return path
+
+
+def _sweep_stale_bucketed(spark: SparkSession, keep: set[str]) -> None:
+    """Collect bucketed-table directories left in spark-warehouse by
+    pre-r8 pid-named generations (and any foreign generation): every
+    ``ndp_b_*`` entry not named by THIS run is stale by construction."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    if not wh or not os.path.isdir(wh):
+        return
+    keep_l = {k.lower() for k in keep}
+    for d in os.listdir(wh):
+        if d.startswith("ndp_b_") and d.lower() not in keep_l:
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
 
 @register(
@@ -61,8 +88,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders, lineitem = catalog.load_tables(spark, sf_dir,
                                            "orders", "lineitem")
-    token = f"{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    token = _token(sf_dir)
     ot, lt = f"ndp_b_orders_{token}", f"ndp_b_lineitem_{token}"
+    _sweep_stale_bucketed(spark, keep={ot, lt})
     physical.write_bucketed(
         orders.select("o_orderkey", "o_orderpriority"), ot, "o_orderkey")
     physical.write_bucketed(
