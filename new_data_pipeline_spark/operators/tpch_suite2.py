@@ -123,12 +123,12 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'ASIA')
     SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
            CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS ps_supplycost
-    FROM eligible
-    JOIN part ON p_partkey = ps_partkey
-    WHERE p_size = 15 AND p_type = 'LARGE'
-      AND ps_supplycost_cents = (
+    FROM eligible e1
+    JOIN part ON p_partkey = e1.ps_partkey
+    WHERE p_size <= 15 AND p_type = 'LARGE'
+      AND e1.ps_supplycost_cents = (
         SELECT MIN(e2.ps_supplycost_cents) FROM eligible e2
-        WHERE e2.ps_partkey = ps_partkey)
+        WHERE e2.ps_partkey = e1.ps_partkey)
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,
@@ -141,6 +141,13 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region-filtered partsupp — one pass, no self-join. part/supplier/
     nation/region all broadcast; at real TPC-H scale partsupp is the
     fact here and the window runs on its partkey partitioning.
+
+    ADVICE r7: the oracle now correlates EXPLICITLY (``e2.ps_partkey =
+    e1.ps_partkey``) — DuckDB bound the unqualified column to the inner
+    scope, computing a GLOBAL min that returned 0 rows; the gate only
+    passed because the old ``p_size = 15`` predicate ALSO produced 0
+    rows at sf0.01. The predicate is widened to ``p_size <= 15`` so the
+    gate grades real rows at every scale (55 at sf0.01, 100 at sf0.1).
     """
     from pyspark.sql import Window
 
@@ -161,7 +168,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.min("ps_supplycost_cents").over(w))
                 .filter(F.col("ps_supplycost_cents") == F.col("min_cost")))
     return (cheapest
-            .join(F.broadcast(part.filter((F.col("p_size") == 15)
+            .join(F.broadcast(part.filter((F.col("p_size") <= 15)
                                           & (F.col("p_type") == "LARGE"))),
                   F.col("p_partkey") == F.col("ps_partkey"))
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
@@ -374,7 +381,8 @@ def tpch_q16_supplier_part_count(spark: SparkSession,
       GROUP BY l_partkey, l_suppkey)
     SELECT s_name, n_name
     FROM supplier JOIN nation ON n_nationkey = s_nationkey
-    WHERE n_name = 'NATION_1'
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'AMERICA'
       AND s_suppkey IN (
         SELECT ps_suppkey
         FROM partsupp
@@ -387,16 +395,22 @@ def tpch_q16_supplier_part_count(spark: SparkSession,
     tags=("composite", "tpch", "nested-subquery", "semi-join"),
 )
 def tpch_q20_promotion_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q20 shape: suppliers in one nation overstocked (>50% of a year's
+    """Q20 shape: suppliers in one REGION overstocked (>50% of a year's
     shipments) on 'small' parts.
 
     The 0.5 factor is flipped to ``2*availqty > qty`` so the comparison
     is BIGINT vs BIGINT — no float boundary. Plan: lineitem aggregates
     once on (partkey, suppkey) — its natural bucketing key — then
     everything else is broadcast semi-joins down to the supplier dim.
+
+    ADVICE r7: the textbook single-nation filter kept only 3 of 100
+    suppliers at sf0.01 and the gate graded an empty result ("bit-exact"
+    vacuously); the region filter (a 5th of suppliers) keeps the gate
+    non-vacuous at every scale (13 rows at sf0.01, 8 at sf0.1) without
+    changing the query shape — one more broadcast dim hop.
     """
-    lineitem, part, supplier, nation = catalog.load_tables(
-        spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    lineitem, part, supplier, nation, region = catalog.load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
     shipped = (lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
@@ -411,8 +425,12 @@ def tpch_q20_promotion_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                          & (F.col("l_suppkey") == F.col("ps_suppkey")))
                    .filter(2 * F.col("ps_availqty") > F.col("qty"))
                    .select("ps_suppkey"))
+    amer_nations = (nation
+                    .join(F.broadcast(region.filter(
+                        F.col("r_name") == "AMERICA")),
+                        F.col("r_regionkey") == F.col("n_regionkey")))
     return (supplier
-            .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+            .join(F.broadcast(amer_nations),
                   F.col("n_nationkey") == F.col("s_nationkey"))
             .join(overstocked,
                   F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
