@@ -169,20 +169,101 @@ def cep_skip_match_stream(events: DataFrame,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def _scan_vectorized(pdf: "pd.DataFrame", gap_us: int,
+                     token_cap: int) -> "pd.DataFrame":
+    """The batch DFA as closed-form numpy over MANY users at once
+    (VERDICT r7 #6 — the per-row Python ``_step`` loop was the worst
+    audited alpha, 0.59): rows must arrive sorted by (user_id, ts,
+    event_id) and relevance-filtered. Returns one row per user.
+
+    The automaton admits a closed form because purchases reset the
+    DFA unconditionally: split each session at purchases into
+    SEGMENTS, and a purchase matches iff its segment holds a view
+    strictly before the purchase AND the token immediately before the
+    purchase is a click (tokens between the segment's last view and
+    the purchase can only be clicks — a view would BE the last view,
+    a purchase would have ended the segment — so "prev is click"
+    certifies the click+ run the DFA's state 2 requires).
+    Per-element equivalence with ``_scan`` is pinned by a randomized
+    test (tests/test_cep.py::test_vectorized_scan_equals_dfa).
+    """
+    import numpy as np
+
+    user = pdf["user_id"].to_numpy()
+    ts_us = (pdf["ts"].to_numpy().astype("datetime64[ns]")
+             .astype("int64") // 1000)
+    tok = pdf["event_type"].to_numpy()
+    is_view = tok == "view"
+    is_click = tok == "click"
+    is_purch = tok == "purchase"
+
+    idx = np.arange(len(user))
+    new_user = np.empty(len(user), dtype=bool)
+    new_user[0] = True
+    new_user[1:] = user[1:] != user[:-1]
+    new_session = new_user.copy()
+    new_session[1:] |= (ts_us[1:] - ts_us[:-1]) > gap_us
+    session_id = np.cumsum(new_session)
+    # position within session: the cap gate (_scan skips tokens past
+    # token_cap AFTER the session clock advanced — so sessionization
+    # above ran over ALL relevant tokens, capped ones included)
+    sess_start = np.maximum.accumulate(np.where(new_session, idx, 0))
+    keep = (idx - sess_start) < token_cap
+
+    u, s = user[keep], session_id[keep]
+    kv, kc, kp = is_view[keep], is_click[keep], is_purch[keep]
+    n = len(u)
+    if n == 0:
+        return pd.DataFrame({"user_id": np.array([], dtype="int64"),
+                             "n_matches": np.array([], dtype="int64"),
+                             "n_sessions_matched": np.array([],
+                                                            dtype="int64")})
+    # segments: purchase (matched or not) resets the DFA to idle
+    seg_start = np.empty(n, dtype=bool)
+    seg_start[0] = True
+    seg_start[1:] = (s[1:] != s[:-1]) | kp[:-1]
+    # views strictly before each element within its segment
+    cs = np.cumsum(kv)
+    starts = np.flatnonzero(seg_start)
+    seg_len = np.diff(np.append(starts, n))
+    seg_base = np.repeat(np.where(starts > 0, cs[starts - 1], 0)
+                         if len(starts) else np.array([], dtype="int64"),
+                         seg_len)
+    view_before = (cs - seg_base - kv) > 0
+    prev_click = np.empty(n, dtype=bool)
+    prev_click[0] = False
+    prev_click[1:] = kc[:-1]
+    match = kp & ~seg_start & prev_click & view_before
+
+    out = (pd.DataFrame({"u": u, "s": s, "m": match})
+           .groupby(["u", "s"], sort=False)["m"].sum().rename("n")
+           .reset_index())
+    agg = (out.groupby("u", sort=False)
+           .agg(n_matches=("n", "sum"),
+                n_sessions_matched=("n", lambda x: int((x > 0).sum())))
+           .reset_index())
+    return pd.DataFrame({
+        "user_id": agg["u"].astype("int64"),
+        "n_matches": agg["n_matches"].astype("int64"),
+        "n_sessions_matched": agg["n_sessions_matched"].astype("int64")})
+
+
 def cep_skip_match_batch(events: DataFrame,
                          gap_seconds: int = GAP_SECONDS,
                          token_cap: int = SESSION_TOKEN_CAP) -> DataFrame:
-    """The NFA executed in batch: one applyInPandas pass per user over
-    their full (ts, event_id)-sorted history, running the SAME ``_scan``
-    the state-store update function runs — Spark 4 restricts
-    applyInPandasWithState to streaming queries, so the batch twin is
-    the identical automaton minus the store.
+    """The NFA executed in batch: grouped applyInPandas over hash
+    BUCKETS of users (not one tiny pandas frame per user — per-group
+    Python overhead would dominate), each bucket sorted by (user_id,
+    ts, event_id) and fed to the vectorized closed-form scan. Spark 4
+    restricts applyInPandasWithState to streaming queries, so the
+    batch twin shares semantics with ``_scan`` via the pinned
+    equivalence tests rather than sharing the per-row loop.
 
-    Scale: the shuffle is one hash partitioning on user_id (the same
-    exchange the batch regex query pays for its session window), and
-    per-task memory is one user's relevant-event history — bounded by
-    per-user activity, not the corpus. Output contract matches the
-    registered query: users with >= 1 match only.
+    Scale: the shuffle is one hash partitioning (the same exchange the
+    batch regex query pays for its session window); per-task memory is
+    one bucket ≈ corpus/parallelism — tune the bucket count with the
+    input, exactly like shuffle partitions. Output contract matches
+    the registered query: users with >= 1 match only.
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -192,26 +273,25 @@ def cep_skip_match_batch(events: DataFrame,
             return pd.DataFrame(
                 {"user_id": [], "n_matches": [],
                  "n_sessions_matched": []}).astype("int64")
-        pdf = pdf.sort_values(["ts", "event_id"])
-        _, _, cur_n, done_sessions, total, _ = _scan(
-            (None, 0, 0, 0, 0, 0), pdf, gap_us, token_cap)
-        return pd.DataFrame({
-            "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_matches": [total + cur_n],
-            "n_sessions_matched": [done_sessions
-                                   + (1 if cur_n > 0 else 0)]})
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        return _scan_vectorized(pdf, gap_us, token_cap)
 
-    # explicit numbered repartition on the group key: the shuffle's
+    # explicit numbered repartition on the bucket key: the shuffle's
     # byte size is small enough that AQE would coalesce it to ~2
-    # partitions, serializing the per-row Python DFA onto 2 of 32
-    # cores — the cost is Python CPU per ROW, not bytes (same lesson
-    # as the thumbnail codec, BASELINE.md round 4). A user-specified
-    # partition count is exempt from AQE coalescing.
+    # partitions, serializing the Python scan onto 2 of 32 cores —
+    # the cost is Python CPU, not bytes (same lesson as the thumbnail
+    # codec, BASELINE.md round 4). A user-specified partition count is
+    # exempt from AQE coalescing.
     sc = events.sparkSession.sparkContext
-    return (events.select("user_id", "ts", "event_id", "event_type")
-            .repartition(sc.defaultParallelism, "user_id")
-            .groupBy("user_id")
-            .applyInPandas(run, CEP_OUTPUT_SCHEMA)
+    n_buckets = sc.defaultParallelism
+    bucketed = (events.select("user_id", "ts", "event_id", "event_type")
+                .withColumn("__bucket",
+                            F.pmod(F.hash("user_id"), F.lit(n_buckets))))
+    return (bucketed
+            .repartition(n_buckets, "__bucket")
+            .groupBy("__bucket")
+            .applyInPandas(lambda pdf: run(pdf.drop(columns="__bucket")),
+                           CEP_OUTPUT_SCHEMA)
             .filter(F.col("n_matches") > 0))
 
 
