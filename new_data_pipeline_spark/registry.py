@@ -80,94 +80,87 @@ QUERIES: dict[str, QuerySpec] = {}
 # stream_interval_join, join_asof_event_streams,
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
-# Round-7 window (re-aimed per VERDICT r6 #5). Composition:
-# - slots 1-4: the ANN/clustering family whose sampling policy CHANGED
-#   this round (count-derived moduli kill the O(N^2) index builds;
-#   oracle CTEs updated both sides) — sim_pq_topk, sim_ivf_topk,
-#   dedup_semdedup_cells (also rewritten to a per-cell applyInPandas
-#   pairwise), cluster_kmeans_assign (shares the seed policy; the one
-#   deliberate carry-over from the r6 window);
-# - slot 5: cep_stream_funnel, ADDED this round (the streaming NFA's
-#   batch-mode twin, VERDICT r6 #6 — graded in its landing round);
-# - backfill: the blocks released in round 6 and longest without
-#   driver exposure since — simhash64 + the sketch/ANN family, the
-#   timestamp-heavy streaming/ACID block, then the round-4 additions
-#   (graph, set-similarity, ML-prep, multimodal, text-curation).
-# Released this round (all r6-green, all still re-verified every run
-# by the local full-registry replay): events_pattern_skip_match, the
-# minhash/components trio, the 25 r3 slots, and the r1/r2
-# relational/TPC-H rotation — re-seat them in round 8.
+# Round-8 window (re-aimed per VERDICT r7 #2). Composition:
+# - slots 1-10: every query whose CODE or ORACLE changed in round 8 —
+#   the ndpdatum pushdown/manifest-v2 rework, the IVF max_by argmax
+#   rewrite (+ its IVF-PQ composition), the 4 layout gates (stable
+#   scratch/table naming), the CEP batch twin's vectorized scan, and
+#   the Q2/Q20 oracle-correlation + non-vacuous-predicate fixes;
+# - backfill: the longest-unexposed rotation — ALL 25 round-1-graded
+#   relational/join/window/setop queries (green last in the r1 driver
+#   window, re-verified locally every session since), then the oldest
+#   15 of the 28 round-2-graded ingest/scalar/subquery slots.
+# Released this round (all r7-green, all still re-verified every run
+# by the local full-registry replay): the r7 sketch/ANN, streaming/
+# ACID, and round-4-additions blocks. Round 9 should re-seat the
+# remaining 13 r2 slots (sampling/profile/text/multimodal), the 22
+# r3-graded slots, and the 17 r5-graded slots — after that every
+# registered query will have been re-exposed within 4 rounds.
 GATE_PRIORITY: tuple[str, ...] = (
-    # ---- changed this round: count-derived sampling moduli ----
-    "sim_pq_topk",
-    "sim_ivf_topk",
-    "dedup_semdedup_cells",
-    "cluster_kmeans_assign",
-    # ---- added this round ----
-    "cep_stream_funnel",
-    "sim_ivfpq_topk",
+    # ---- changed in round 8 ----
     "ingest_datum_source_scan",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "cep_stream_funnel",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_promotion_stock",
     "join_bucketed_colocated",
     "layout_zorder_scan",
     "store_compaction_scan",
     "store_delete_rows",
-    # ---- added this round: TPC-H completion (derived partsupp) ----
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_promotion_stock",
-    "tpch_q21_waiting_supplier",
-    # ---- sketch/ANN family (released r6) ----
-    "dedup_simhash64_hamming",
-    "sim_lsh_topk",
-    "agg_hll_sketch",
-    "agg_hll_mergeable_rollup",
-    "agg_countmin_point_estimates",
-    "agg_bloom_membership",
-    "agg_kll_quantile_rollup",
-    "agg_theta_intersection",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_priority_keeper",
-    # ---- timestamp-heavy streaming/ACID block (released r6) ----
-    "timeseries_gapfill",
-    "scd2_user_state",
-    "timeseries_ohlc_bars",
-    "timeseries_ewma",
-    "stream_session_window",
-    "stream_interval_join_outer",
-    "stream_running_totals",
-    "stream_static_dim_join",
-    "stream_acid_ingest",
-    "acid_change_data_feed",
-    # ---- round-4 additions (released r6) ----
-    "text_bpe_token_counts",
-    "text_boilerplate_strip",
-    "graph_pagerank",
-    "graph_triangle_stats",
-    "join_set_similarity",
-    "join_set_similarity_prefix",
-    "text_lm_perplexity",
-    "ml_quantile_binning",
-    "ml_target_encoding",
-    "text_chunk_overlap",
-    "text_repetition_ratio",
-    # ---- first-50 window boundary: "text_repetition_ratio" is slot
-    # 49; everything below is OUTSIDE the graded window this round ----
-    "corpus_pack_sequences",
-    "split_leakage_check",
-    "multimodal_audio_stats",
-    "multimodal_metadata_stats",
-    "multimodal_decode_stats",
-    "multimodal_thumbnail_stats",
-    "multimodal_e2e_curation",
-    "multimodal_audio_resample",
-    "text_model_quality_filter",
-    "corpus_source_policy",
-    "text_hashing_vectorize",
-    "text_heavy_hitters",
+    # ---- rotation: the full round-1 block (oldest driver greens) ----
+    "projection_filter",
+    "distinct_rows",
+    "sort_limit_global",
+    "agg_count_distinct",
+    "agg_minmax_percentile",
+    "funnel_conversion",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_full_outer",
+    "join_left_outer",
+    "join_range_bands",
+    "join_semi",
+    "join_theta_self",
+    "setop_except",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all_counts",
+    "setop_union_distinct",
+    "window_first_last",
+    "window_lag_lead",
+    "window_pct_cume_nth",
+    "window_range_frame",
+    "window_rank_dense_ntile",
+    "window_running_sum",
+    "window_sliding_frame",
+    # ---- rotation: round-2 block, part 1 of 2 (ingest parity the
+    # reference contract depends on, then scalar/subquery surface) ----
+    "ingest_key_assignment",
+    "ingest_batch_assignment",
+    "ingest_binding_join",
+    "ingest_flatten_cast",
+    "ingest_mimo_zip",
+    "agg_argmin_argmax",
+    "agg_stats_moments",
+    "map_funcs",
+    "scalar_date_funcs",
+    "scalar_json_funcs",
+    "scalar_math_conditional",
+    "scalar_string_funcs",
+    "subquery_correlated_exists",
+    "subquery_in",
+    "unpivot_stack",
+    # ---- first-50 window boundary: "unpivot_stack" is slot 50;
+    # everything below is OUTSIDE the graded window this round ----
+    "text_bow_vectorize",
+    "text_fingerprint",
+    "text_langid",
+    "text_term_stats",
+    "split_train_test",
+    "sample_stratified_hash",
+    "sample_weighted_hash",
+    "profile_table_quality",
     # earlier-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.
 )
