@@ -97,6 +97,8 @@ QUERIES: dict[str, QuerySpec] = {}
 # r3-graded slots, and the 17 r5-graded slots — after that every
 # registered query will have been re-exposed within 4 rounds.
 GATE_PRIORITY: tuple[str, ...] = (
+    # ---- added in round 8 ----
+    "cep_branching_funnel",
     # ---- changed in round 8 ----
     "ingest_datum_source_scan",
     "sim_ivf_topk",
@@ -150,9 +152,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "scalar_string_funcs",
     "subquery_correlated_exists",
     "subquery_in",
-    "unpivot_stack",
-    # ---- first-50 window boundary: "unpivot_stack" is slot 50;
+    # ---- first-50 window boundary: "subquery_in" is slot 50;
     # everything below is OUTSIDE the graded window this round ----
+    "unpivot_stack",
     "text_bow_vectorize",
     "text_fingerprint",
     "text_langid",

@@ -59,6 +59,19 @@ from new_data_pipeline_spark.operators.profiling import (
 RELEVANT = ("view", "click", "purchase")
 GAP_SECONDS = 2 * 24 * 3600  # = the batch twin's SESSION_GAP (2 days)
 
+# Token CLASSES generalize the automaton beyond the funnel (VERDICT r7
+# #9 stretch): every skip-till-next-match pattern of shape
+# ``START MID+ TERM`` — where each element may be an ALTERNATION of
+# event types — compiles to the same 3-state DFA over class ids
+# {0: start, 1: mid, 2: terminal}. The funnel is (view, click,
+# purchase); the branching pattern ``signup (view|click)+
+# (purchase|error)`` proves the device generalizes: two alternation
+# points, same automaton, same closed form, same state-store layout.
+FUNNEL_CLASSES = {"view": 0, "click": 1, "purchase": 2}
+BRANCH_CLASSES = {"signup": 0, "view": 1, "click": 1,
+                  "purchase": 2, "error": 2}
+BRANCH_RELEVANT = tuple(BRANCH_CLASSES)
+
 CEP_OUTPUT_SCHEMA = ("user_id bigint, n_matches bigint, "
                      "n_sessions_matched bigint")
 # last_us: microseconds of the last RELEVANT event (session-gap clock —
@@ -72,18 +85,29 @@ CEP_STATE_SCHEMA = ("last_us bigint, dfa int, cur_n bigint, "
                     "sess_tokens bigint")
 
 
-def _step(dfa: int, tok: str) -> tuple[int, int]:
-    """One DFA transition; returns (next_state, matched 0/1)."""
-    if tok == "view":
+def _step_cls(dfa: int, cls: int) -> tuple[int, int]:
+    """One DFA transition on a token CLASS id; returns
+    (next_state, matched 0/1). The ``cls == 0 -> 1`` edge from every
+    state is the leftmost-retry rule: a failed attempt restarts at the
+    next start token, exactly where the regex scanner's next viable
+    start position is."""
+    if cls == 0:  # start token
         return 1, 0
-    if tok == "click":
+    if cls == 1:  # mid token
         return (2, 0) if dfa in (1, 2) else (0, 0)
-    # purchase
+    # terminal token
     return (0, 1) if dfa == 2 else (0, 0)
 
 
+def _step(dfa: int, tok: str) -> tuple[int, int]:
+    """The funnel DFA transition (kept as the named specialization the
+    unit tests pin table-by-table)."""
+    return _step_cls(dfa, FUNNEL_CLASSES[tok])
+
+
 def _scan(state: tuple, pdf: "pd.DataFrame",
-          gap_us: int, token_cap: int) -> tuple:
+          gap_us: int, token_cap: int,
+          classes: dict[str, int] = FUNNEL_CLASSES) -> tuple:
     """Feed one user's (ts, event_id)-sorted RELEVANT events through
     the DFA, threading the 6-tuple automaton state (the state-store
     payload). Shared verbatim by the streaming update function and the
@@ -107,14 +131,17 @@ def _scan(state: tuple, pdf: "pd.DataFrame",
         sess_tokens += 1
         if sess_tokens > token_cap:
             continue  # capped out, but session clock advanced
-        dfa, hit = _step(dfa, tok)
+        dfa, hit = _step_cls(dfa, classes[tok])
         cur_n += hit
     return last_us, dfa, cur_n, done_sessions, total, sess_tokens
 
 
 def cep_skip_match_stream(events: DataFrame,
                           gap_seconds: int = GAP_SECONDS,
-                          token_cap: int = SESSION_TOKEN_CAP) -> DataFrame:
+                          token_cap: int = SESSION_TOKEN_CAP,
+                          classes: dict[str, int] | None = None,
+                          relevant: tuple[str, ...] = RELEVANT
+                          ) -> DataFrame:
     """Per-user running (n_matches, n_sessions_matched) for the
     ``view click+ purchase`` funnel — streaming (applyInPandasWithState,
     update mode) or batch (same code path, Spark runs the stateful
@@ -127,6 +154,7 @@ def cep_skip_match_stream(events: DataFrame,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_seconds * 1_000_000
+    cls_map = classes if classes is not None else FUNNEL_CLASSES
 
     def update(key, pdfs, state):
         if state.exists:
@@ -143,14 +171,14 @@ def cep_skip_match_stream(events: DataFrame,
         # large per-trigger batches. One key's per-trigger volume is
         # bounded by the trigger interval, so this concat is small.
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf[pdf["event_type"].isin(RELEVANT)]
+        pdf = pdf[pdf["event_type"].isin(relevant)]
         saw = len(pdf) > 0
         if saw:
             pdf = pdf.sort_values(["ts", "event_id"])
             (last_us, dfa, cur_n, done_sessions, total,
              sess_tokens) = _scan(
                 (last_us, dfa, cur_n, done_sessions, total, sess_tokens),
-                pdf, gap_us, token_cap)
+                pdf, gap_us, token_cap, cls_map)
         state.update((last_us if last_us is not None else -1,
                       dfa, cur_n, done_sessions, total, sess_tokens))
         if saw:
@@ -169,33 +197,35 @@ def cep_skip_match_stream(events: DataFrame,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
-def _scan_vectorized(pdf: "pd.DataFrame", gap_us: int,
-                     token_cap: int) -> "pd.DataFrame":
+def _scan_vectorized(pdf: "pd.DataFrame", gap_us: int, token_cap: int,
+                     classes: dict[str, int] = FUNNEL_CLASSES
+                     ) -> "pd.DataFrame":
     """The batch DFA as closed-form numpy over MANY users at once
     (VERDICT r7 #6 — the per-row Python ``_step`` loop was the worst
     audited alpha, 0.59): rows must arrive sorted by (user_id, ts,
     event_id) and relevance-filtered. Returns one row per user.
 
-    The automaton admits a closed form because purchases reset the
-    DFA unconditionally: split each session at purchases into
-    SEGMENTS, and a purchase matches iff its segment holds a view
-    strictly before the purchase AND the token immediately before the
-    purchase is a click (tokens between the segment's last view and
-    the purchase can only be clicks — a view would BE the last view,
-    a purchase would have ended the segment — so "prev is click"
-    certifies the click+ run the DFA's state 2 requires).
+    The automaton admits a closed form because TERMINAL tokens reset
+    it unconditionally: split each session at terminals into
+    SEGMENTS, and a terminal matches iff its segment holds a start
+    token strictly before AND the token immediately before the
+    terminal is a mid token (tokens between the segment's last start
+    and the terminal can only be mids — a start would BE the last
+    start, a terminal would have ended the segment — so "prev is mid"
+    certifies the mid+ run the DFA's state 2 requires).
     Per-element equivalence with ``_scan`` is pinned by a randomized
-    test (tests/test_cep.py::test_vectorized_scan_equals_dfa).
+    test (tests/test_cep.py::test_vectorized_scan_equals_dfa) for
+    both the funnel and the branching class maps.
     """
     import numpy as np
 
     user = pdf["user_id"].to_numpy()
     ts_us = (pdf["ts"].to_numpy().astype("datetime64[ns]")
              .astype("int64") // 1000)
-    tok = pdf["event_type"].to_numpy()
-    is_view = tok == "view"
-    is_click = tok == "click"
-    is_purch = tok == "purchase"
+    cls = pdf["event_type"].map(classes).to_numpy()
+    is_view = cls == 0   # start tokens
+    is_click = cls == 1  # mid tokens
+    is_purch = cls == 2  # terminal tokens
 
     idx = np.arange(len(user))
     new_user = np.empty(len(user), dtype=bool)
@@ -250,7 +280,10 @@ def _scan_vectorized(pdf: "pd.DataFrame", gap_us: int,
 
 def cep_skip_match_batch(events: DataFrame,
                          gap_seconds: int = GAP_SECONDS,
-                         token_cap: int = SESSION_TOKEN_CAP) -> DataFrame:
+                         token_cap: int = SESSION_TOKEN_CAP,
+                         classes: dict[str, int] | None = None,
+                         relevant: tuple[str, ...] = RELEVANT
+                         ) -> DataFrame:
     """The NFA executed in batch: grouped applyInPandas over hash
     BUCKETS of users (not one tiny pandas frame per user — per-group
     Python overhead would dominate), each bucket sorted by (user_id,
@@ -266,15 +299,16 @@ def cep_skip_match_batch(events: DataFrame,
     the registered query: users with >= 1 match only.
     """
     gap_us = gap_seconds * 1_000_000
+    cls_map = classes if classes is not None else FUNNEL_CLASSES
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf[pdf["event_type"].isin(RELEVANT)]
+        pdf = pdf[pdf["event_type"].isin(relevant)]
         if len(pdf) == 0:
             return pd.DataFrame(
                 {"user_id": [], "n_matches": [],
                  "n_sessions_matched": []}).astype("int64")
         pdf = pdf.sort_values(["user_id", "ts", "event_id"])
-        return _scan_vectorized(pdf, gap_us, token_cap)
+        return _scan_vectorized(pdf, gap_us, token_cap, cls_map)
 
     # explicit numbered repartition on the bucket key: the shuffle's
     # byte size is small enough that AQE would coalesce it to ~2

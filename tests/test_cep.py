@@ -322,9 +322,10 @@ def test_vectorized_scan_equals_dfa():
     from new_data_pipeline_spark.streaming import cep
 
     rng = random.Random(20260815)
-    toks = ["view", "click", "purchase"]
     gap_us = 100 * 1_000_000  # 100 s session gap
     for _trial in range(200):
+        classes = rng.choice([cep.FUNNEL_CLASSES, cep.BRANCH_CLASSES])
+        toks = list(classes)
         rows, eid = [], 0
         for u in range(rng.randint(1, 4)):
             t = 0
@@ -339,13 +340,44 @@ def test_vectorized_scan_equals_dfa():
                                           "event_id", "event_type"])
         pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
         pdf = pdf.sort_values(["user_id", "ts", "event_id"])
-        vec = cep._scan_vectorized(pdf, gap_us, cap)
+        vec = cep._scan_vectorized(pdf, gap_us, cap, classes)
         got = {int(r.user_id): (int(r.n_matches), int(r.n_sessions_matched))
                for r in vec.itertuples()}
         for u, grp in pdf.groupby("user_id"):
             _, _, cur_n, done, total, _ = cep._scan(
                 (None, 0, 0, 0, 0, 0), grp.sort_values(["ts", "event_id"]),
-                gap_us, cap)
+                gap_us, cap, classes)
             expect = (total + cur_n, done + (1 if cur_n > 0 else 0))
             assert got.get(int(u), (0, 0)) == expect, \
                 (u, got.get(int(u)), expect, cap)
+
+
+def test_branching_pattern_alternation(spark):
+    """signup (view|click)+ (purchase|error): both alternation points
+    must accept either token, and a mid-run restart at a new signup
+    must behave like the funnel's leftmost-retry."""
+    import pandas as pd
+
+    from new_data_pipeline_spark.streaming import cep
+
+    def run(seq):
+        rows = [(1, i + 1, i, t) for i, t in enumerate(seq)]
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts",
+                                          "event_id", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+        df = spark.createDataFrame(pdf)
+        out = cep.cep_skip_match_batch(
+            df, classes=cep.BRANCH_CLASSES,
+            relevant=cep.BRANCH_RELEVANT).collect()
+        return out[0].n_matches if out else 0
+
+    assert run(["signup", "view", "purchase"]) == 1
+    assert run(["signup", "click", "error"]) == 1
+    assert run(["signup", "view", "click", "view", "error"]) == 1
+    assert run(["signup", "purchase"]) == 0          # mid+ needs one
+    assert run(["view", "click", "purchase"]) == 0   # no signup start
+    # leftmost retry: failed attempt restarts at the NEXT signup
+    assert run(["signup", "view", "signup", "click", "purchase"]) == 1
+    # two non-overlapping matches, mixed terminals
+    assert run(["signup", "click", "purchase",
+                "signup", "view", "error"]) == 2
