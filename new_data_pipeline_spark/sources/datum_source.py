@@ -173,6 +173,52 @@ def read_datum_file(path: str, offset: int = 0, length: int = -1):
         pos += ln
 
 
+def build_manifest(path: str,
+                   block_bytes: int = DEFAULT_BLOCK_BYTES) -> dict:
+    """Index a manifest-less (foreign-written) dataset directory: one
+    sequential pass per ``*.datum`` file records block boundaries
+    (every ``block_bytes``, always on record edges), key ranges, and
+    key blooms, then commits the v2 manifest atomically. After this,
+    a single 10 GB foreign file scans block-parallel and prunes like
+    a native write — the one-time cost parquet pays at write time,
+    paid here at adoption time. Returns the manifest dict."""
+    files = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".datum"):
+            continue
+        fpath = os.path.join(path, fname)
+        blocks: list[dict] = []
+        b_off = 0
+        b_keys: list[int] = []
+        kmin = kmax = None
+        with open(fpath, "rb") as f:
+            buf = f.read()
+        pos, n = 0, len(buf)
+        while pos < n:
+            key, pos = _read_varint(buf, pos)
+            ln, pos = _read_varint(buf, pos)
+            pos += ln
+            b_keys.append(key)
+            kmin = key if kmin is None else min(kmin, key)
+            kmax = key if kmax is None else max(kmax, key)
+            if pos - b_off >= block_bytes:
+                blocks.append(_block_meta(b_off, pos - b_off, b_keys))
+                b_off, b_keys = pos, []
+        if b_keys:
+            blocks.append(_block_meta(b_off, n - b_off, b_keys))
+        files.append({"file": fname,
+                      "rows": sum(b["rows"] for b in blocks),
+                      "min_key": kmin if kmin is not None else 0,
+                      "max_key": kmax if kmax is not None else -1,
+                      "blocks": blocks})
+    manifest = {"version": 2, "files": files}
+    tmp = os.path.join(path, f".{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return manifest
+
+
 # ------------------------------------------------------------ reader
 
 @dataclass

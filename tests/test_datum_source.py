@@ -212,3 +212,27 @@ def test_composes_with_wire_decode(spark, tmp_path):
               (decoded.groupBy(F.col("classs.slabel").alias("slabel"))
                .agg(F.count("*").alias("n")).collect())}
     assert counts == {"label_0": 10, "label_1": 10, "label_2": 10}
+
+
+def test_build_manifest_adopts_foreign_file(spark, tmp_path):
+    """A manifest-less (foreign-written) directory scans whole-file;
+    after build_manifest it scans block-parallel with pruning."""
+    from new_data_pipeline_spark.sources.datum_source import build_manifest
+
+    out = tmp_path / "foreign"
+    out.mkdir()
+    # one big foreign file, written directly (no manifest)
+    recs = [(i, b"z" * 80) for i in range(2000)]
+    write_datum_file(str(out / "import-0.datum"), recs)
+    src = spark.read.format("ndpdatum").load(str(out))
+    assert src.rdd.getNumPartitions() == 1  # whole file = one task
+    assert src.count() == 2000
+    manifest = build_manifest(str(out), block_bytes=16384)
+    n_blocks = len(manifest["files"][0]["blocks"])
+    assert n_blocks > 5
+    adopted = spark.read.format("ndpdatum").load(str(out))
+    assert adopted.rdd.getNumPartitions() == n_blocks
+    assert adopted.count() == 2000
+    one = adopted.filter(F.col("key") == 1500)
+    assert one.rdd.getNumPartitions() == 1
+    assert [r.key for r in one.collect()] == [1500]
