@@ -98,20 +98,36 @@ _MASK64 = (1 << 64) - 1
 
 def _bloom_hashes(key: int, m: int) -> list[int]:
     """k bit positions for one key (Kirsch-Mitzenmacher double hashing
-    over two multiplicative mixes — deterministic, no randomness)."""
+    over two multiplicative mixes — deterministic, no randomness). All
+    arithmetic wraps at 64 bits so the scalar probe and the vectorized
+    numpy build (same formulas in uint64) agree bit-for-bit."""
     h1 = (key * 0x9E3779B97F4A7C15 + 0x2545F4914F6CDD1D) & _MASK64
     h1 ^= h1 >> 29
     h2 = ((key * 0xC2B2AE3D27D4EB4F) | 1) & _MASK64
     h2 ^= h2 >> 31
-    return [(h1 + i * h2) % m for i in range(BLOOM_K)]
+    return [((h1 + i * h2) & _MASK64) % m for i in range(BLOOM_K)]
 
 
 def _bloom_build(keys: list[int]) -> dict:
+    """Vectorized bloom construction: the writer runs this per block,
+    so per-key Python loops would be the ingest hot path — numpy uint64
+    does the k·N hash work in C (overflow wraps exactly like the
+    masked scalar probe above)."""
+    import numpy as np
+
     m = max(64, ((len(keys) * BLOOM_BITS_PER_KEY + 63) // 64) * 64)
-    bits = 0
-    for k in keys:
-        for pos in _bloom_hashes(k, m):
-            bits |= 1 << pos
+    k = np.asarray(keys, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = k * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x2545F4914F6CDD1D)
+        h1 ^= h1 >> np.uint64(29)
+        h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+        h2 ^= h2 >> np.uint64(31)
+        words = np.zeros(m // 64, dtype=np.uint64)
+        for i in range(BLOOM_K):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+    bits = int.from_bytes(words.tobytes(), "little")
     return {"m": m, "k": BLOOM_K,
             "bits": format(bits, "x")}
 

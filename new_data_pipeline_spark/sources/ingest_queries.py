@@ -190,6 +190,7 @@ def ingest_datum_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     and that its file-level data skipping returns the same answer as a
     direct scan (the DuckDB oracle never sees the Datum detour).
     """
+    import hashlib
     import os
     import shutil
     import tempfile
@@ -210,9 +211,12 @@ def ingest_datum_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("classs"))
     wire = to_datum(docs, passthrough=["key"])
 
+    # stable scratch name (md5, not the per-process-salted hash()):
+    # reruns overwrite one generation instead of leaking a dataset per
+    # process — the same fix as the r8 layout-gate sweep
     out = os.path.join(
         tempfile.gettempdir(),
-        f"ndp_datum_scan_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}")
+        f"ndp_datum_scan_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     shutil.rmtree(out, ignore_errors=True)
     (wire.repartitionByRange(8, "key")
          .write.format("ndpdatum").mode("append").save(out))
