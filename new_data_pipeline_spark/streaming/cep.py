@@ -352,7 +352,9 @@ def cep_skip_match_stream_reordered(
         events: DataFrame,
         delay_seconds: int = 3600,
         gap_seconds: int = GAP_SECONDS,
-        token_cap: int = SESSION_TOKEN_CAP) -> DataFrame:
+        token_cap: int = SESSION_TOKEN_CAP,
+        classes: dict[str, int] | None = None,
+        relevant: tuple[str, ...] = RELEVANT) -> DataFrame:
     """The NFA with out-of-order tolerance up to ``delay_seconds``:
     incoming relevant events are buffered in the state store; each
     trigger releases — in (ts, event_id) order — only those whose
@@ -376,6 +378,7 @@ def cep_skip_match_stream_reordered(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_seconds * 1_000_000
+    cls_map = classes if classes is not None else FUNNEL_CLASSES
 
     def update(key, pdfs, state):
         if state.exists:
@@ -391,7 +394,7 @@ def cep_skip_match_stream_reordered(
         chunks = list(pdfs)  # empty on a timeout wake-up
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True)
-            pdf = pdf[pdf["event_type"].isin(RELEVANT)]
+            pdf = pdf[pdf["event_type"].isin(relevant)]
         else:
             pdf = pd.DataFrame(
                 {"ts": [], "event_id": [], "event_type": []})
@@ -413,7 +416,7 @@ def cep_skip_match_stream_reordered(
             (last_us, dfa, cur_n, done_sessions, total,
              sess_tokens) = _scan(
                 (last_us, dfa, cur_n, done_sessions, total, sess_tokens),
-                rel, gap_us, token_cap)
+                rel, gap_us, token_cap, cls_map)
         state.update((last_us if last_us is not None else -1,
                       dfa, cur_n, done_sessions, total, sess_tokens,
                       [t[0] for t in pend], [t[1] for t in pend],

@@ -381,3 +381,17 @@ def test_branching_pattern_alternation(spark):
     # two non-overlapping matches, mixed terminals
     assert run(["signup", "click", "purchase",
                 "signup", "view", "error"]) == 2
+
+
+def test_stream_nfa_branching_pattern(spark, tmp_path):
+    """The STREAMING NFA with the branching class map: alternation at
+    both elements, state crossing micro-batch boundaries, and a user
+    whose tokens never include a start must not match."""
+    rows = [(1, 0, "signup"), (1, 1, "click"), (1, 2, "error"),
+            (2, 0, "signup"), (2, 1, "view"), (2, 2, "purchase"),
+            (3, 0, "view"), (3, 1, "click"), (3, 2, "purchase")]
+    got, n_batches = _stream_counts(spark, tmp_path, rows, n_files=3,
+                                    classes=cep.BRANCH_CLASSES,
+                                    relevant=cep.BRANCH_RELEVANT)
+    assert n_batches > 1
+    assert got == {1: (1, 1), 2: (1, 1)}  # user 3 never signs up
