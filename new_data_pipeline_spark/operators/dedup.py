@@ -211,14 +211,19 @@ _SQL_MINHASH_PAIR_CTES = f"""
     )"""
 
 
-def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH near-dup pair pipeline (doc_a, doc_b, jaccard) — shared
-    by ``dedup_minhash_lsh`` and the cluster-components pass."""
+def _shingle_bands(spark: SparkSession,
+                   sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(hashed shingle sets, capped band-bucket table) — the shared
+    front of every MinHash pipeline.
+
+    Persist the HASHED shingle sets (60-bit longs, not strings — see
+    hashed_shingles_expr): the plan consumes them four times (band
+    build ×2 via the self-join, Jaccard verify ×2) and recomputing the
+    shingle+minhash subtree dominated the un-persisted runtime ~5×.
+    The band table persists BEFORE the cap: the bucket-count aggregate,
+    the anti-join and both sides of the candidate join all reuse the
+    cache instead of recomputing the subtree per consumer."""
     docs = catalog.load(spark, sf_dir, "documents")
-    # Persist the HASHED shingle sets (60-bit longs, not strings — see
-    # hashed_shingles_expr): the plan consumes them four times (band
-    # build ×2 via the self-join, Jaccard verify ×2) and recomputing the
-    # shingle+minhash subtree dominated the un-persisted runtime ~5×.
     s = (docs.filter(F.size(F.split("text", " ")) >= SHINGLE_W)
          .select("doc_id", hashed_shingles_expr().alias("hs"))
          .persist())
@@ -232,17 +237,13 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for r in range(MINHASH_R)]).alias("band_key"))
             for b in range(MINHASH_BANDS)])).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
-    # persist BEFORE the cap: the bucket-count aggregate, the anti-join
-    # and both sides of the self-join all reuse the cached band table
-    # instead of recomputing the shingle+minhash subtree per consumer
     bands = cap_hot_buckets(bands.persist(), ["band_id", "band_key"])
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                   & (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    return s, bands
+
+
+def _verify_pairs(cand: DataFrame, s: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates against
+    the hashed shingle sets."""
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     jac = (F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
@@ -250,6 +251,20 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .filter(jac >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH near-dup pair pipeline (doc_a, doc_b, jaccard) — shared
+    by ``dedup_minhash_lsh`` and the cluster-components pass."""
+    s, bands = _shingle_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    return _verify_pairs(cand, s)
 
 
 @register(
@@ -271,6 +286,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     output shape.
     """
     return minhash_pairs(spark, sf_dir)
+
+
+# "delta" = the newest tenth of the id space (count-free, exact-integer
+# rule both engines replay: tsplit = max_id - max_id // 10)
+INCR_DELTA_DIVISOR = 10
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_SQL_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    WHERE doc_b >= (SELECT MAX(doc_id) - MAX(doc_id) // {INCR_DELTA_DIVISOR}
+                    FROM documents)
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH maintenance: the corpus grew by a snapshot (the
+    newest tenth of the id space stands in for the new crawl), and only
+    the near-dup pairs INVOLVING a new document must be found — the
+    index-maintenance pattern that makes LSH dedup affordable on a
+    growing 100 TB corpus, where re-running the full-corpus pair join
+    per snapshot would pay O(corpus) for an O(delta)-sized answer.
+
+    Construction: one band table (built fresh here so the gate is
+    self-contained; in production the base slice IS the persisted
+    index, e.g. the ndpdatum/parquet band table of the last run), split
+    at the count-free id threshold. Candidates = delta probing the base
+    buckets (old-new pairs; id order is automatic, old < tsplit ≤ new)
+    UNION the delta self-join (new-new pairs) — never base×base, which
+    is exactly the work skipped. Exact-Jaccard verification unchanged.
+
+    The oracle replays the FULL pair pipeline and filters to
+    doc_b ≥ tsplit (doc_a < doc_b, so doc_b is the pair max): proof
+    that incremental probing finds precisely the full recompute's
+    new-doc pairs, missing none and inventing none.
+
+    Scale: delta bands shuffle-join against the bucket-keyed index
+    (at 100 TB: bucket-partitioned parquet, so the probe co-locates);
+    the delta self-join is |delta|-sized. Work is O(|delta| + matches),
+    independent of corpus size — the audit's alpha reflects the band
+    build here, not the probe, because the gate rebuilds the index.
+    """
+    s, bands = _shingle_bands(spark, sf_dir)
+    max_id = catalog.load(spark, sf_dir, "documents").agg(
+        F.max("doc_id")).first()[0]
+    tsplit = max_id - max_id // INCR_DELTA_DIVISOR
+    base = bands.filter(F.col("doc_id") < tsplit)
+    delta = bands.filter(F.col("doc_id") >= tsplit)
+    d, bb = delta.alias("d"), base.alias("bb")
+    old_new = (d.join(bb, (F.col("d.band_id") == F.col("bb.band_id"))
+                      & (F.col("d.band_key") == F.col("bb.band_key")))
+               .select(F.col("bb.doc_id").alias("doc_a"),
+                       F.col("d.doc_id").alias("doc_b")))
+    x, y = delta.alias("x"), delta.alias("y")
+    new_new = (x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+                      & (F.col("x.band_key") == F.col("y.band_key"))
+                      & (F.col("x.doc_id") < F.col("y.doc_id")))
+               .select(F.col("x.doc_id").alias("doc_a"),
+                       F.col("y.doc_id").alias("doc_b")))
+    cand = old_new.unionAll(new_new).distinct()
+    return _verify_pairs(cand, s)
 
 
 MAX_CC_ITERS = 25  # label propagation rounds; converges in O(diameter)

@@ -514,3 +514,26 @@ def test_audio_resample_decimation_geometry(spark):
         assert r["last_sample"] == samples[-1]
         assert r["mean_amp_out"] == sum(samples) / len(samples) / 128.0
         assert r["sample_rate_out"] == 4000
+
+
+def test_incremental_lsh_equals_filtered_full_recompute(spark):
+    """Incremental LSH (delta probes the base index + delta self-join)
+    must find exactly the full recompute's pairs that involve a new
+    doc — none missed (old-new pairs via the index probe), none
+    invented (base×base never joined)."""
+    from pyspark.sql import functions as F
+
+    from new_data_pipeline_spark import catalog
+    from new_data_pipeline_spark.operators import dedup
+
+    max_id = catalog.load(spark, SF_DIR, "documents").agg(
+        F.max("doc_id")).first()[0]
+    tsplit = max_id - max_id // dedup.INCR_DELTA_DIVISOR
+    full = dedup.minhash_pairs(spark, SF_DIR)
+    want = sorted(map(tuple,
+                      full.filter(F.col("doc_b") >= tsplit).collect()))
+    got = sorted(map(tuple, dedup.dedup_incremental_lsh(
+        spark, SF_DIR).collect()))
+    assert got == want
+    assert len(got) > 0  # 5 planted pairs at sf0.01
+    assert len(got) < full.count()  # strictly less work than full
