@@ -333,7 +333,8 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s, bands = _shingle_bands(spark, sf_dir)
     max_id = catalog.load(spark, sf_dir, "documents").agg(
         F.max("doc_id")).first()[0]
-    tsplit = max_id - max_id // INCR_DELTA_DIVISOR
+    # empty corpus: MAX is NULL; any threshold yields the empty answer
+    tsplit = 0 if max_id is None else max_id - max_id // INCR_DELTA_DIVISOR
     base = bands.filter(F.col("doc_id") < tsplit)
     delta = bands.filter(F.col("doc_id") >= tsplit)
     d, bb = delta.alias("d"), base.alias("bb")
