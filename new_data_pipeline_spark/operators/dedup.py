@@ -352,6 +352,63 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs(cand, s)
 
 
+@register(
+    "dedup_lsh_bucketed_probe",
+    # identical answer contract to dedup_incremental_lsh: persisting
+    # the index bucketed must not change WHICH pairs the delta finds
+    oracle=f"""
+    WITH {_SQL_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    WHERE doc_b >= (SELECT MAX(doc_id) - MAX(doc_id) // {INCR_DELTA_DIVISOR}
+                    FROM documents)
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental", "layout", "bucketing"),
+)
+def dedup_lsh_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-LSH story with the index actually PERSISTED: the
+    base band table is written to the catalog bucketed by band_key
+    (plans/physical.write_bucketed — the same pay-the-shuffle-once
+    device as join_bucketed_colocated), and the delta probes the
+    CATALOG table. HashPartitioning(band_key) satisfies the probe
+    join's clustered distribution (bucket columns ⊆ join keys), so the
+    index side scans shuffle-free — only the O(delta) probe side
+    exchanges, which is the entire point of keeping an index at 100 TB
+    (asserted on the plan in tests/test_physical.py). The gate proves
+    layout neutrality: the bucketed probe answers exactly what
+    ``dedup_incremental_lsh``'s in-memory split answers, which the
+    oracle replays as the full recompute filtered to new-doc pairs.
+    """
+    import hashlib
+
+    from new_data_pipeline_spark.plans import physical
+    from new_data_pipeline_spark.plans.layout_queries import (
+        _sweep_stale_bucketed)
+
+    s, bands = _shingle_bands(spark, sf_dir)
+    max_id = catalog.load(spark, sf_dir, "documents").agg(
+        F.max("doc_id")).first()[0]
+    tsplit = 0 if max_id is None else max_id - max_id // INCR_DELTA_DIVISOR
+    tbl = f"ndp_b_lshidx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _sweep_stale_bucketed(spark, keep={tbl}, prefixes=("ndp_b_lshidx_",))
+    physical.write_bucketed(bands.filter(F.col("doc_id") < tsplit),
+                            tbl, "band_id", "band_key")
+    idx = spark.table(tbl)
+    delta = bands.filter(F.col("doc_id") >= tsplit)
+    d, bb = delta.alias("d"), idx.alias("bb")
+    old_new = (d.join(bb, (F.col("d.band_id") == F.col("bb.band_id"))
+                      & (F.col("d.band_key") == F.col("bb.band_key")))
+               .select(F.col("bb.doc_id").alias("doc_a"),
+                       F.col("d.doc_id").alias("doc_b")))
+    x, y = delta.alias("x"), delta.alias("y")
+    new_new = (x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+                      & (F.col("x.band_key") == F.col("y.band_key"))
+                      & (F.col("x.doc_id") < F.col("y.doc_id")))
+               .select(F.col("x.doc_id").alias("doc_a"),
+                       F.col("y.doc_id").alias("doc_b")))
+    cand = old_new.unionAll(new_new).distinct()
+    return _verify_pairs(cand, s)
+
+
 MAX_CC_ITERS = 25  # label propagation rounds; converges in O(diameter)
 
 

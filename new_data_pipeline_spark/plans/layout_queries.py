@@ -49,10 +49,13 @@ def _workdir(op: str, sf_dir: str) -> str:
     return path
 
 
-def _sweep_stale_bucketed(spark: SparkSession, keep: set[str]) -> None:
+def _sweep_stale_bucketed(spark: SparkSession, keep: set[str],
+                          prefixes: tuple[str, ...]) -> None:
     """Collect bucketed-table directories left in spark-warehouse by
     pre-r8 pid-named generations (and any foreign generation): every
-    ``ndp_b_*`` entry not named by THIS run is stale by construction."""
+    entry under THIS gate's ``prefixes`` not named by THIS run is stale
+    by construction. Scoped by prefix so different bucketed gates never
+    collect each other's live tables mid-session."""
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
     if wh.startswith("file:"):
         wh = wh[len("file:"):]
@@ -60,7 +63,8 @@ def _sweep_stale_bucketed(spark: SparkSession, keep: set[str]) -> None:
         return
     keep_l = {k.lower() for k in keep}
     for d in os.listdir(wh):
-        if d.startswith("ndp_b_") and d.lower() not in keep_l:
+        if (d.startswith(tuple(p.lower() for p in prefixes))
+                and d.lower() not in keep_l):
             shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
 
@@ -90,7 +94,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            "orders", "lineitem")
     token = _token(sf_dir)
     ot, lt = f"ndp_b_orders_{token}", f"ndp_b_lineitem_{token}"
-    _sweep_stale_bucketed(spark, keep={ot, lt})
+    _sweep_stale_bucketed(spark, keep={ot, lt},
+                          prefixes=("ndp_b_orders_", "ndp_b_lineitem_"))
     physical.write_bucketed(
         orders.select("o_orderkey", "o_orderpriority"), ot, "o_orderkey")
     physical.write_bucketed(

@@ -100,6 +100,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # ---- added in round 8 ----
     "cep_branching_funnel",
     "dedup_incremental_lsh",
+    "dedup_lsh_bucketed_probe",
     # ---- changed in round 8 ----
     "ingest_datum_source_scan",
     "sim_ivf_topk",
@@ -151,9 +152,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "scalar_json_funcs",
     "scalar_math_conditional",
     "scalar_string_funcs",
+    # ---- first-50 window boundary: "scalar_string_funcs" is slot 50;
+    # everything below is OUTSIDE the graded window this round ----
     "subquery_correlated_exists",
-    # ---- first-50 window boundary: "subquery_correlated_exists" is
-    # slot 50; below is OUTSIDE the graded window this round ----
     "subquery_in",
     "unpivot_stack",
     "text_bow_vectorize",

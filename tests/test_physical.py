@@ -253,3 +253,40 @@ def test_runtime_bloom_filter_prunes_fact_rows(spark):
                        F.sum("l_extendedprice").alias("rev")).collect()
     assert got["n"] == want["n"]
     assert abs(got["rev"] - want["rev"]) < 1e-6 * abs(want["rev"])
+
+
+def test_lsh_index_probe_scans_shuffle_free(spark):
+    """dedup_lsh_bucketed_probe: the persisted band index (bucketed by
+    the probe join keys) must be read bucket-aware and probed WITHOUT
+    an exchange above its scan — only the O(delta) probe side may
+    shuffle. The tree walk asserts the scan's parent chain up to its
+    SortMergeJoin contains no Exchange."""
+    from new_data_pipeline_spark.operators import dedup
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup.dedup_lsh_bucketed_probe(spark, SF_DIR)
+        plan = _plan(df)
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan, \
+            "index scan must be bucket-aware"
+        # tree walk: from the index-scan line upward, every ancestor
+        # (strictly-smaller indent) until the first SortMergeJoin must
+        # not be an Exchange
+        tree = plan.split("\n\n", 1)[0].splitlines()
+        idx = next(i for i, l in enumerate(tree) if "ndp_b_lshidx" in l)
+
+        def indent(line):
+            return len(line) - len(line.lstrip(" :+-"))
+
+        cur = indent(tree[idx])
+        for j in range(idx - 1, -1, -1):
+            ind = indent(tree[j])
+            if ind < cur:
+                cur = ind
+                assert "Exchange" not in tree[j], \
+                    f"exchange above the bucketed index scan: {tree[j]}"
+                if "SortMergeJoin" in tree[j]:
+                    break
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
