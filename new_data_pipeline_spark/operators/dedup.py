@@ -331,6 +331,15 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     build here, not the probe, because the gate rebuilds the index.
     """
     s, bands = _shingle_bands(spark, sf_dir)
+    # Eagerly fill the shared band cache BEFORE the plan fans out:
+    # base and delta are DIFFERENT filters of the cached subtree, so —
+    # unlike the full pipeline's self-join, where ReuseExchange forces
+    # one computation — the union's two independent join stages race a
+    # cold cache and EACH pay the full shingle+minhash build (measured
+    # 59 s vs 6 s at 10x). One count() makes every consumer a cache
+    # read. (The bucketed-probe variant gets this for free: its
+    # saveAsTable action materializes the cache first.)
+    bands.count()
     max_id = catalog.load(spark, sf_dir, "documents").agg(
         F.max("doc_id")).first()[0]
     # empty corpus: MAX is NULL; any threshold yields the empty answer
