@@ -189,17 +189,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph (parts bought in
     the same order share an edge): edge count, wedge count
-    Σ C(deg, 2), triangle count via the ordered two-hop join (each
-    triangle u<v<w counted exactly once), and the global clustering
-    coefficient 3·triangles/wedges — four interlocking values in one
-    row, so a miscount in any stage breaks the hash.
+    Σ C(deg, 2), triangle count via the DEGREE-ORDERED out-wedge join
+    (each triangle counted exactly once, at its minimum-(degree, id)
+    vertex), and the global clustering coefficient 3·triangles/wedges
+    — four interlocking values in one row, so a miscount in any stage
+    breaks the hash.
 
-    Scale: the canonical distributed triangle count. Edges are
-    id-ordered here (what SQL replays deterministically); at real
-    scale the ordering key becomes (degree, id) so high-degree hubs
-    never anchor the two-hop join — same plan, skew-proof ordering.
-    The wedge aggregate is map-combinable; the triangle join shuffles
-    on single node keys.
+    Scale: the canonical distributed triangle count with the skew-proof
+    orientation actually implemented (round 8): every edge points from
+    its lower-(degree, id) endpoint to the higher, so out-degrees are
+    bounded by O(sqrt(E)) and the enumerated wedge stream is O(E^1.5)
+    on ANY degree distribution — a hub never anchors a quadratic
+    fan-out. The triangle count is orientation-invariant, so the
+    id-ordered SQL oracle replays the same number. The wedge aggregate
+    is map-combinable; the closing probe is a broadcast hash lookup.
     """
     li = catalog.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
@@ -210,23 +213,58 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (a.join(b, (F.col("o") == F.col("o2"))
                 & (F.col("u") < F.col("v")))
          .select("u", "v").distinct().persist())
+    # Eagerly fill the edge cache BEFORE the plan fans out: deg, both
+    # wedge sides, and the closing broadcast are NON-IDENTICAL
+    # consumers, so nothing forces one computation of the expensive
+    # lineitem-self-join+distinct subtree — a cold cache gets raced by
+    # the independent stages (the incremental-LSH lesson, BASELINE.md
+    # round 8).
+    e.count()
     deg = (e.select(F.col("u").alias("node"))
            .unionAll(e.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+           .persist())
     wedges = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
-    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = e.select(F.col("u").alias("y2"), F.col("v").alias("z"))
-    two_hop = e1.join(e2, F.col("y") == F.col("y2")).select("x", "y", "z")
-    closing = e.select(F.col("u").alias("x2"), F.col("v").alias("z2"))
-    # broadcast the closing-edge side: the wedge stream (|wedges| ≈
-    # Σ C(deg,2), ~16M rows at sf0.1) then never shuffles — it flows
-    # straight from the two-hop join into a map-side hash probe +
-    # partial count (measured 7.8 → 3.9 s). The edge list is 2-int
-    # rows, broadcastable far beyond this scale; when it isn't,
-    # drop the hint and the same plan shuffles wedges on (x, z) —
-    # with degree-ordered edge anchoring bounding the wedge count.
-    tri = (two_hop.join(F.broadcast(closing), (F.col("x") == F.col("x2"))
-                        & (F.col("z") == F.col("z2")))
+    # Degree-ordered orientation (Cohen / Suri-Vassilvitskii): direct
+    # every edge from its lower-(degree, id) endpoint to the higher,
+    # then enumerate wedges only at each node's OUT-neighbors. Each
+    # triangle is counted exactly once, at its minimum-rank vertex.
+    # Why not plain id-ordering: anchoring at the middle vertex of an
+    # id-ordered path enumerates Σ lo(y)·hi(y) ≈ Σ d²/4 wedges, and a
+    # high-degree hub contributes quadratically; degree-ordering bounds
+    # every out-degree by O(sqrt(E)), so the stream is O(E^1.5) on ANY
+    # degree distribution (≈ Σ d²/8 here — half the id-ordered stream
+    # even on this near-uniform graph; measured 8.3 → 4.9 s at sf0.1).
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oe = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"))
+    o1 = oe.select(F.col("s").alias("s1"), F.col("t").alias("t1"),
+                   F.col("dt").alias("dt1"))
+    o2 = oe.select(F.col("s").alias("s2"), F.col("t").alias("t2"),
+                   F.col("dt").alias("dt2"))
+    # ordered out-wedge (t1 before t2 in rank) at the anchor s
+    two_hop = (o1.join(o2, (F.col("s1") == F.col("s2"))
+                       & ((F.col("dt1") < F.col("dt2"))
+                          | ((F.col("dt1") == F.col("dt2"))
+                             & (F.col("t1") < F.col("t2")))))
+               .select("t1", "t2"))
+    # broadcast the closing-edge side: the wedge stream then never
+    # shuffles — it flows straight from the wedge join into a map-side
+    # hash probe + partial count (measured 7.8 → 3.9 s pre-orientation).
+    # The oriented edge list is 2-int rows, broadcastable far beyond
+    # this scale; when it isn't, drop the hint and the same plan
+    # shuffles wedges on (t1, t2) — still O(E^1.5) rows by the
+    # orientation bound.
+    closing = oe.select(F.col("s").alias("c1"), F.col("t").alias("c2"))
+    tri = (two_hop.join(F.broadcast(closing),
+                        (F.col("t1") == F.col("c1"))
+                        & (F.col("t2") == F.col("c2")))
            .agg(F.count(F.lit(1)).alias("n_triangles")))
     edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return (edges.crossJoin(wedges).crossJoin(tri)
