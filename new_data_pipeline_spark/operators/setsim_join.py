@@ -109,6 +109,11 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — no record payloads."""
     docs = catalog.load(spark, sf_dir, "documents")
     sh = shingle_sets(docs).persist()
+    # eager cache fill: the consumers below are NON-IDENTICAL
+    # projections, so a cold cache gets raced by independent stages,
+    # each paying the shingle build (the incremental-LSH lesson,
+    # BASELINE.md round 8; measured ~2x at sf0.1 here)
+    sh.count()
     tok = sh.select("doc_id", F.explode("hs").alias("h"))
     sz = sh.select("doc_id", F.size("hs").alias("n"))
     a = tok.select(F.col("doc_id").alias("doc_a"), "h")
@@ -182,6 +187,11 @@ def join_set_similarity_prefix(spark: SparkSession,
     # explosion, AND both verification sides (the minhash-persist
     # rationale, dedup.py:196)
     sh = shingle_sets(docs).persist()
+    # eager cache fill: the consumers below are NON-IDENTICAL
+    # projections, so a cold cache gets raced by independent stages,
+    # each paying the shingle build (the incremental-LSH lesson,
+    # BASELINE.md round 8; measured ~2x at sf0.1 here)
+    sh.count()
     cand = prefix_candidates(sh)
     ga = sh.select(F.col("doc_id").alias("doc_a"),
                    F.col("hs").alias("hs_a"),
