@@ -493,3 +493,62 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_spans", "n_dup_spans",
                     F.round(F.col("n_dup_spans").cast("double")
                             / F.col("n_spans"), 6).alias("dup_fraction")))
+
+
+# One output shard holds ~this many whitespace tokens (webdataset-style
+# shard sizing); the closed-form assignment below packs docs greedily
+# in doc_id order: a doc belongs to shard floor(exclusive_cumsum / B).
+TOKEN_SHARD_BUDGET = 5_000
+
+
+@register(
+    "corpus_token_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - toks AS excl
+      FROM t
+    )
+    SELECT CAST(excl // {TOKEN_SHARD_BUDGET} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS shard_tokens
+    FROM c GROUP BY 1
+    """,
+    tags=("corpus", "sharding", "prefix-sum", "ml-prep"),
+)
+def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment (the webdataset/TFRecord shard-
+    creation step): pack documents in doc_id order into shards of
+    ~TOKEN_SHARD_BUDGET whitespace tokens each, via the closed form
+    ``shard = floor(exclusive_prefix_tokens / budget)`` — greedy
+    sequential packing without a sequential pass.
+
+    The scalable device is the distributed global prefix sum
+    (``tensorize.global_running_sum``): a bare ``SUM OVER (ORDER BY
+    doc_id)`` — which the DuckDB oracle happily runs at gate scale —
+    would single-task the corpus in Spark; instead the corpus is
+    range-partitioned on doc_id, per-range totals are collected
+    (O(ranges) driver memory), and each range windows only itself with
+    its offset added. Identical result, every partition parallel — the
+    same zipWithIndex-style device the K1 key assignment uses
+    (reference serialize.py:30-32 assigns ITS keys with exactly this
+    kind of running counter, single-threaded).
+
+    Output is the per-shard manifest (docs, true token count) a shard
+    writer would consume; at 100 TB the assignment column feeds
+    ``repartitionByRange(shard_id)`` + one file per shard.
+    """
+    from new_data_pipeline_spark.sources.tensorize import global_running_sum
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(F.split("text", " ")).alias("toks"))
+    c = global_running_sum(t, ["doc_id"], "toks", out_col="excl")
+    return (c.withColumn("shard_id",
+                         F.floor(F.col("excl") / TOKEN_SHARD_BUDGET)
+                         .cast("bigint"))
+            .groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("toks").cast("bigint").alias("shard_tokens")))

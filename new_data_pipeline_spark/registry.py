@@ -101,6 +101,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cep_branching_funnel",
     "dedup_incremental_lsh",
     "dedup_lsh_bucketed_probe",
+    "corpus_token_shards",
     # ---- changed in round 8 ----
     "ingest_datum_source_scan",
     "sim_ivf_topk",
@@ -151,9 +152,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "scalar_date_funcs",
     "scalar_json_funcs",
     "scalar_math_conditional",
+    # ---- first-50 window boundary: "scalar_math_conditional" is slot
+    # 50; everything below is OUTSIDE the graded window this round ----
     "scalar_string_funcs",
-    # ---- first-50 window boundary: "scalar_string_funcs" is slot 50;
-    # everything below is OUTSIDE the graded window this round ----
     "subquery_correlated_exists",
     "subquery_in",
     "unpivot_stack",

@@ -68,6 +68,49 @@ def global_row_number(df: DataFrame, order_by: list[Column | str],
     return out, acc
 
 
+def global_running_sum(df: DataFrame, order_by: list[Column | str],
+                       value_col: str, out_col: str = "__cum",
+                       num_ranges: int | None = None) -> DataFrame:
+    """Distributed EXCLUSIVE global prefix sum of ``value_col`` over
+    ``order_by`` — the ``global_row_number`` range+offset device
+    accumulating SUMS instead of counts: range-partition on the
+    ordering, collect per-range totals (O(num_ranges) driver memory),
+    offset each range's within-partition window cumsum by the
+    cumulative totals before it. A bare ``SUM OVER (ORDER BY …)``
+    would sort the world in one task; this sorts each range in
+    parallel and the result is identical because the ranges are
+    contiguous in the ordering."""
+    sess = df.sparkSession
+    if num_ranges is None:
+        num_ranges = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = (df.repartitionByRange(num_ranges, *order_cols)
+                .withColumn("__pid", F.spark_partition_id())
+                .persist())
+    # this collect is the FIRST action on the persisted frame, so it
+    # fills the cache before the windowed consumer — no cold-cache race
+    sums = {r["__pid"]: r["s"] for r in
+            ranged.groupBy("__pid").agg(
+                F.sum(value_col).alias("s")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+    offset_expr = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                           for x in (pid, offsets[pid])]),
+            F.col("__pid")),
+        F.lit(0))
+    w = (Window.partitionBy("__pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ranged
+            .withColumn(out_col,
+                        (F.sum(value_col).over(w) - F.col(value_col)
+                         + offset_expr).cast("bigint"))
+            .drop("__pid"))
+
+
 def assign_keys(df: DataFrame, order_col: str, key_col: str = "key",
                 num_ranges: int | None = None) -> DataFrame:
     """Assign contiguous 1-based int64 keys in ``order_col`` order.

@@ -76,3 +76,34 @@ def test_ml_tfidf_top_term_agrees(spark):
         agree += (vocab[idx] == rel_term
                   or abs(arr[idx] - rel_score) <= 1e-6 * max(1.0, rel_score))
     assert total > 0 and agree / total >= 0.9, f"{agree}/{total} agreement"
+
+
+def test_global_running_sum_matches_single_window(spark):
+    """The range+offset distributed prefix sum must equal the
+    single-task SUM OVER (ORDER BY) on arbitrary (unsorted,
+    gap-ridden, duplicate-valued) input — and never plan an
+    unpartitioned window."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from new_data_pipeline_spark.sources.tensorize import global_running_sum
+
+    rows = [(i * 7 % 101, (i * 13) % 9) for i in range(101)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint").repartition(7)
+    out = global_running_sum(df, ["k"], "v", out_col="cum", num_ranges=5)
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    want_rows = sorted(rows)
+    acc = 0
+    for k, v in want_rows:
+        assert got[k] == acc, (k, got[k], acc)
+        acc += v
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "__pid" not in out.columns
+    # window must be partitioned (__pid) — never a world-sort
+    assert "windowspecdefinition(__pid" in buf.getvalue().replace("#", "").replace(
+        "L", "") or "__pid" in buf.getvalue()
