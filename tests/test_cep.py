@@ -395,3 +395,47 @@ def test_stream_nfa_branching_pattern(spark, tmp_path):
                                     relevant=cep.BRANCH_RELEVANT)
     assert n_batches > 1
     assert got == {1: (1, 1), 2: (1, 1)}  # user 3 never signs up
+
+
+def test_stream_reorder_buffer_branching_pattern(spark, tmp_path):
+    """The reorder buffer with the BRANCHING class map: a late view
+    (delivered after the error terminal, within the delay bound) must
+    be healed into event-time order, completing
+    ``signup (view|click)+ (purchase|error)``."""
+    import os
+    import time
+
+    files = [
+        [(1, 0, "signup"), (1, 2, "error")],    # gap at the view
+        [(1, 1, "view")],                       # late arrival
+        [(99, 24 * 60, "click")],               # advances watermark
+    ]
+    src = str(tmp_path / "rb_br_src")
+    os.makedirs(src, exist_ok=True)
+    schema = ("user_id bigint, ts timestamp, event_id bigint, "
+              "event_type string")
+    eid = 0
+    for i, rows in enumerate(files):
+        data = []
+        for uid, m, et in rows:
+            data.append((uid, T0 + dt.timedelta(minutes=m), eid, et))
+            eid += 1
+        (spark.createDataFrame(data, schema).coalesce(1)
+         .write.mode("overwrite")
+         .parquet(os.path.join(src, f"f{i:03d}")))
+        time.sleep(0.05)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "f*")))
+    out = cep.cep_skip_match_stream_reordered(
+        stream, delay_seconds=3600,
+        classes=cep.BRANCH_CLASSES, relevant=cep.BRANCH_RELEVANT)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("cep_rb_br_out").start())
+    q.processAllAvailable()
+    q.stop()
+    upd = spark.sql("SELECT * FROM cep_rb_br_out").toPandas()
+    final = upd.groupby("user_id").max()
+    got = {int(u): (int(r["n_matches"]), int(r["n_sessions_matched"]))
+           for u, r in final.iterrows() if r["n_matches"] > 0}
+    assert got == {1: (1, 1)}
