@@ -49,6 +49,14 @@ HEAVY = [
     "corpus_e2e_curation",
     "dedup_ngram_jaccard",
     "multimodal_e2e_curation",
+    # round 8: the new CEP pattern, both incremental-LSH variants
+    # (whose first audits caught the cold-cache race), the oriented
+    # triangle census, and the prefix-sum sharder
+    "cep_branching_funnel",
+    "dedup_incremental_lsh",
+    "dedup_lsh_bucketed_probe",
+    "graph_triangle_stats",
+    "corpus_token_shards",
 ]
 
 
