@@ -546,8 +546,11 @@ def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.size(F.split("text", " ")).alias("toks"))
     c = global_running_sum(t, ["doc_id"], "toks", out_col="excl")
+    # integer DIV, not floor(double /): excl is a bigint cumulative sum
+    # and the oracle divides with exact //; a double division loses
+    # exactness once cumulative tokens approach 2^53 (ADVICE r8)
     return (c.withColumn("shard_id",
-                         F.floor(F.col("excl") / TOKEN_SHARD_BUDGET)
+                         F.expr(f"excl DIV {TOKEN_SHARD_BUDGET}")
                          .cast("bigint"))
             .groupBy("shard_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),

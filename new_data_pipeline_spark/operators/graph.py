@@ -159,6 +159,68 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("rank_value")))
 
 
+# Above this many oriented edges the closing-edge side is no longer
+# broadcast (2 ints/row ≈ 16 B ⇒ ~320 MB at the limit, inside Spark's
+# 8 GB broadcast ceiling with headroom for the hash table's overhead);
+# past it the same plan shuffles wedges onto (t1, t2) — still O(E^1.5)
+# wedge rows by the orientation bound, just with one more exchange.
+BROADCAST_EDGE_LIMIT = 20_000_000
+
+
+def _count_triangles(e: DataFrame, deg: DataFrame,
+                     n_edges: int) -> DataFrame:
+    """1-row frame ``n_triangles`` for an undirected edge list ``e``
+    (u < v, distinct) with degree table ``deg`` (node, d).
+
+    Degree-ordered orientation (Cohen / Suri-Vassilvitskii): direct
+    every edge from its lower-(degree, id) endpoint to the higher, then
+    enumerate wedges only among OUT-neighbors — each triangle counted
+    exactly once at its minimum-rank vertex, out-degrees bounded by
+    O(sqrt(E)), wedge stream O(E^1.5) on ANY degree distribution.
+    The closing probe broadcasts only while the oriented edge list fits
+    (``n_edges`` ≤ BROADCAST_EDGE_LIMIT) — the fallback the r8 docstring
+    promised, now automatic instead of a manual hint edit.
+    """
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oe = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"))
+    o1 = oe.select(F.col("s").alias("s1"), F.col("t").alias("t1"),
+                   F.col("dt").alias("dt1"))
+    o2 = oe.select(F.col("s").alias("s2"), F.col("t").alias("t2"),
+                   F.col("dt").alias("dt2"))
+    # ordered out-wedge (t1 before t2 in rank) at the anchor s
+    two_hop = (o1.join(o2, (F.col("s1") == F.col("s2"))
+                       & ((F.col("dt1") < F.col("dt2"))
+                          | ((F.col("dt1") == F.col("dt2"))
+                             & (F.col("t1") < F.col("t2")))))
+               .select("t1", "t2"))
+    closing = oe.select(F.col("s").alias("c1"), F.col("t").alias("c2"))
+    if n_edges <= BROADCAST_EDGE_LIMIT:
+        closing = F.broadcast(closing)
+    return (two_hop.join(closing, (F.col("t1") == F.col("c1"))
+                         & (F.col("t2") == F.col("c2")))
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (u < v) part co-purchase edges."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o2"),
+                  F.col("l_partkey").alias("v"))
+    return (a.join(b, (F.col("o") == F.col("o2"))
+                   & (F.col("u") < F.col("v")))
+            .select("u", "v").distinct())
+
+
 @register(
     "graph_triangle_stats",
     oracle="""
@@ -204,68 +266,21 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-ordered SQL oracle replays the same number. The wedge aggregate
     is map-combinable; the closing probe is a broadcast hash lookup.
     """
-    li = catalog.load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o2"),
-                  F.col("l_partkey").alias("v"))
-    e = (a.join(b, (F.col("o") == F.col("o2"))
-                & (F.col("u") < F.col("v")))
-         .select("u", "v").distinct().persist())
+    e = _copurchase_edges(spark, sf_dir).persist()
     # Eagerly fill the edge cache BEFORE the plan fans out: deg, both
-    # wedge sides, and the closing broadcast are NON-IDENTICAL
-    # consumers, so nothing forces one computation of the expensive
+    # wedge sides, and the closing probe are NON-IDENTICAL consumers,
+    # so nothing forces one computation of the expensive
     # lineitem-self-join+distinct subtree — a cold cache gets raced by
     # the independent stages (the incremental-LSH lesson, BASELINE.md
-    # round 8).
-    e.count()
+    # round 8). The count doubles as the broadcast-fallback decision
+    # input (O(1) driver metadata, no extra job).
+    n_e = e.count()
     deg = (e.select(F.col("u").alias("node"))
            .unionAll(e.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
            .persist())
     wedges = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
-    # Degree-ordered orientation (Cohen / Suri-Vassilvitskii): direct
-    # every edge from its lower-(degree, id) endpoint to the higher,
-    # then enumerate wedges only at each node's OUT-neighbors. Each
-    # triangle is counted exactly once, at its minimum-rank vertex.
-    # Why not plain id-ordering: anchoring at the middle vertex of an
-    # id-ordered path enumerates Σ lo(y)·hi(y) ≈ Σ d²/4 wedges, and a
-    # high-degree hub contributes quadratically; degree-ordering bounds
-    # every out-degree by O(sqrt(E)), so the stream is O(E^1.5) on ANY
-    # degree distribution (≈ Σ d²/8 here — half the id-ordered stream
-    # even on this near-uniform graph; measured 8.3 → 4.9 s at sf0.1).
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ranked = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    oe = ranked.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"))
-    o1 = oe.select(F.col("s").alias("s1"), F.col("t").alias("t1"),
-                   F.col("dt").alias("dt1"))
-    o2 = oe.select(F.col("s").alias("s2"), F.col("t").alias("t2"),
-                   F.col("dt").alias("dt2"))
-    # ordered out-wedge (t1 before t2 in rank) at the anchor s
-    two_hop = (o1.join(o2, (F.col("s1") == F.col("s2"))
-                       & ((F.col("dt1") < F.col("dt2"))
-                          | ((F.col("dt1") == F.col("dt2"))
-                             & (F.col("t1") < F.col("t2")))))
-               .select("t1", "t2"))
-    # broadcast the closing-edge side: the wedge stream then never
-    # shuffles — it flows straight from the wedge join into a map-side
-    # hash probe + partial count (measured 7.8 → 3.9 s pre-orientation).
-    # The oriented edge list is 2-int rows, broadcastable far beyond
-    # this scale; when it isn't, drop the hint and the same plan
-    # shuffles wedges on (t1, t2) — still O(E^1.5) rows by the
-    # orientation bound.
-    closing = oe.select(F.col("s").alias("c1"), F.col("t").alias("c2"))
-    tri = (two_hop.join(F.broadcast(closing),
-                        (F.col("t1") == F.col("c1"))
-                        & (F.col("t2") == F.col("c2")))
-           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    tri = _count_triangles(e, deg, n_e)
     edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return (edges.crossJoin(wedges).crossJoin(tri)
             .select(F.col("n_edges").cast("bigint").alias("n_edges"),
@@ -274,3 +289,85 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_triangles"),
                     F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"),
                             6).alias("clustering_coeff")))
+
+
+# DOULION sampling probability: keep an edge iff the first two hex
+# chars of md5(u || '_' || v) fall below 0x40 — p = 64/256 = 1/4.
+# Deterministic in the edge, so the sample (and thus the estimate) is
+# bit-reproducible and DuckDB replays it EXACTLY — the same device as
+# every other sketch oracle in the repo (sampling.py:26).
+DOULION_HEX_LIMIT = "40"
+DOULION_INV_P = 4
+
+
+@register(
+    "graph_triangle_doulion",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), s AS (
+      SELECT u, v FROM e
+      WHERE substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)),
+                   1, 2) < '{DOULION_HEX_LIMIT}'
+    ), deg AS (  -- noqa: the Spark side samples BEFORE its distinct;
+                 -- same set because the coin is a pure function of (u,v)
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM s UNION ALL SELECT v AS node FROM s)
+      GROUP BY node
+    ), tri AS (
+      SELECT COUNT(*) AS t
+      FROM s e1
+      JOIN s e2 ON e1.v = e2.u
+      JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_edges_kept,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_tri_sampled,
+           CAST((SELECT t FROM tri) * {DOULION_INV_P ** 3} AS BIGINT)
+             AS est_triangles
+    """,
+    tags=("graph", "triangles", "sampling", "doulion"),
+)
+def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION triangle estimate (Tsourakakis et al., KDD'09) — the
+    100 TB path the exact census' docstring promises: keep each edge
+    with probability p = 1/4 (deterministic md5 coin, so both engines
+    draw the SAME sample), count triangles on the sparsified graph with
+    the degree-ordered orientation, scale by 1/p³ = 64. The expected
+    wedge stream shrinks by p^1.5 ≈ 8× and the broadcast side by 4×;
+    variance concentrates for any graph with Ω(1/p³) triangles. The
+    exact census (graph_triangle_stats) stays registered as the
+    verification baseline at test scales.
+
+    The coin lands BEFORE the edge-dedup distinct: it is a pure
+    function of (u, v), so filtering the raw co-purchase pair stream
+    keeps exactly the pairs whose distinct edge would have been kept —
+    and the distinct (the census' dominant shuffle) now moves p× the
+    data. The full edge list is never materialized or counted; that is
+    precisely the work the estimator exists to skip.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o2"),
+                  F.col("l_partkey").alias("v"))
+    coin = F.substring(
+        F.md5(F.concat_ws("_", F.col("u").cast("string"),
+                          F.col("v").cast("string")).cast("binary")), 1, 2)
+    s = (a.join(b, (F.col("o") == F.col("o2"))
+                & (F.col("u") < F.col("v")))
+         .select("u", "v")
+         .filter(coin < F.lit(DOULION_HEX_LIMIT))
+         .distinct().persist())
+    n_s = s.count()  # cache fill + metadata for the broadcast decision
+    deg = (s.select(F.col("u").alias("node"))
+           .unionAll(s.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    tri = _count_triangles(s, deg, n_s)
+    return tri.select(
+        F.lit(n_s).cast("bigint").alias("n_edges_kept"),
+        F.col("n_triangles").cast("bigint").alias("n_tri_sampled"),
+        (F.col("n_triangles") * F.lit(DOULION_INV_P ** 3)).cast("bigint")
+        .alias("est_triangles"))

@@ -302,9 +302,70 @@ def ivf_mod(n_rows: int) -> int:
     return max(1, (n_rows + IVF_C_TARGET - 1) // IVF_C_TARGET)
 
 
-@register(
-    "sim_ivf_topk",
-    oracle=f"""
+def _ivf_assign_and_probes(
+        spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """IVF index build shared by the in-memory and bucketed-probe
+    gates: (assigned, probes).
+
+    ``assigned`` (candidate_id, label, cell, cv, cn) — every corpus
+    vector joined to its single best cell by a map-side-combinable
+    max_by argmax (VERDICT r7 #3), NOT a row_number window: the
+    broadcast join leaves all C copies of a vec_id co-located, so the
+    partial aggregate collapses the N·C fan-out to N rows BEFORE the
+    shuffle; a window would shuffle the 64×-amplified intermediate
+    (the rewrite pq.py's encode-argmin already measured, 12.0→9.2 s).
+    max_by(payload, struct(ccos, -cent_id)) == "order ccos DESC,
+    cent_id ASC, take first" — the oracle's ROW_NUMBER arn=1 exactly.
+
+    ``probes`` (query_id, cell, qv, qn) — each query's IVF_NPROBE
+    nearest cells; top-nprobe needs a rank, but only over the
+    N_QUERIES·C rows that survive the pushed-down vec_id filter
+    (Catalyst pushes it below the window: the predicate references
+    only the partition key).
+    """
+    n = _normalized(catalog.load(spark, sf_dir, "embeddings"))
+    mod = ivf_mod(catalog.load(spark, sf_dir, "embeddings").count())
+    res = IVF_CENT_RESIDUE % mod
+    cents = (n.filter(F.col("vec_id") % mod == res)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("v").alias("cent_v"), F.col("nrm").alias("cent_n")))
+    cent_cos = (F.expr(
+        "aggregate(zip_with(v, cent_v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+        / (F.col("nrm") * F.col("cent_n")))
+    scored_cells = (n.join(F.broadcast(cents))
+                    .withColumn("ccos", cent_cos))
+    assigned = (scored_cells.groupBy("vec_id")
+                .agg(F.expr("max_by(struct(label, cent_id, v, nrm), "
+                            "struct(ccos, -cent_id))").alias("b"))
+                .select(F.col("vec_id").alias("candidate_id"),
+                        F.col("b.label").alias("label"),
+                        F.col("b.cent_id").alias("cell"),
+                        F.col("b.v").alias("cv"),
+                        F.col("b.nrm").alias("cn")))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id"))
+    probes = (scored_cells.filter(F.col("vec_id") < N_QUERIES)
+              .withColumn("rn", F.row_number().over(w_assign))
+              .filter(F.col("rn") <= IVF_NPROBE)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("cent_id").alias("cell"),
+                      F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    return assigned, probes
+
+
+def _ivf_rank_topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("candidate_id"))
+    return (scored
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "candidate_id", "label",
+                    F.round("cos", 4).alias("cosine"), "rn"))
+
+
+# Shared by sim_ivf_topk and sim_ivf_bucketed_probe: the bucketed
+# probe's answer contract IS the in-memory gate's answer.
+_IVF_ORACLE = f"""
     WITH {_ORACLE_NORM}, km AS (
       SELECT GREATEST(1, (COUNT(*) + {IVF_C_TARGET} - 1) // {IVF_C_TARGET})
                AS md
@@ -345,7 +406,12 @@ def ivf_mod(n_rows: int) -> int:
     SELECT query_id, candidate_id, label,
            round(cos, 4) AS cosine, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=_IVF_ORACLE,
     tags=("similarity", "ivf", "approx"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,52 +435,46 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan per row. C is an index-build constant either way; the r6 scale
     audit showed what happens when it silently tracks N (alpha=1.55).
     """
-    n = _normalized(catalog.load(spark, sf_dir, "embeddings"))
-    mod = ivf_mod(catalog.load(spark, sf_dir, "embeddings").count())
-    res = IVF_CENT_RESIDUE % mod
-    cents = (n.filter(F.col("vec_id") % mod == res)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("v").alias("cent_v"), F.col("nrm").alias("cent_n")))
-    cent_cos = (F.expr(
-        "aggregate(zip_with(v, cent_v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-        / (F.col("nrm") * F.col("cent_n")))
-    scored_cells = (n.join(F.broadcast(cents))
-                    .withColumn("ccos", cent_cos))
-    # (1) every corpus vector joins its single best cell — a map-side-
-    # combinable max_by argmax (VERDICT r7 #3), NOT a row_number window:
-    # the broadcast join leaves all C copies of a vec_id co-located, so
-    # the partial aggregate collapses the N·C fan-out to N rows BEFORE
-    # the shuffle; a window would shuffle the 64×-amplified intermediate
-    # (the rewrite pq.py's encode-argmin already measured, 12.0→9.2 s).
-    # max_by(payload, struct(ccos, -cent_id)) == "order ccos DESC,
-    # cent_id ASC, take first" — the oracle's ROW_NUMBER arn=1 exactly.
-    assigned = (scored_cells.groupBy("vec_id")
-                .agg(F.expr("max_by(struct(label, cent_id, v, nrm), "
-                            "struct(ccos, -cent_id))").alias("b"))
-                .select(F.col("vec_id").alias("candidate_id"),
-                        F.col("b.label").alias("label"),
-                        F.col("b.cent_id").alias("cell"),
-                        F.col("b.v").alias("cv"),
-                        F.col("b.nrm").alias("cn")))
-    # (2) each query probes its nprobe nearest cells — top-nprobe needs
-    # a rank, but only over the N_QUERIES·C rows that survive the
-    # pushed-down vec_id filter (Catalyst pushes it below the window:
-    # the predicate references only the partition key)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cent_id"))
-    probes = (scored_cells.filter(F.col("vec_id") < N_QUERIES)
-              .withColumn("rn", F.row_number().over(w_assign))
-              .filter(F.col("rn") <= IVF_NPROBE)
-              .select(F.col("vec_id").alias("query_id"),
-                      F.col("cent_id").alias("cell"),
-                      F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    assigned, probes = _ivf_assign_and_probes(spark, sf_dir)
     scored = (probes.join(assigned, on="cell")
               .filter(F.col("query_id") != F.col("candidate_id"))
               .withColumn("cos", F.expr(_DOT) / (F.col("qn") * F.col("cn"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("candidate_id"))
-    return (scored
-            .withColumn("rn", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rn") <= TOP_K)
-            .select("query_id", "candidate_id", "label",
-                    F.round("cos", 4).alias("cosine"), "rn"))
+    return _ivf_rank_topk(scored)
+
+
+@register(
+    "sim_ivf_bucketed_probe",
+    # identical answer contract to sim_ivf_topk: persisting the index
+    # bucketed by cell must not change WHAT any query retrieves
+    oracle=_IVF_ORACLE,
+    tags=("similarity", "ivf", "approx", "layout", "bucketing"),
+)
+def sim_ivf_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index actually PERSISTED — VERDICT r8 #5, the production
+    billion-vector layout: cell assignments (the inverted lists) are
+    written once to the catalog bucketed by ``cell``
+    (plans/physical.write_bucketed — the same pay-the-shuffle-once
+    device as dedup_lsh_bucketed_probe), and queries probe the CATALOG
+    table. HashPartitioning(cell) satisfies the probe join's clustered
+    distribution (bucket column == join key), so the index side scans
+    shuffle-free — only the O(queries·nprobe) probe side exchanges,
+    which is what amortizing the index build across queries means
+    (no-Exchange-over-index asserted in tests/test_physical.py). The
+    gate proves layout neutrality: the bucketed probe answers exactly
+    what the in-memory ``sim_ivf_topk`` answers.
+    """
+    import hashlib
+
+    from new_data_pipeline_spark.plans import physical
+    from new_data_pipeline_spark.plans.layout_queries import (
+        _sweep_stale_bucketed)
+
+    assigned, probes = _ivf_assign_and_probes(spark, sf_dir)
+    tbl = f"ndp_b_ivfidx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _sweep_stale_bucketed(spark, keep={tbl}, prefixes=("ndp_b_ivfidx_",))
+    physical.write_bucketed(assigned, tbl, "cell")
+    idx = spark.table(tbl)
+    scored = (probes.join(idx, on="cell")
+              .filter(F.col("query_id") != F.col("candidate_id"))
+              .withColumn("cos", F.expr(_DOT) / (F.col("qn") * F.col("cn"))))
+    return _ivf_rank_topk(scored)

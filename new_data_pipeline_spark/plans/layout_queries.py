@@ -49,23 +49,39 @@ def _workdir(op: str, sf_dir: str) -> str:
     return path
 
 
+SWEEP_MIN_AGE_S = 3600  # only collect entries untouched for an hour
+
+
 def _sweep_stale_bucketed(spark: SparkSession, keep: set[str],
                           prefixes: tuple[str, ...]) -> None:
     """Collect bucketed-table directories left in spark-warehouse by
     pre-r8 pid-named generations (and any foreign generation): every
-    entry under THIS gate's ``prefixes`` not named by THIS run is stale
-    by construction. Scoped by prefix so different bucketed gates never
-    collect each other's live tables mid-session."""
+    entry under THIS gate's ``prefixes`` not named by THIS run and not
+    touched within SWEEP_MIN_AGE_S is stale. The age gate (ADVICE r8)
+    is what keeps a CONCURRENT session — or a run against a different
+    sf_dir — from losing its live bucketed table mid-query: a live
+    table was written minutes ago, a leaked one sits for hours. Scoped
+    by prefix so different bucketed gates never collect each other's
+    tables."""
+    import time
+
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
     if wh.startswith("file:"):
         wh = wh[len("file:"):]
     if not wh or not os.path.isdir(wh):
         return
     keep_l = {k.lower() for k in keep}
+    now = time.time()
     for d in os.listdir(wh):
         if (d.startswith(tuple(p.lower() for p in prefixes))
                 and d.lower() not in keep_l):
-            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+            path = os.path.join(wh, d)
+            try:
+                if now - os.path.getmtime(path) < SWEEP_MIN_AGE_S:
+                    continue
+            except OSError:
+                pass  # vanished or unreadable: removal attempt is safe
+            shutil.rmtree(path, ignore_errors=True)
 
 
 @register(

@@ -80,92 +80,94 @@ QUERIES: dict[str, QuerySpec] = {}
 # stream_interval_join, join_asof_event_streams,
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
-# Round-8 window (re-aimed per VERDICT r7 #2). Composition:
-# - slots 1-10: every query whose CODE or ORACLE changed in round 8 —
-#   the ndpdatum pushdown/manifest-v2 rework, the IVF max_by argmax
-#   rewrite (+ its IVF-PQ composition), the 4 layout gates (stable
-#   scratch/table naming), the CEP batch twin's vectorized scan, and
-#   the Q2/Q20 oracle-correlation + non-vacuous-predicate fixes;
-# - backfill: the longest-unexposed rotation — ALL 25 round-1-graded
-#   relational/join/window/setop queries (green last in the r1 driver
-#   window, re-verified locally every session since), then the oldest
-#   15 of the 28 round-2-graded ingest/scalar/subquery slots.
-# Released this round (all r7-green, all still re-verified every run
-# by the local full-registry replay): the r7 sketch/ANN, streaming/
-# ACID, and round-4-additions blocks. Round 9 should re-seat the
-# remaining 13 r2 slots (sampling/profile/text/multimodal), the 22
-# r3-graded slots, and the 17 r5-graded slots — after that every
-# registered query will have been re-exposed within 4 rounds.
+# Round-9 window (re-aimed per VERDICT r8 #3). Composition:
+# - slots 1-7: every query ADDED or CHANGED in round 9 — the DOULION
+#   sampled triangle estimator and the bucketed-persisted IVF probe
+#   (new), the weighted median's per-group range+offset prefix-sum
+#   rewrite, the refactored exact census (shared counter + automatic
+#   broadcast fallback), the token sharder's exact integer DIV, the
+#   ndpdatum manifest rework (append merge + bloom cache/deflate), and
+#   the IVF refactor shared by both probes;
+# - backfill: the longest-unexposed rotation — ALL 17 remaining
+#   round-2-graded sampling/profile/text/multimodal slots, then ALL 22
+#   round-3-graded slots, then the first 4 of the 16 remaining
+#   round-5-graded slots (the bounded-error approx pair + exact mode +
+#   source policy). Round 10 should re-seat the remaining 12 r5 slots
+#   first; after that every registered query will have been re-exposed
+#   within 4 rounds.
+# Released this round (all r8-green, all still re-verified every run
+# by the local full-registry replay): the r8-additions/changes block
+# and the full round-1 relational/join/window/setop rotation.
 GATE_PRIORITY: tuple[str, ...] = (
-    # ---- added in round 8 ----
-    "cep_branching_funnel",
-    "dedup_incremental_lsh",
-    "dedup_lsh_bucketed_probe",
+    # ---- added in round 9 ----
+    "graph_triangle_doulion",
+    "sim_ivf_bucketed_probe",
+    # ---- changed in round 9 ----
+    "agg_weighted_median",
+    "graph_triangle_stats",
     "corpus_token_shards",
-    # ---- changed in round 8 ----
     "ingest_datum_source_scan",
     "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "cep_stream_funnel",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q20_promotion_stock",
-    "join_bucketed_colocated",
-    "layout_zorder_scan",
-    "store_compaction_scan",
-    "store_delete_rows",
-    # ---- rotation: the full round-1 block (oldest driver greens) ----
-    "projection_filter",
-    "distinct_rows",
-    "sort_limit_global",
-    "agg_count_distinct",
-    "agg_minmax_percentile",
-    "funnel_conversion",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_full_outer",
-    "join_left_outer",
-    "join_range_bands",
-    "join_semi",
-    "join_theta_self",
-    "setop_except",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all_counts",
-    "setop_union_distinct",
-    "window_first_last",
-    "window_lag_lead",
-    "window_pct_cume_nth",
-    "window_range_frame",
-    "window_rank_dense_ntile",
-    "window_running_sum",
-    "window_sliding_frame",
-    # ---- rotation: round-2 block, part 1 of 2 (ingest parity the
-    # reference contract depends on, then scalar/subquery surface) ----
-    "ingest_key_assignment",
-    "ingest_batch_assignment",
-    "ingest_binding_join",
-    "ingest_flatten_cast",
-    "ingest_mimo_zip",
-    "agg_argmin_argmax",
-    "agg_stats_moments",
-    "map_funcs",
-    "scalar_date_funcs",
-    "scalar_json_funcs",
-    "scalar_math_conditional",
-    # ---- first-50 window boundary: "scalar_math_conditional" is slot
-    # 50; everything below is OUTSIDE the graded window this round ----
-    "scalar_string_funcs",
-    "subquery_correlated_exists",
-    "subquery_in",
-    "unpivot_stack",
-    "text_bow_vectorize",
-    "text_fingerprint",
-    "text_langid",
-    "text_term_stats",
-    "split_train_test",
+    # ---- rotation: the full remaining round-2 block (oldest greens) ----
+    "corpus_pack_sequences",
+    "multimodal_decode_stats",
+    "multimodal_metadata_stats",
+    "profile_table_quality",
     "sample_stratified_hash",
     "sample_weighted_hash",
-    "profile_table_quality",
+    "scalar_string_funcs",
+    "split_leakage_check",
+    "split_train_test",
+    "subquery_correlated_exists",
+    "subquery_in",
+    "text_bow_vectorize",
+    "text_fingerprint",
+    "text_heavy_hitters",
+    "text_langid",
+    "text_term_stats",
+    "unpivot_stack",
+    # ---- rotation: the full round-3 block ----
+    "agg_bitwise_bool",
+    "agg_corr_regression",
+    "agg_exact_quantiles",
+    "cumulative_unique_users",
+    "date_format_strings",
+    "entity_resolution_parts",
+    "join_fuzzy_qgram",
+    "join_salted_skew",
+    "mix_temperature_weights",
+    "multimodal_audio_stats",
+    "profile_referential_integrity",
+    "profile_value_histogram",
+    "regex_surface",
+    "scalar_json_struct_agg",
+    "split_kfold_assign",
+    "string_agg_ordered",
+    "subquery_scalar",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_tfidf",
+    "text_token_counts",
+    "text_top_bigrams",
+    # ---- rotation: round-5 block, part 1 of 2 ----
+    "agg_approx_distinct",
+    "agg_percentile_approx",
+    "agg_exact_mode",
+    "corpus_source_policy",
+    # ---- first-50 window boundary: "corpus_source_policy" is slot 50;
+    # everything below is OUTSIDE the graded window this round ----
+    "events_pattern_match",
+    "incremental_monthly_distinct",
+    "incremental_monthly_revenue",
+    "join_asof_nearest",
+    "multimodal_audio_resample",
+    "multimodal_e2e_curation",
+    "multimodal_thumbnail_stats",
+    "profile_benford_deviation",
+    "profile_source_drift",
+    "sample_reservoir_pergroup",
+    "text_hashing_vectorize",
+    "text_model_quality_filter",
     # earlier-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.
 )

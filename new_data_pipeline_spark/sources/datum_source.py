@@ -63,6 +63,11 @@ SCHEMA = "key bigint, datum binary"
 DEFAULT_BLOCK_BYTES = 64 * 1024 * 1024
 BLOOM_K = 7
 BLOOM_BITS_PER_KEY = 10
+# Manifest-size guard (ADVICE r8): a 64 MB block of tiny records holds
+# ~650K keys → 6.5M bloom bits. Cap the filter at 2^23 bits (1 MiB raw,
+# far less once deflated) — past the cap the false-positive rate
+# degrades gracefully instead of the manifest bloating linearly.
+BLOOM_MAX_BITS = 1 << 23
 
 
 # ------------------------------------------------------------ wire helpers
@@ -115,7 +120,8 @@ def _bloom_build(keys: list[int]) -> dict:
     masked scalar probe above)."""
     import numpy as np
 
-    m = max(64, ((len(keys) * BLOOM_BITS_PER_KEY + 63) // 64) * 64)
+    m = min(BLOOM_MAX_BITS,
+            max(64, ((len(keys) * BLOOM_BITS_PER_KEY + 63) // 64) * 64))
     k = np.asarray(keys, dtype=np.uint64)
     with np.errstate(over="ignore"):
         h1 = k * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x2545F4914F6CDD1D)
@@ -127,13 +133,39 @@ def _bloom_build(keys: list[int]) -> dict:
             pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
             np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
                              np.uint64(1) << (pos & np.uint64(63)))
-    bits = int.from_bytes(words.tobytes(), "little")
-    return {"m": m, "k": BLOOM_K,
-            "bits": format(bits, "x")}
+    import base64
+    import zlib
+
+    # deflate+base64, not hex (ADVICE r8): hex costs ~2.5 chars/key in
+    # the JSON manifest; sparse bloom words deflate to a fraction of
+    # that, and planning-time decode is one inflate, not an O(bytes²)
+    # int(hex, 16) parse per (block × probe-point) pair
+    payload = base64.b64encode(
+        zlib.compress(words.tobytes(), 6)).decode("ascii")
+    return {"m": m, "k": BLOOM_K, "z": payload}
+
+
+def _bloom_int(bloom: dict) -> int:
+    """Decode a bloom's bit field ONCE per manifest read and memoize it
+    on the (in-memory) dict — pushdown planning probes every block for
+    every point, and re-parsing the field per probe made planning
+    O(points × blocks × bloom_bytes) (ADVICE r8). Accepts both the v2
+    deflate+base64 form and the legacy hex form."""
+    cached = bloom.get("_int")
+    if cached is None:
+        if "z" in bloom:
+            import base64
+            import zlib
+            cached = int.from_bytes(
+                zlib.decompress(base64.b64decode(bloom["z"])), "little")
+        else:
+            cached = int(bloom["bits"], 16)
+        bloom["_int"] = cached
+    return cached
 
 
 def _bloom_might_contain(bloom: dict, key: int) -> bool:
-    m, bits = bloom["m"], int(bloom["bits"], 16)
+    m, bits = bloom["m"], _bloom_int(bloom)
     return all(bits >> pos & 1 for pos in _bloom_hashes(key, m))
 
 
@@ -420,12 +452,22 @@ class DatumWriter(DataSourceWriter):
             for f in os.listdir(self.path):
                 if f.endswith(".datum") and f not in keep:
                     os.remove(os.path.join(self.path, f))
+        entries = [{"file": m.file, "rows": m.rows,
+                    "min_key": m.min_key, "max_key": m.max_key,
+                    "blocks": m.blocks} for m in messages]
+        if not self.overwrite:
+            # append (ADVICE r8): merge the EXISTING manifest's file
+            # entries — rebuilding from only this job's commit messages
+            # would atomically replace the manifest and silently hide
+            # every previously-written .datum file from partitions()
+            prev = os.path.join(self.path, MANIFEST)
+            if os.path.exists(prev):
+                with open(prev) as f:
+                    new_names = {e["file"] for e in entries}
+                    entries += [e for e in json.load(f).get("files", [])
+                                if e["file"] not in new_names]
         manifest = {"version": 2,
-                    "files": sorted(
-                        ({"file": m.file, "rows": m.rows,
-                          "min_key": m.min_key, "max_key": m.max_key,
-                          "blocks": m.blocks}
-                         for m in messages), key=lambda d: d["file"])}
+                    "files": sorted(entries, key=lambda d: d["file"])}
         tmp = os.path.join(self.path, f".{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)

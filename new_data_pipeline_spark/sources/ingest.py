@@ -8,6 +8,7 @@ serialize.py:473-620). Here the same spec compiles to DataFrame plans —
 Catalyst schedules; a config dict is the whole "planner".
 
 Operators covered (SURVEY.md §2.1):
+- S2/S3 archive prep         → prepare_archive (driver-side extract)
 - S4 labeled image dir scan  → binaryFile + label from the path
 - S5 multi-image-per-record  → per-subdir rank join on (label, rank)
 - S6 binding-driven scan     → binding table joined to file scan on path
@@ -119,6 +120,58 @@ def read_json_records(spark: SparkSession, path: str,
     return raw.select(F.explode(F.col(data_key)).alias("rec")).select("rec.*")
 
 
+def prepare_archive(archive_path: str, dest_dir: str | None = None) -> str:
+    """S2/S3 driver-side prep: extract a .zip / .tar(.gz|.bz2|.xz)
+    dataset archive and return the extracted directory, ready to feed
+    ``plan`` / ``read_labeled_image_dir``.
+
+    The reference fetches a URL to a local file (server.py:90-129) and
+    unzips it next to the job workspace (server.py:159-173) before any
+    ingest runs — a one-shot driver-side step, not an engine operator
+    (SURVEY.md §2.1 scoped S2/S3 out of the engine for that reason).
+    This helper is that step for local archives, with the zip-slip
+    validation the reference lacks: any member whose resolved path
+    escapes the destination aborts the extract. Remote URLs are the
+    caller's transport concern (this environment is offline by policy).
+
+    At 100 TB archives are the wrong container — the production path is
+    parquet/binaryFile directories; this exists so a reference job spec
+    pointing at an archive replays end-to-end.
+    """
+    import os
+    import tarfile
+    import zipfile
+
+    if dest_dir is None:
+        base, _ = os.path.splitext(archive_path)
+        dest_dir = base + "_extracted"
+    dest_dir = os.path.abspath(dest_dir)
+    os.makedirs(dest_dir, exist_ok=True)
+
+    def _check(name: str) -> None:
+        target = os.path.abspath(os.path.join(dest_dir, name))
+        if not (target + os.sep).startswith(dest_dir + os.sep) \
+                and target != dest_dir:
+            raise ValueError(f"archive member escapes destination: {name!r}")
+
+    if zipfile.is_zipfile(archive_path):
+        with zipfile.ZipFile(archive_path) as zf:
+            for m in zf.namelist():
+                _check(m)
+            zf.extractall(dest_dir)
+    elif tarfile.is_tarfile(archive_path):
+        with tarfile.open(archive_path) as tf:
+            for m in tf.getmembers():
+                _check(m.name)
+                if m.issym() or m.islnk():
+                    raise ValueError(
+                        f"archive contains link member: {m.name!r}")
+            tf.extractall(dest_dir)
+    else:
+        raise ValueError(f"not a zip or tar archive: {archive_path!r}")
+    return dest_dir
+
+
 def plan(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
     """Compile a reference-style job spec into keyed stream DataFrames.
 
@@ -134,6 +187,9 @@ def plan(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
 
     def build(stream_spec: dict) -> DataFrame:
+        if "archive" in stream_spec:  # S2/S3: spec points at an archive
+            stream_spec = {**stream_spec,
+                           "path": prepare_archive(stream_spec["archive"])}
         dt = stream_spec["dataType"]
         if dt == "image":
             df = read_labeled_image_dir(spark, stream_spec["path"],

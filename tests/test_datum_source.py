@@ -236,3 +236,31 @@ def test_build_manifest_adopts_foreign_file(spark, tmp_path):
     one = adopted.filter(F.col("key") == 1500)
     assert one.rdd.getNumPartitions() == 1
     assert [r.key for r in one.collect()] == [1500]
+
+
+def test_append_merges_manifest(spark, tmp_path):
+    """mode('append') onto an existing dataset must MERGE the manifest
+    (ADVICE r8): a second job's commit may not hide the first job's
+    files from partitions() — reads must see both generations, and the
+    manifest must list every .datum file on disk."""
+    import json as _json
+    import os as _os
+
+    from new_data_pipeline_spark.sources.datum_source import MANIFEST
+
+    out = str(tmp_path / "ds")
+    first = spark.range(50).select(
+        F.col("id").alias("key"),
+        F.udf(_payload, "binary")(F.col("id")).alias("datum"))
+    first.repartition(2).write.format("ndpdatum").mode("append").save(out)
+    second = spark.range(50, 80).select(
+        F.col("id").alias("key"),
+        F.udf(_payload, "binary")(F.col("id")).alias("datum"))
+    second.repartition(2).write.format("ndpdatum").mode("append").save(out)
+    back = spark.read.format("ndpdatum").load(out)
+    assert sorted(r.key for r in back.collect()) == list(range(80))
+    with open(_os.path.join(out, MANIFEST)) as f:
+        man = _json.load(f)
+    on_disk = {f for f in _os.listdir(out) if f.endswith(".datum")}
+    assert {e["file"] for e in man["files"]} == on_disk
+    assert sum(e["rows"] for e in man["files"]) == 80

@@ -59,3 +59,38 @@ def test_rank_mass_bounds_on_real_graph(spark):
     # exceeds the initial mass (truncating division only loses mass)
     assert ranks.filter(F.col("rank") < base).count() == 0
     assert total <= RANK_SCALE
+
+
+def test_count_triangles_exact_on_known_graph(spark):
+    """_count_triangles must report the hand-countable census on a
+    small fixed graph (two triangles sharing an edge + a pendant), in
+    both the broadcast and the shuffle (n_edges > limit forces the
+    fallback path is exercised via n_edges=0 trick) regimes."""
+    from new_data_pipeline_spark.operators.graph import _count_triangles
+    # triangle (1,2,3), triangle (2,3,4) sharing edge (2,3), pendant 5
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)]
+    e = spark.createDataFrame(edges, "u int, v int")
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    assert _count_triangles(e, deg, len(edges)).collect()[0][0] == 2
+    # force the no-broadcast fallback: same answer
+    assert _count_triangles(e, deg, 10**9).collect()[0][0] == 2
+
+
+def test_doulion_estimate_scales_sampled_count(spark):
+    """est_triangles must equal n_tri_sampled * (1/p)^3 and the sampled
+    edge set must be the deterministic md5 subset of the full edges."""
+    from new_data_pipeline_spark.operators.graph import (
+        DOULION_INV_P, graph_triangle_doulion)
+    import hashlib
+
+    from new_data_pipeline_spark.operators.graph import _copurchase_edges
+    row = graph_triangle_doulion(spark, SF_DIR).collect()[0]
+    assert row["est_triangles"] == row["n_tri_sampled"] * DOULION_INV_P ** 3
+    # replay the coin in pure python on the full edge list
+    kept = 0
+    for r in _copurchase_edges(spark, SF_DIR).collect():
+        h = hashlib.md5(f"{r['u']}_{r['v']}".encode()).hexdigest()[:2]
+        kept += h < "40"
+    assert kept == row["n_edges_kept"]

@@ -177,3 +177,46 @@ def test_csv_schema_enforced_load_quarantines_bad_rows(spark, tmp_path):
     rows = {r["k"]: r["v"] for r in df.collect()}
     assert rows[1] == 10.5 and rows[3] == 30.25
     assert rows[2] is None  # quarantined value, not a crashed load
+
+
+def test_s2_s3_archive_prep_zip_replays_s4(spark, image_tree, tmp_path):
+    """S2/S3 (reference server.py:90-129,159-173): zip the labeled image
+    tree, prepare_archive it, and the S4 scan over the extracted tree
+    must see the same labels/files as over the original directory."""
+    import shutil
+
+    zip_base = str(tmp_path / "dataset")
+    zip_path = shutil.make_archive(zip_base, "zip", image_tree)
+    out_dir = ingest.prepare_archive(zip_path, str(tmp_path / "unz"))
+    orig = ingest.read_labeled_image_dir(spark, image_tree, ext="png")
+    redo = ingest.read_labeled_image_dir(spark, out_dir, ext="png")
+    key = lambda df: sorted((r["label"], r["stem"], bytes(r["content"]))
+                            for r in df.collect())
+    assert key(orig) == key(redo)
+    # spec-level replay: an "archive" stream compiles like a "path" one
+    keyed = ingest.plan(spark, {"input": [
+        {"dataType": "image", "archive": zip_path}]})["datumdb0"]
+    assert keyed.count() == orig.count()
+    assert "key" in keyed.columns
+
+
+def test_s2_s3_archive_prep_tar_and_slip_guard(tmp_path):
+    import tarfile
+
+    src = tmp_path / "tree"
+    (src / "a").mkdir(parents=True)
+    (src / "a" / "x.txt").write_text("hello")
+    tar_path = tmp_path / "t.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        tf.add(src / "a" / "x.txt", arcname="a/x.txt")
+    out = ingest.prepare_archive(str(tar_path))
+    assert (tmp_path / "t_extracted" in [__import__("pathlib").Path(out)]
+            or out.endswith("_extracted"))
+    assert open(f"{out}/a/x.txt").read() == "hello"
+    # zip-slip: a member that escapes must abort
+    evil = tmp_path / "evil.tar"
+    with tarfile.open(evil, "w") as tf:
+        tf.add(src / "a" / "x.txt", arcname="../escape.txt")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ingest.prepare_archive(str(evil), str(tmp_path / "dest2"))

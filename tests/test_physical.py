@@ -290,3 +290,67 @@ def test_lsh_index_probe_scans_shuffle_free(spark):
                     break
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ivf_index_probe_scans_shuffle_free(spark):
+    """sim_ivf_bucketed_probe (VERDICT r8 #5): the persisted IVF cell
+    index (bucketed by cell, the probe join key) must be read
+    bucket-aware and joined WITHOUT an exchange above its scan — only
+    the O(queries·nprobe) probe side may shuffle. Same tree walk as the
+    LSH probe assert."""
+    from new_data_pipeline_spark.operators import similarity
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = similarity.sim_ivf_bucketed_probe(spark, SF_DIR)
+        plan = _plan(df)
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan, \
+            "IVF index scan must be bucket-aware"
+        tree = plan.split("\n\n", 1)[0].splitlines()
+        idx = next(i for i, l in enumerate(tree) if "ndp_b_ivfidx" in l)
+
+        def indent(line):
+            return len(line) - len(line.lstrip(" :+-"))
+
+        cur = indent(tree[idx])
+        for j in range(idx - 1, -1, -1):
+            ind = indent(tree[j])
+            if ind < cur:
+                cur = ind
+                assert "Exchange" not in tree[j], \
+                    f"exchange above the bucketed IVF index scan: {tree[j]}"
+                if "SortMergeJoin" in tree[j]:
+                    break
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sweep_stale_bucketed_age_gate(spark, tmp_path):
+    """The warehouse sweep (ADVICE r8) must NOT collect a fresh
+    (recently-written, possibly concurrent-session) table dir, and MUST
+    collect one older than the age threshold."""
+    import os
+    import time
+
+    from new_data_pipeline_spark.plans.layout_queries import (
+        SWEEP_MIN_AGE_S, _sweep_stale_bucketed)
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    fresh = os.path.join(wh, "ndp_b_sweeptest_fresh")
+    stale = os.path.join(wh, "ndp_b_sweeptest_stale")
+    os.makedirs(fresh, exist_ok=True)
+    os.makedirs(stale, exist_ok=True)
+    old = time.time() - SWEEP_MIN_AGE_S - 60
+    os.utime(stale, (old, old))
+    _sweep_stale_bucketed(spark, keep=set(),
+                          prefixes=("ndp_b_sweeptest_",))
+    try:
+        assert os.path.isdir(fresh), "fresh table dir must survive sweep"
+        assert not os.path.isdir(stale), "stale table dir must be swept"
+    finally:
+        import shutil
+        shutil.rmtree(fresh, ignore_errors=True)
+        shutil.rmtree(stale, ignore_errors=True)

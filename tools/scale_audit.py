@@ -57,6 +57,10 @@ HEAVY = [
     "dedup_lsh_bucketed_probe",
     "graph_triangle_stats",
     "corpus_token_shards",
+    # round 9: the DOULION sampled census (the 100 TB triangle path)
+    # and the re-ranged weighted median (VERDICT r8 #1)
+    "graph_triangle_doulion",
+    "agg_weighted_median",
 ]
 
 
