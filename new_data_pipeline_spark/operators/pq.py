@@ -238,9 +238,10 @@ _IVFPQ_SQL_PARTS = ",\n             ".join(
     for s in range(PQ_M))
 
 
-@register(
-    "sim_ivfpq_topk",
-    oracle=f"""
+# Shared by sim_ivfpq_topk and sim_ivfpq_bucketed_probe: persisting the
+# index bucketed by cell must not change WHAT any query retrieves, so
+# both gates carry the identical answer contract.
+_IVFPQ_ORACLE = f"""
     WITH kmq AS (
       SELECT GREATEST(1, (COUNT(*) + {PQ_K_TARGET} - 1) // {PQ_K_TARGET})
                AS md
@@ -323,24 +324,18 @@ _IVFPQ_SQL_PARTS = ",\n             ".join(
     SELECT query_id, candidate_id, label,
            round(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= {TOP_K}
-    """,
-    tags=("similarity", "ivf", "pq", "approx"),
-)
-def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ approximate top-k (VERDICT r6 #8): probe the query's
-    IVF_NPROBE nearest coarse cells, then rank ONLY those cells'
-    members by PQ asymmetric distance — both index builds use the
-    count-derived moduli (K ~ 256 codewords, C ~ 64 cells), so build
-    is O(N·(C + M·K)) and query work is N·nprobe/C candidates at M
-    table lookups each.
+    """
 
-    Plan shape at scale: centroid and codebook tables broadcast (both
-    constant-size); cell assignment and code argmin are map-side
-    min_by/max_by aggregates (never a row_number shuffle over the
-    scored fan-out); the candidate and distance-table joins broadcast
-    the query-side (N_QUERIES·nprobe rows and N_QUERIES·M·K entries);
-    the ADC sum is M fixed-order partial columns, never a float SUM
-    over rows. Every stage replays bit-exactly in the DuckDB oracle.
+
+def _ivfpq_build(spark: SparkSession, sf_dir: str):
+    """Shared IVF-PQ index build: (cell_of, probes, codes, qtab).
+
+    ``cell_of`` (vec_id, cell) — coarse-quantizer assignment via the
+    map-side max_by argmax; ``probes`` (query_id, cell) — each query's
+    IVF_NPROBE nearest cells; ``codes`` (vec_id, label, s, code) — the
+    PQ code per sub-space via map-side min_by argmin; ``qtab``
+    (query_id, s, cent_id, qd2) — the queries' full ADC distance
+    tables (N_QUERIES·M·K rows, broadcast-sized by construction).
     """
     emb = catalog.load(spark, sf_dir, "embeddings")
     n_rows = emb.count()
@@ -384,8 +379,49 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtab = (dists.filter(F.col("vec_id") < N_QUERIES)
             .select(F.col("vec_id").alias("query_id"), "s",
                     "cent_id", F.col("d2").alias("qd2")))
+    return cell_of, probes, codes, qtab
 
-    # ---- compose: IVF-pruned candidates scored by ADC ----
+
+def _adc_rank(parts: DataFrame) -> DataFrame:
+    """Final ADC ranking shared by both IVF-PQ gates: the ADC total is
+    the FIXED left-to-right sum of the M partial columns t0..t{M-1}
+    (never a float SUM over rows — summation order must replay
+    bit-exactly in the oracle's {_SQL_ADC} chain), then top-k per
+    query by (adc, candidate_id)."""
+    adc = F.col("t0")
+    for _s in range(1, PQ_M):
+        adc = adc + F.col(f"t{_s}")
+    w = Window.partitionBy("query_id").orderBy(adc.asc(),
+                                               F.col("candidate_id"))
+    return (parts
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "candidate_id", "label",
+                    F.round(adc, 4).alias("adc_dist"), "rn"))
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    tags=("similarity", "ivf", "pq", "approx"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (VERDICT r6 #8): probe the query's
+    IVF_NPROBE nearest coarse cells, then rank ONLY those cells'
+    members by PQ asymmetric distance — both index builds use the
+    count-derived moduli (K ~ 256 codewords, C ~ 64 cells), so build
+    is O(N·(C + M·K)) and query work is N·nprobe/C candidates at M
+    table lookups each.
+
+    Plan shape at scale: centroid and codebook tables broadcast (both
+    constant-size); cell assignment and code argmin are map-side
+    min_by/max_by aggregates (never a row_number shuffle over the
+    scored fan-out); the candidate and distance-table joins broadcast
+    the query-side (N_QUERIES·nprobe rows and N_QUERIES·M·K entries);
+    the ADC sum is M fixed-order partial columns, never a float SUM
+    over rows. Every stage replays bit-exactly in the DuckDB oracle.
+    """
+    cell_of, probes, codes, qtab = _ivfpq_build(spark, sf_dir)
     cand = (F.broadcast(probes).join(cell_of, "cell")
             .filter(F.col("query_id") != F.col("vec_id"))
             .select("query_id", F.col("vec_id").alias("candidate_id")))
@@ -398,13 +434,64 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(cand["query_id"], "candidate_id", "label")
              .agg(*[F.sum(F.when(codes["s"] == s, F.col("qd2")))
                     .alias(f"t{s}") for s in range(PQ_M)]))
-    adc = F.col("t0")
-    for _s in range(1, PQ_M):
-        adc = adc + F.col(f"t{_s}")
-    w = Window.partitionBy("query_id").orderBy(adc.asc(),
-                                               F.col("candidate_id"))
-    return (parts
-            .withColumn("rn", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rn") <= TOP_K)
-            .select("query_id", "candidate_id", "label",
-                    F.round(adc, 4).alias("adc_dist"), "rn"))
+    return _adc_rank(parts)
+
+
+@register(
+    "sim_ivfpq_bucketed_probe",
+    # identical answer contract to sim_ivfpq_topk: persisting the
+    # index bucketed by cell must not change WHAT any query retrieves
+    oracle=_IVFPQ_ORACLE,
+    tags=("similarity", "ivf", "pq", "approx", "layout", "bucketing"),
+)
+def sim_ivfpq_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ index actually PERSISTED — the second half of VERDICT
+    r8 #5 (sim_ivf_bucketed_probe is the flat-vector half): one row per
+    corpus vector (candidate_id, label, cell, codes[M]) written once to
+    the catalog bucketed by ``cell`` via plans/physical.write_bucketed,
+    then probed from the CATALOG table. This is the production
+    billion-vector layout — the 16-byte PQ code row is what actually
+    sits on disk at 100 TB (the flat vectors are 16× larger), and
+    HashPartitioning(cell) lets every query's probe reach its nprobe
+    inverted lists shuffle-free (no-Exchange-over-index asserted in
+    tests/test_physical.py).
+
+    Probe path: candidates come straight off the bucketed scan; their
+    code arrays posexplode into (s, code) pairs — pos IS the sub-space
+    index because the build sorts struct(s, code) — which join the
+    broadcast ADC table on (query_id, s, code), then the same
+    fixed-order partial-sum ranking as the in-memory gate, so the
+    result (and the oracle) is bit-identical to sim_ivfpq_topk.
+    """
+    import hashlib
+
+    from new_data_pipeline_spark.plans import physical
+    from new_data_pipeline_spark.plans.layout_queries import (
+        _sweep_stale_bucketed)
+
+    cell_of, probes, codes, qtab = _ivfpq_build(spark, sf_dir)
+    idx_rows = (codes.groupBy("vec_id", "label")
+                .agg(F.array_sort(F.collect_list(F.struct("s", "code")))
+                     .alias("sc"))
+                .join(cell_of, "vec_id")
+                .select(F.col("vec_id").alias("candidate_id"), "label",
+                        "cell",
+                        F.expr("transform(sc, x -> x.code)").alias("codes")))
+    tbl = f"ndp_b_ivfpqidx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _sweep_stale_bucketed(spark, keep={tbl}, prefixes=("ndp_b_ivfpqidx_",))
+    physical.write_bucketed(idx_rows, tbl, "cell")
+    idx = spark.table(tbl)
+
+    cand = (probes.join(idx, on="cell")
+            .filter(F.col("query_id") != F.col("candidate_id"))
+            .select(F.col("query_id").alias("cqid"), "candidate_id",
+                    "label", F.posexplode("codes").alias("cs", "ccode")))
+    parts = (cand.join(F.broadcast(qtab),
+                       (F.col("query_id") == F.col("cqid"))
+                       & (F.col("s") == F.col("cs"))
+                       & (F.col("cent_id") == F.col("ccode")))
+             .groupBy("cqid", "candidate_id", "label")
+             .agg(*[F.sum(F.when(F.col("cs") == s, F.col("qd2")))
+                    .alias(f"t{s}") for s in range(PQ_M)])
+             .withColumnRenamed("cqid", "query_id"))
+    return _adc_rank(parts)

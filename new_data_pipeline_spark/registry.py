@@ -90,9 +90,9 @@ QUERIES: dict[str, QuerySpec] = {}
 #   the IVF refactor shared by both probes;
 # - backfill: the longest-unexposed rotation — ALL 17 remaining
 #   round-2-graded sampling/profile/text/multimodal slots, then ALL 22
-#   round-3-graded slots, then the first 4 of the 16 remaining
-#   round-5-graded slots (the bounded-error approx pair + exact mode +
-#   source policy). Round 10 should re-seat the remaining 12 r5 slots
+#   round-3-graded slots, then the leading round-5-graded slots that
+#   still fit the 50-query window (the bounded-error approx pair +
+#   exact mode). Round 10 should re-seat the remaining ~13 r5 slots
 #   first; after that every registered query will have been re-exposed
 #   within 4 rounds.
 # Released this round (all r8-green, all still re-verified every run
@@ -102,6 +102,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # ---- added in round 9 ----
     "graph_triangle_doulion",
     "sim_ivf_bucketed_probe",
+    "sim_ivfpq_bucketed_probe",
     # ---- changed in round 9 ----
     "agg_weighted_median",
     "graph_triangle_stats",

@@ -63,9 +63,8 @@ def test_rank_mass_bounds_on_real_graph(spark):
 
 def test_count_triangles_exact_on_known_graph(spark):
     """_count_triangles must report the hand-countable census on a
-    small fixed graph (two triangles sharing an edge + a pendant), in
-    both the broadcast and the shuffle (n_edges > limit forces the
-    fallback path is exercised via n_edges=0 trick) regimes."""
+    small fixed graph (two triangles sharing an edge + a pendant),
+    independent of the n_edges metadata hint."""
     from new_data_pipeline_spark.operators.graph import _count_triangles
     # triangle (1,2,3), triangle (2,3,4) sharing edge (2,3), pendant 5
     edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)]

@@ -326,6 +326,38 @@ def test_ivf_index_probe_scans_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_ivfpq_index_probe_scans_shuffle_free(spark):
+    """sim_ivfpq_bucketed_probe (VERDICT r8 #5, PQ half): the persisted
+    PQ-code index (one row per vector, bucketed by cell) must be read
+    bucket-aware and joined WITHOUT an exchange above its scan."""
+    from new_data_pipeline_spark.operators import pq
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = pq.sim_ivfpq_bucketed_probe(spark, SF_DIR)
+        plan = _plan(df)
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan, \
+            "IVF-PQ index scan must be bucket-aware"
+        tree = plan.split("\n\n", 1)[0].splitlines()
+        idx = next(i for i, l in enumerate(tree) if "ndp_b_ivfpqidx" in l)
+
+        def indent(line):
+            return len(line) - len(line.lstrip(" :+-"))
+
+        cur = indent(tree[idx])
+        for j in range(idx - 1, -1, -1):
+            ind = indent(tree[j])
+            if ind < cur:
+                cur = ind
+                assert "Exchange" not in tree[j], \
+                    f"exchange above the bucketed IVF-PQ index scan: {tree[j]}"
+                if "SortMergeJoin" in tree[j]:
+                    break
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_sweep_stale_bucketed_age_gate(spark, tmp_path):
     """The warehouse sweep (ADVICE r8) must NOT collect a fresh
     (recently-written, possibly concurrent-session) table dir, and MUST

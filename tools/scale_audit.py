@@ -57,10 +57,13 @@ HEAVY = [
     "dedup_lsh_bucketed_probe",
     "graph_triangle_stats",
     "corpus_token_shards",
-    # round 9: the DOULION sampled census (the 100 TB triangle path)
-    # and the re-ranged weighted median (VERDICT r8 #1)
+    # round 9: the DOULION sampled census (the 100 TB triangle path),
+    # the re-ranged weighted median (VERDICT r8 #1), and the persisted
+    # bucketed ANN probes (VERDICT r8 #5)
     "graph_triangle_doulion",
     "agg_weighted_median",
+    "sim_ivf_bucketed_probe",
+    "sim_ivfpq_bucketed_probe",
 ]
 
 
