@@ -214,7 +214,7 @@ _SQL_MINHASH_PAIR_CTES = f"""
 def _shingle_bands(spark: SparkSession,
                    sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(hashed shingle sets, capped band-bucket table) — the shared
-    front of every MinHash pipeline.
+    front of every MinHash pipeline, over the full documents table.
 
     Persist the HASHED shingle sets (60-bit longs, not strings — see
     hashed_shingles_expr): the plan consumes them four times (band
@@ -223,7 +223,14 @@ def _shingle_bands(spark: SparkSession,
     The band table persists BEFORE the cap: the bucket-count aggregate,
     the anti-join and both sides of the candidate join all reuse the
     cache instead of recomputing the subtree per consumer."""
-    docs = catalog.load(spark, sf_dir, "documents")
+    return _shingle_bands_from(catalog.load(spark, sf_dir, "documents"))
+
+
+def _shingle_bands_from(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """_shingle_bands over an arbitrary (doc_id, text, …) frame — the
+    per-microbatch entry point for the streaming near-dup filter, which
+    must band each arriving slice with bit-identical hashing to the
+    persisted index it probes."""
     s = (docs.filter(F.size(F.split("text", " ")) >= SHINGLE_W)
          .select("doc_id", hashed_shingles_expr().alias("hs"))
          .persist())
@@ -239,6 +246,28 @@ def _shingle_bands(spark: SparkSession,
     ).select("doc_id", "band.band_id", "band.band_key")
     bands = cap_hot_buckets(bands.persist(), ["band_id", "band_key"])
     return s, bands
+
+
+def _incremental_candidates(base_bands: DataFrame,
+                            delta_bands: DataFrame) -> DataFrame:
+    """Candidate pairs INVOLVING a delta doc: delta probing the base
+    band index (old-new; id order is automatic when every base id is
+    below every delta id) UNION the delta self-join (new-new) — never
+    base×base, which is exactly the work an incremental run skips.
+    Shared by the in-memory and bucketed incremental gates and the
+    streaming near-dup filter's per-microbatch probe."""
+    d, bb = delta_bands.alias("d"), base_bands.alias("bb")
+    old_new = (d.join(bb, (F.col("d.band_id") == F.col("bb.band_id"))
+                      & (F.col("d.band_key") == F.col("bb.band_key")))
+               .select(F.col("bb.doc_id").alias("doc_a"),
+                       F.col("d.doc_id").alias("doc_b")))
+    x, y = delta_bands.alias("x"), delta_bands.alias("y")
+    new_new = (x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+                      & (F.col("x.band_key") == F.col("y.band_key"))
+                      & (F.col("x.doc_id") < F.col("y.doc_id")))
+               .select(F.col("x.doc_id").alias("doc_a"),
+                       F.col("y.doc_id").alias("doc_b")))
+    return old_new.unionAll(new_new).distinct()
 
 
 def _verify_pairs(cand: DataFrame, s: DataFrame) -> DataFrame:
@@ -346,19 +375,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsplit = 0 if max_id is None else max_id - max_id // INCR_DELTA_DIVISOR
     base = bands.filter(F.col("doc_id") < tsplit)
     delta = bands.filter(F.col("doc_id") >= tsplit)
-    d, bb = delta.alias("d"), base.alias("bb")
-    old_new = (d.join(bb, (F.col("d.band_id") == F.col("bb.band_id"))
-                      & (F.col("d.band_key") == F.col("bb.band_key")))
-               .select(F.col("bb.doc_id").alias("doc_a"),
-                       F.col("d.doc_id").alias("doc_b")))
-    x, y = delta.alias("x"), delta.alias("y")
-    new_new = (x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
-                      & (F.col("x.band_key") == F.col("y.band_key"))
-                      & (F.col("x.doc_id") < F.col("y.doc_id")))
-               .select(F.col("x.doc_id").alias("doc_a"),
-                       F.col("y.doc_id").alias("doc_b")))
-    cand = old_new.unionAll(new_new).distinct()
-    return _verify_pairs(cand, s)
+    return _verify_pairs(_incremental_candidates(base, delta), s)
 
 
 @register(
@@ -403,19 +420,87 @@ def dedup_lsh_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                             tbl, "band_id", "band_key")
     idx = spark.table(tbl)
     delta = bands.filter(F.col("doc_id") >= tsplit)
-    d, bb = delta.alias("d"), idx.alias("bb")
-    old_new = (d.join(bb, (F.col("d.band_id") == F.col("bb.band_id"))
-                      & (F.col("d.band_key") == F.col("bb.band_key")))
-               .select(F.col("bb.doc_id").alias("doc_a"),
-                       F.col("d.doc_id").alias("doc_b")))
-    x, y = delta.alias("x"), delta.alias("y")
-    new_new = (x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
-                      & (F.col("x.band_key") == F.col("y.band_key"))
-                      & (F.col("x.doc_id") < F.col("y.doc_id")))
-               .select(F.col("x.doc_id").alias("doc_a"),
-                       F.col("y.doc_id").alias("doc_b")))
-    cand = old_new.unionAll(new_new).distinct()
-    return _verify_pairs(cand, s)
+    return _verify_pairs(_incremental_candidates(idx, delta), s)
+
+
+def neardup_probe_batch(batch_docs: DataFrame, index_bands: DataFrame,
+                        index_shingles: DataFrame) -> tuple[
+                            DataFrame, DataFrame, DataFrame]:
+    """One microbatch of the streaming near-dup filter: band the
+    arriving docs, probe the accumulated index (all earlier-arrived
+    docs), and verdict each arrival.
+
+    Returns (verdicts, batch_bands, batch_shingles) — the caller (a
+    foreachBatch sink, tests/test_streaming.py) appends the latter two
+    to the index so the NEXT batch probes everything seen so far; this
+    function never rebuilds the index, which is the point of the
+    incremental shape. Verdicts: (doc_id, dup_of, is_dup) — dup_of =
+    smallest earlier near-dup (index doc or an earlier id in the same
+    batch), NULL when the arrival is novel.
+    """
+    s_b, bands_b = _shingle_bands_from(batch_docs)
+    cand = _incremental_candidates(index_bands, bands_b)
+    verified = _verify_pairs(cand, index_shingles.unionByName(s_b))
+    matches = verified.groupBy("doc_b").agg(F.min("doc_a").alias("dup_of"))
+    verdicts = (batch_docs.select("doc_id")
+                .join(matches, F.col("doc_id") == F.col("doc_b"), "left")
+                .select("doc_id", "dup_of",
+                        F.col("dup_of").isNotNull().alias("is_dup")))
+    return verdicts, bands_b, s_b
+
+
+@register(
+    "stream_neardup_filter",
+    oracle=f"""
+    WITH {_SQL_MINHASH_PAIR_CTES}
+    SELECT d.doc_id,
+           MIN(p.doc_a) AS dup_of,
+           (MIN(p.doc_a) IS NOT NULL) AS is_dup
+    FROM documents d
+    LEFT JOIN pairs p ON p.doc_b = d.doc_id
+    WHERE d.doc_id >= (SELECT MAX(doc_id) - MAX(doc_id)
+                              // {INCR_DELTA_DIVISOR}
+                       FROM documents)
+    GROUP BY d.doc_id
+    """,
+    tags=("streaming", "dedup", "minhash", "lsh", "incremental"),
+)
+def stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup filtering ON INGEST — the dedup-on-arrival shape a
+    100 TB pipeline actually runs: every arriving document is verdicted
+    against everything that arrived before it (the persisted band
+    index plus earlier arrivals), emitting (doc_id, dup_of, is_dup)
+    so the downstream writer can drop or keep immediately rather than
+    re-running corpus-wide dedup per crawl.
+
+    This is the batch projection (the newest tenth of the id space is
+    "the stream", arrivals ordered by doc_id); the TRUE incremental run
+    — microbatches through ``neardup_probe_batch`` with the index
+    accumulated across batches via foreachBatch — is pinned against
+    this exact output in tests/test_streaming.py. The oracle replays
+    the full pair pipeline and verdicts each new doc by its smallest
+    earlier partner: proof the incremental probe's verdicts equal the
+    full recompute's, batch boundaries notwithstanding.
+
+    Scale: per batch the probe is O(|batch| bands) against a
+    bucket-partitioned index (the dedup_lsh_bucketed_probe layout) and
+    the verdict join is |batch|-sized; the index grows by appending the
+    batch's bands — no base×base work ever runs.
+    """
+    s, bands = _shingle_bands(spark, sf_dir)
+    bands.count()  # eager fill: base/delta are non-identical consumers
+    max_id = catalog.load(spark, sf_dir, "documents").agg(
+        F.max("doc_id")).first()[0]
+    tsplit = 0 if max_id is None else max_id - max_id // INCR_DELTA_DIVISOR
+    base = bands.filter(F.col("doc_id") < tsplit)
+    delta = bands.filter(F.col("doc_id") >= tsplit)
+    matches = (_verify_pairs(_incremental_candidates(base, delta), s)
+               .groupBy("doc_b").agg(F.min("doc_a").alias("dup_of")))
+    arrivals = (catalog.load(spark, sf_dir, "documents")
+                .select("doc_id").filter(F.col("doc_id") >= tsplit))
+    return (arrivals.join(matches, F.col("doc_id") == F.col("doc_b"), "left")
+            .select("doc_id", "dup_of",
+                    F.col("dup_of").isNotNull().alias("is_dup")))
 
 
 MAX_CC_ITERS = 25  # label propagation rounds; converges in O(diameter)

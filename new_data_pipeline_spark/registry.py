@@ -103,6 +103,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "graph_triangle_doulion",
     "sim_ivf_bucketed_probe",
     "sim_ivfpq_bucketed_probe",
+    "stream_neardup_filter",
     # ---- changed in round 9 ----
     "agg_weighted_median",
     "graph_triangle_stats",

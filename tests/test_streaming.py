@@ -281,3 +281,76 @@ def test_streaming_interval_join_outer_matches_batch(spark, stream_source,
     assert any(rid is None for _, rid in want), \
         "fixture must contain unmatched purchases"
     assert got == want
+
+
+def test_streaming_neardup_filter_matches_batch(spark, tmp_path):
+    """The dedup-on-ingest loop run TRULY incrementally: the newest
+    tenth of the documents id space arrives in three id-ordered
+    microbatches through a file-source stream; each foreachBatch
+    probes the ACCUMULATED band index (base corpus + earlier batches)
+    via dedup.neardup_probe_batch and appends its own bands/shingles
+    to the index; the union of per-batch verdicts must equal the batch
+    projection (stream_neardup_filter), whose oracle is the
+    full-recompute replay — proof the incremental probe misses nothing
+    across batch boundaries."""
+    import shutil
+
+    from new_data_pipeline_spark.operators import dedup
+    from tests.conftest import SF_DIR
+
+    docs = catalog.load(spark, SF_DIR, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    tsplit = max_id - max_id // dedup.INCR_DELTA_DIVISOR
+    base = docs.filter(F.col("doc_id") < tsplit)
+    delta_ids = sorted(r["doc_id"] for r in
+                       docs.filter(F.col("doc_id") >= tsplit)
+                       .select("doc_id").collect())
+    assert len(delta_ids) >= 9, "fixture too small for a 3-batch feed"
+    cuts = (delta_ids[len(delta_ids) // 3],
+            delta_ids[2 * len(delta_ids) // 3])
+
+    idx_bands_dir = str(tmp_path / "idx_bands")
+    idx_shingles_dir = str(tmp_path / "idx_shingles")
+    s0, b0 = dedup._shingle_bands_from(base)
+    b0.write.mode("overwrite").parquet(idx_bands_dir)
+    s0.write.mode("overwrite").parquet(idx_shingles_dir)
+    out_dir = str(tmp_path / "verdicts")
+
+    def probe(batch_df, _bid):
+        sess = batch_df.sparkSession
+        verdicts, bands_b, s_b = dedup.neardup_probe_batch(
+            batch_df, sess.read.parquet(idx_bands_dir),
+            sess.read.parquet(idx_shingles_dir))
+        verdicts.write.mode("append").parquet(out_dir)
+        bands_b.write.mode("append").parquet(idx_bands_dir)
+        s_b.write.mode("append").parquet(idx_shingles_dir)
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    q = (spark.readStream.schema(docs.schema).parquet(str(arrivals))
+         .writeStream.foreachBatch(probe)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        slices = [
+            docs.filter((F.col("doc_id") >= tsplit)
+                        & (F.col("doc_id") <= cuts[0])),
+            docs.filter((F.col("doc_id") > cuts[0])
+                        & (F.col("doc_id") <= cuts[1])),
+            docs.filter(F.col("doc_id") > cuts[1]),
+        ]
+        for i, sl in enumerate(slices):
+            staged = tmp_path / f"stage{i}"
+            sl.coalesce(1).write.mode("overwrite").parquet(str(staged))
+            for j, f in enumerate(sorted(staged.glob("part-*.parquet"))):
+                shutil.copy(f, arrivals / f"slice{i}-{j}.parquet")
+            q.processAllAvailable()  # batch i fully probed before i+1
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(map(tuple,
+                      dedup.stream_neardup_filter(spark, SF_DIR).collect()))
+    assert any(r[2] for r in want), "fixture must contain near-dups"
+    assert got == want
+    spark.catalog.clearCache()

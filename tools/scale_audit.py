@@ -64,6 +64,7 @@ HEAVY = [
     "agg_weighted_median",
     "sim_ivf_bucketed_probe",
     "sim_ivfpq_bucketed_probe",
+    "stream_neardup_filter",
 ]
 
 
