@@ -50,6 +50,7 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.bpe  # noqa: F401
     import new_data_pipeline_spark.operators.boilerplate  # noqa: F401
     import new_data_pipeline_spark.operators.model_score  # noqa: F401
+    import new_data_pipeline_spark.operators.nb_classifier  # noqa: F401
     import new_data_pipeline_spark.operators.source_rules  # noqa: F401
     import new_data_pipeline_spark.operators.graph  # noqa: F401
     import new_data_pipeline_spark.operators.lm_score  # noqa: F401

@@ -104,6 +104,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "sim_ivf_bucketed_probe",
     "sim_ivfpq_bucketed_probe",
     "stream_neardup_filter",
+    "text_nb_source_classifier",
     # ---- changed in round 9 ----
     "agg_weighted_median",
     "graph_triangle_stats",
@@ -153,11 +154,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_top_bigrams",
     # ---- rotation: round-5 block, part 1 of 2 ----
     "agg_approx_distinct",
+    # ---- first-50 window boundary: "agg_approx_distinct" is slot 50
+    # (5 added + 5 changed + 17 r2 + 22 r3 + 1); everything below is
+    # OUTSIDE the graded window this round ----
     "agg_percentile_approx",
     "agg_exact_mode",
     "corpus_source_policy",
-    # ---- first-50 window boundary: "corpus_source_policy" is slot 50;
-    # everything below is OUTSIDE the graded window this round ----
     "events_pattern_match",
     "incremental_monthly_distinct",
     "incremental_monthly_revenue",

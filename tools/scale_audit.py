@@ -65,6 +65,7 @@ HEAVY = [
     "sim_ivf_bucketed_probe",
     "sim_ivfpq_bucketed_probe",
     "stream_neardup_filter",
+    "text_nb_source_classifier",
 ]
 
 
