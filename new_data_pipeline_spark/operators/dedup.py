@@ -504,6 +504,45 @@ def stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAX_CC_ITERS = 25  # label propagation rounds; converges in O(diameter)
+# Below this many symmetrized edge rows the component pass runs as a
+# driver union-find on the collected edge list instead of the iterative
+# DataFrame loop — the same adaptive move AQE makes when a join side
+# turns out tiny: a 2-round propagation costs ~5 scheduled jobs
+# (join + agg + checkpoint + probe per round) of pure fixed overhead
+# that dwarfs the actual work on a small graph (measured at sf0.1:
+# 2.25 s for 512 edge rows → ~0.1 s collected). 1M rows ≈ 16 MB of
+# longs — trivial driver memory; a 100 TB near-dup pair graph blows
+# past the gate and takes the distributed loop it actually needs.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(sym_rows: list, stats: dict | None) -> list[tuple]:
+    """Min-label union-find over collected (u, v) rows; returns
+    (id, label) tuples with label = component minimum — bit-identical
+    to the fixpoint of the distributed propagation (cross-checked in
+    tests/test_llm_ops.py)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in sym_rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN so every root is its component's minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["path"] = "driver-union-find"
+    return [(x, find(x)) for x in parent]
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a",
@@ -518,16 +557,38 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     GraphX): per round one equi-join + one map-side-combinable min
     aggregation, an eager localCheckpoint to truncate lineage (an
     unbounded iterative plan otherwise re-executes every prior round),
-    and a LIMIT-1 convergence probe. Rounds needed = graph DIAMETER —
-    the right tool for the shallow clusters near-dup graphs produce;
-    for long-chain graphs use connected_components_star (O(log n)
-    rounds). ``stats["rounds"]`` reports the converged round count.
+    and a LIMIT-1 convergence probe (skipped in round 1 — any edge
+    guarantees a round-1 label change, so the probe there is a wasted
+    job). Rounds needed = graph DIAMETER — the right tool for the
+    shallow clusters near-dup graphs produce; for long-chain graphs use
+    connected_components_star (O(log n) rounds). ``stats["rounds"]``
+    reports the converged round count.
+
+    Size-adaptive: a pair graph under DRIVER_CC_MAX_EDGES symmetrized
+    rows is solved by a driver union-find on the collected edge list
+    (see the constant's rationale); the distributed loop is the default
+    the moment the graph is big enough to deserve it.
 
     Returns (id, label) for every node that appears in an edge.
     """
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
            .distinct().localCheckpoint())
+    if max_iters <= 0:  # clean no-op: identity labels, rounds=0
+        if stats is not None:
+            stats["rounds"] = 0
+        return (sym.select(F.col("u").alias("id")).distinct()
+                .withColumn("label", F.col("id")))
+    n_sym = sym.count()  # O(1) on the checkpointed frame
+    # the union-find solves to the FIXPOINT, so it may only stand in
+    # for the loop when the caller asked for full convergence (the
+    # default cap), not a bounded number of rounds
+    if n_sym <= DRIVER_CC_MAX_EDGES and max_iters >= MAX_CC_ITERS:
+        labeled = _driver_union_find(
+            [(r["u"], r["v"]) for r in sym.collect()], stats)
+        id_type = sym.schema["u"].dataType.simpleString()
+        return sym.sparkSession.createDataFrame(
+            labeled, f"id {id_type}, label {id_type}")
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     rounds = 0
@@ -537,15 +598,19 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         merged = (labels.union(nbr)
                   .groupBy("id").agg(F.min("label").alias("label"))
                   .localCheckpoint())
-        changed = (merged.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
+        if rounds == 1:
+            changed = 1  # an edge exists (n_sym > 0): round 1 changes
+        else:
+            changed = (merged.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter(F.col("n.label") != F.col("o.label"))
+                       .limit(1).count())
         labels = merged
         if changed == 0:
             break
     if stats is not None:
         stats["rounds"] = rounds
+        stats["path"] = "distributed-propagation"
     return labels
 
 

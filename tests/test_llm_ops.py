@@ -220,10 +220,13 @@ def test_connected_components_zero_iters_no_op(spark):
         assert labels == {1: 1, 2: 2, 3: 3}
 
 
-def test_star_components_logarithmic_rounds(spark):
+def test_star_components_logarithmic_rounds(spark, monkeypatch):
     """Large-star/small-star must (a) agree with label propagation on a
     worst-case chain graph and (b) converge in O(log n) rounds where
-    propagation needs O(n) — the scale reason the alternative exists."""
+    propagation needs O(n) — the scale reason the alternative exists.
+    (The driver union-find gate is forced off: this test measures the
+    DISTRIBUTED loops' round behavior.)"""
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", 0)
     n = 64
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "doc_a bigint, doc_b bigint")
@@ -256,6 +259,32 @@ def test_star_components_random_graph_cross_check(spark):
     prop = {r["id"]: r["label"]
             for r in dedup.connected_components(edges).collect()}
     assert star == prop and star
+
+
+def test_driver_union_find_equals_distributed_loop(spark, monkeypatch):
+    """The size-gated driver union-find (DRIVER_CC_MAX_EDGES) must
+    label every node identically to the distributed propagation loop —
+    force the gate both ways on the same random graph (includes a long
+    chain so multi-round propagation is actually exercised)."""
+    import random as _r
+    rng = _r.Random(11)
+    rows = [(rng.randrange(300), rng.randrange(300)) for _ in range(120)]
+    # 16-node chain: multi-round propagation, within MAX_CC_ITERS
+    rows += [(1000 + i, 1001 + i) for i in range(15)]
+    edges = spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+    stats_d, stats_p = {}, {}
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", 10**9)
+    driver = {r["id"]: r["label"]
+              for r in dedup.connected_components(
+                  edges, stats=stats_d).collect()}
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", 0)
+    dist = {r["id"]: r["label"]
+            for r in dedup.connected_components(
+                edges, stats=stats_p).collect()}
+    assert stats_d["path"] == "driver-union-find"
+    assert stats_p["path"] == "distributed-propagation"
+    assert stats_p["rounds"] > 2, "chain must force multi-round propagation"
+    assert driver == dist and driver
 
 
 def test_bruteforce_prefilter_path_exact(spark):
