@@ -39,3 +39,23 @@ def test_oracle_coverage_is_total():
     qs, oracles = entry.queries(), entry.oracle_sql()
     missing = [n for n in qs if n not in oracles]
     assert not missing, f"queries without oracles: {missing}"
+
+
+def test_readme_test_count_matches_collection():
+    """The r8 verdict's hygiene nit: README cited '651 tests' while 673
+    collected. Gate the cited count against pytest's own collection
+    (a ~2.5 s subprocess; keeps the doc from drifting again)."""
+    import re
+    import subprocess
+    import sys
+
+    text = open("/root/repo/README.md").read()
+    m = re.search(r"\*\*(\d+) tests\*\*", text)
+    assert m, "README must cite the test count in bold"
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests/"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    cm = re.search(r"(\d+) tests collected", out.stdout)
+    assert cm, f"could not parse collection output: {out.stdout[-200:]}"
+    assert int(m.group(1)) == int(cm.group(1)), (
+        f"README cites {m.group(1)} tests; pytest collects {cm.group(1)}")
