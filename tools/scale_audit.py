@@ -109,6 +109,14 @@ def main(reps: int = 3, only: list[str] | None = None) -> None:
         rec["alpha"] = round(math.log(max(ratio, 1e-9)) / math.log(FACTOR), 2)
         rows.append(rec)
         print(json.dumps(rec), flush=True)
+        # clearCache() drops DataFrame persists but NOT localCheckpoint
+        # RDD blocks, whose py4j references linger until Python GC runs
+        # — a 30-query sweep accumulated enough to poison later rows
+        # (dedup_incremental_lsh 5.1 s isolated vs 158.9 s late in a
+        # sweep). Collect per query so ContextCleaner can release them.
+        import gc
+
+        gc.collect()
 
     print("\n| query | t(1x) s | t(%dx) s | ratio | alpha |" % FACTOR)
     print("|---|---|---|---|---|")
