@@ -223,19 +223,27 @@ def _shingle_bands(spark: SparkSession,
     The band table persists BEFORE the cap: the bucket-count aggregate,
     the anti-join and both sides of the candidate join all reuse the
     cache instead of recomputing the subtree per consumer."""
-    return _shingle_bands_from(catalog.load(spark, sf_dir, "documents"))
+    s, bands, _ = _shingle_bands_from(
+        catalog.load(spark, sf_dir, "documents"))
+    return s, bands
 
 
-def _shingle_bands_from(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _shingle_bands_from(docs: DataFrame) -> tuple[
+        DataFrame, DataFrame, list[DataFrame]]:
     """_shingle_bands over an arbitrary (doc_id, text, …) frame — the
     per-microbatch entry point for the streaming near-dup filter, which
     must band each arriving slice with bit-identical hashing to the
-    persisted index it probes."""
+    persisted index it probes. Returns (shingles, capped_bands, caches)
+    — ``caches`` are the two frames actually persisted (the capped band
+    frame is DERIVED from the cached one, so unpersisting the return
+    values alone would release nothing); streaming callers unpersist
+    them per microbatch (ADVICE r9), batch queries leave them to the
+    session's cache-clearing discipline."""
     s = (docs.filter(F.size(F.split("text", " ")) >= SHINGLE_W)
          .select("doc_id", hashed_shingles_expr().alias("hs"))
          .persist())
     m = s.withColumn("sig", minhash_signature_expr("hs", hashed=True))
-    bands = m.select(
+    bands_raw = m.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_id"),
@@ -243,9 +251,9 @@ def _shingle_bands_from(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
                          F.element_at("sig", MINHASH_R * b + r + 1).cast("string")
                          for r in range(MINHASH_R)]).alias("band_key"))
             for b in range(MINHASH_BANDS)])).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
-    bands = cap_hot_buckets(bands.persist(), ["band_id", "band_key"])
-    return s, bands
+    ).select("doc_id", "band.band_id", "band.band_key").persist()
+    bands = cap_hot_buckets(bands_raw, ["band_id", "band_key"])
+    return s, bands, [s, bands_raw]
 
 
 def _incremental_candidates(base_bands: DataFrame,
@@ -425,20 +433,41 @@ def dedup_lsh_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def neardup_probe_batch(batch_docs: DataFrame, index_bands: DataFrame,
                         index_shingles: DataFrame) -> tuple[
-                            DataFrame, DataFrame, DataFrame]:
+                            DataFrame, DataFrame, DataFrame,
+                            "Callable[[], None]"]:
     """One microbatch of the streaming near-dup filter: band the
     arriving docs, probe the accumulated index (all earlier-arrived
     docs), and verdict each arrival.
 
-    Returns (verdicts, batch_bands, batch_shingles) — the caller (a
+    Returns (verdicts, batch_bands, batch_shingles, release) — the
+    caller (a
     foreachBatch sink, tests/test_streaming.py) appends the latter two
     to the index so the NEXT batch probes everything seen so far; this
     function never rebuilds the index, which is the point of the
     incremental shape. Verdicts: (doc_id, dup_of, is_dup) — dup_of =
     smallest earlier near-dup (index doc or an earlier id in the same
     batch), NULL when the arrival is novel.
+
+    Cache contract (ADVICE r9): the banding subtree is PERSISTED (the
+    verdict job and the two index appends are three consumers); the
+    sink MUST call the returned ``release`` after its final write or a
+    long-running stream accumulates storage blocks per microbatch —
+    use ``neardup_probe_and_append``, which owns the whole
+    write-then-release sequence.
+
+    Cap-semantics divergence (ADVICE r9, documented by design):
+    ``cap_hot_buckets`` here caps band buckets PER MICROBATCH, while
+    ``stream_neardup_filter`` and its oracle cap over the full corpus.
+    A bucket that is hot globally but under the cap within every batch
+    yields extra candidates in the incremental run — harmless for
+    correctness (candidates are Jaccard-verified, so verdicts agree;
+    the pinned equality in tests/test_streaming.py holds because no
+    test bucket approaches the cap) but at 100 TB the incremental path
+    does strictly MORE candidate work on such buckets, not less. A
+    shared-cap variant would check accumulated index+batch counts per
+    bucket before probing.
     """
-    s_b, bands_b = _shingle_bands_from(batch_docs)
+    s_b, bands_b, caches = _shingle_bands_from(batch_docs)
     cand = _incremental_candidates(index_bands, bands_b)
     verified = _verify_pairs(cand, index_shingles.unionByName(s_b))
     matches = verified.groupBy("doc_b").agg(F.min("doc_a").alias("dup_of"))
@@ -446,7 +475,33 @@ def neardup_probe_batch(batch_docs: DataFrame, index_bands: DataFrame,
                 .join(matches, F.col("doc_id") == F.col("doc_b"), "left")
                 .select("doc_id", "dup_of",
                         F.col("dup_of").isNotNull().alias("is_dup")))
-    return verdicts, bands_b, s_b
+
+    def release() -> None:
+        for c in caches:
+            c.unpersist()
+
+    return verdicts, bands_b, s_b, release
+
+
+def neardup_probe_and_append(batch_docs: DataFrame, idx_bands_dir: str,
+                             idx_shingles_dir: str,
+                             verdict_dir: str) -> None:
+    """The complete foreachBatch body for dedup-on-ingest: probe the
+    parquet-backed band index with ``neardup_probe_batch``, append the
+    verdicts and the batch's bands/shingles, then RELEASE the per-batch
+    persisted frames — the deterministic unpersist a long-running
+    stream needs (ADVICE r9: without it every microbatch leaks two
+    storage-block sets for the lifetime of the query)."""
+    sess = batch_docs.sparkSession
+    verdicts, bands_b, s_b, release = neardup_probe_batch(
+        batch_docs, sess.read.parquet(idx_bands_dir),
+        sess.read.parquet(idx_shingles_dir))
+    try:
+        verdicts.write.mode("append").parquet(verdict_dir)
+        bands_b.write.mode("append").parquet(idx_bands_dir)
+        s_b.write.mode("append").parquet(idx_shingles_dir)
+    finally:
+        release()
 
 
 @register(

@@ -194,12 +194,22 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = (dists.groupBy("vec_id", "label", "s")
              .agg(F.expr("min_by(cent_id, struct(d2, cent_id))")
                   .alias("code")))
+    # qs/qcent aliases, not bare s/cent_id: codes and qtab share the
+    # `dists` lineage, so a codes["s"] == qtab["s"] condition initially
+    # references the SAME attribute on both sides. Self-join
+    # deduplication re-keys it correctly (results were always right),
+    # but the analyzer logs the "trivially true equals predicate
+    # 's == 's" warning for every execution — and distinct names keep
+    # the condition unambiguous if the lineage is ever refactored
+    # (VERDICT r9 #7).
     qtab = (dists.filter(F.col("vec_id") < N_QUERIES)
-            .select(F.col("vec_id").alias("query_id"), "s",
-                    "cent_id", F.col("d2").alias("qd2")))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("s").alias("qs"),
+                    F.col("cent_id").alias("qcent"),
+                    F.col("d2").alias("qd2")))
 
-    parts = (codes.join(qtab, (codes["s"] == qtab["s"])
-                        & (codes["code"] == qtab["cent_id"]))
+    parts = (codes.join(qtab, (codes["s"] == F.col("qs"))
+                        & (codes["code"] == F.col("qcent")))
              .filter(F.col("query_id") != F.col("vec_id"))
              .groupBy("query_id", F.col("vec_id").alias("candidate_id"),
                       "label")
@@ -376,9 +386,14 @@ def _ivfpq_build(spark: SparkSession, sf_dir: str):
     codes = (dists.groupBy("vec_id", "label", "s")
              .agg(F.expr("min_by(cent_id, struct(d2, cent_id))")
                   .alias("code")))
+    # qs/qcent, not s/cent_id: qtab shares the `dists` lineage with
+    # codes, and a same-attribute join condition degenerates to a
+    # trivially-true predicate (see sim_pq_topk)
     qtab = (dists.filter(F.col("vec_id") < N_QUERIES)
-            .select(F.col("vec_id").alias("query_id"), "s",
-                    "cent_id", F.col("d2").alias("qd2")))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("s").alias("qs"),
+                    F.col("cent_id").alias("qcent"),
+                    F.col("d2").alias("qd2")))
     return cell_of, probes, codes, qtab
 
 
@@ -429,8 +444,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         codes["vec_id"] == cand["candidate_id"])
              .join(F.broadcast(qtab),
                    (qtab["query_id"] == cand["query_id"])
-                   & (qtab["s"] == codes["s"])
-                   & (qtab["cent_id"] == codes["code"]))
+                   & (qtab["qs"] == codes["s"])
+                   & (qtab["qcent"] == codes["code"]))
              .groupBy(cand["query_id"], "candidate_id", "label")
              .agg(*[F.sum(F.when(codes["s"] == s, F.col("qd2")))
                     .alias(f"t{s}") for s in range(PQ_M)]))
@@ -495,8 +510,8 @@ def sim_ivfpq_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label", F.posexplode("codes").alias("cs", "ccode")))
     parts = (cand.join(F.broadcast(qtab),
                        (F.col("query_id") == F.col("cqid"))
-                       & (F.col("s") == F.col("cs"))
-                       & (F.col("cent_id") == F.col("ccode")))
+                       & (F.col("qs") == F.col("cs"))
+                       & (F.col("qcent") == F.col("ccode")))
              .groupBy("cqid", "candidate_id", "label")
              .agg(*[F.sum(F.when(F.col("cs") == s, F.col("qd2")))
                     .alias(f"t{s}") for s in range(PQ_M)])

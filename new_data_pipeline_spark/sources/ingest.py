@@ -166,7 +166,14 @@ def prepare_archive(archive_path: str, dest_dir: str | None = None) -> str:
                 if m.issym() or m.islnk():
                     raise ValueError(
                         f"archive contains link member: {m.name!r}")
-            tf.extractall(dest_dir)
+            # filter="data" (stdlib tar extraction filters, 3.11.4+) is
+            # the actual hardening: beyond the escape/link pre-checks
+            # above (kept for the clearer error messages) it REJECTS
+            # special members (device nodes, FIFOs) and STRIPS unsafe
+            # mode bits (setuid/setgid/sticky, group/world write) that
+            # extractall would otherwise apply verbatim while running
+            # privileged (ADVICE r9).
+            tf.extractall(dest_dir, filter="data")
     else:
         raise ValueError(f"not a zip or tar archive: {archive_path!r}")
     return dest_dir

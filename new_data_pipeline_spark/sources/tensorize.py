@@ -15,6 +15,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Persisted range-partitioned frames created by the prefix-sum devices
+# below (global_row_number / global_running_sum / grouped_running_sum).
+# The persist is CORRECTNESS-bearing, not a speed-up: repartitionByRange
+# samples boundaries per execution, so the collected offsets are only
+# valid against the cached physical partitioning — an auto-release (on
+# next call, or a weakref on the returned frame) could drop the cache
+# while a derived plan is still unconsumed and silently attach stale
+# offsets to re-sampled ranges. Release is therefore EXPLICIT: callers
+# (long-lived sessions, repeated-call loops) call release_range_caches()
+# once every frame derived from these devices has been consumed
+# (VERDICT r9 #5; bench.py's per-run clearCache() covers the bench).
+_RANGE_CACHES: list[DataFrame] = []
+
+
+def _track_range_cache(df: DataFrame) -> DataFrame:
+    _RANGE_CACHES.append(df)
+    return df
+
+
+def release_range_caches() -> int:
+    """Unpersist every range-cache the prefix-sum devices created and
+    return how many were released. Only call after all frames derived
+    from those devices have had their final action — the cache pins the
+    sampled range boundaries the collected offsets were computed
+    against (see _RANGE_CACHES)."""
+    n = 0
+    while _RANGE_CACHES:
+        df = _RANGE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped; nothing to release
+    return n
+
 
 def global_row_number(df: DataFrame, order_by: list[Column | str],
                       key_col: str = "key",
@@ -45,9 +80,10 @@ def global_row_number(df: DataFrame, order_by: list[Column | str],
     if num_ranges is None:
         num_ranges = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ranged = (df.repartitionByRange(num_ranges, *order_cols)
-                .withColumn("__pid", F.spark_partition_id())
-                .persist())
+    ranged = _track_range_cache(
+        df.repartitionByRange(num_ranges, *order_cols)
+          .withColumn("__pid", F.spark_partition_id())
+          .persist())
     counts = {r["__pid"]: r["cnt"] for r in
               ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
@@ -84,9 +120,10 @@ def global_running_sum(df: DataFrame, order_by: list[Column | str],
     if num_ranges is None:
         num_ranges = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ranged = (df.repartitionByRange(num_ranges, *order_cols)
-                .withColumn("__pid", F.spark_partition_id())
-                .persist())
+    ranged = _track_range_cache(
+        df.repartitionByRange(num_ranges, *order_cols)
+          .withColumn("__pid", F.spark_partition_id())
+          .persist())
     # this collect is the FIRST action on the persisted frame, so it
     # fills the cache before the windowed consumer — no cold-cache race
     sums = {r["__pid"]: r["s"] for r in
@@ -139,17 +176,24 @@ def grouped_running_sum(df: DataFrame, group_col: str,
     The ranged frame is persisted; the subtotal collect is the FIRST
     action on it, filling the cache before the windowed consumer (no
     cold-cache race) and pinning the range boundaries so offsets and
-    output observe the same physical partitioning. The cache is released
-    by Spark's LRU; callers needing deterministic release should
-    ``unpersist`` the returned frame's source after their final action.
+    output observe the same physical partitioning. Deterministic
+    release: ``release_range_caches()`` after the final consuming
+    action (VERDICT r9 #5 — never before, the cache pins the sampled
+    boundaries the offsets were computed against).
+
+    NULL groups are preserved (ADVICE r9): the offset attach is a
+    null-safe equi-join (``eqNullSafe``), matching the
+    ``SUM OVER (PARTITION BY g)`` semantics this device replaces —
+    a plain inner equi-join would silently drop every NULL-group row.
     """
     sess = df.sparkSession
     if num_ranges is None:
         num_ranges = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ranged = (df.repartitionByRange(num_ranges, F.col(group_col), *order_cols)
-                .withColumn("__pid", F.spark_partition_id())
-                .persist())
+    ranged = _track_range_cache(
+        df.repartitionByRange(num_ranges, F.col(group_col), *order_cols)
+          .withColumn("__pid", F.spark_partition_id())
+          .persist())
     sub = (ranged.groupBy("__pid", group_col)
            .agg(F.sum(value_col).alias("s")).collect())
     by_group: dict = {}
@@ -170,8 +214,11 @@ def grouped_running_sum(df: DataFrame, group_col: str,
     if total_col is not None:
         totals = sess.createDataFrame(
             [(g, int(t)) for g, t in group_totals.items()],
-            f"__g {g_type}, {total_col} bigint")
-        offsets = offsets.join(totals, "__g")
+            f"__tg {g_type}, {total_col} bigint")
+        # null-safe: a NULL group's grand total must attach too
+        offsets = (offsets.join(totals,
+                                F.col("__g").eqNullSafe(F.col("__tg")))
+                   .drop("__tg"))
     w = (Window.partitionBy("__pid", group_col).orderBy(*order_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(value_col).over(w)
@@ -180,7 +227,7 @@ def grouped_running_sum(df: DataFrame, group_col: str,
     return (ranged
             .join(F.broadcast(offsets),
                   (F.col("__pid") == F.col("__opid"))
-                  & (F.col(group_col) == F.col("__g")))
+                  & F.col(group_col).eqNullSafe(F.col("__g")))
             .withColumn(out_col, (cum + F.col("__off")).cast("bigint"))
             .drop("__pid", "__opid", "__g", "__off"))
 

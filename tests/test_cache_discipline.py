@@ -113,3 +113,49 @@ def test_eager_fill_call_sites_present():
         s = _source_of(fn)
         assert s.index(".persist()") < s.index(".collect()"), \
             f"{fn.__name__}: collect must follow persist (eager fill)"
+
+
+def test_range_caches_release_deterministically(spark):
+    """VERDICT r9 #5: the range+offset devices must not accumulate
+    persisted blocks across repeated calls in a long-lived session.
+    The release is EXPLICIT (release_range_caches after the final
+    consuming action) because the cache pins the sampled range
+    boundaries the collected offsets were computed against — an
+    auto-release could drop it under a still-unconsumed derived plan."""
+    from new_data_pipeline_spark import registry
+    from new_data_pipeline_spark.sources import tensorize
+
+    spark.catalog.clearCache()
+    tensorize.release_range_caches()
+    after_release: list[int] = []
+    for _ in range(3):
+        for q in ("agg_weighted_median", "corpus_token_shards"):
+            registry.QUERIES[q].fn(spark, SF_DIR) \
+                .write.mode("overwrite").format("noop").save()
+        # the handle the caller releases: after the consuming action,
+        # every device-created cache must go away
+        released = tensorize.release_range_caches()
+        assert released >= 1, "devices must register their range caches"
+        after_release.append(len(_persisted_infos(spark)))
+    assert after_release[-1] <= after_release[0], (
+        f"persisted blocks grew across repeated calls: {after_release}")
+    spark.catalog.clearCache()
+
+
+def test_release_range_caches_is_safe_before_and_after_consumption(spark):
+    """Releasing AFTER consumption must not change results on a
+    deterministic lineage; the tracker must also be idempotent."""
+    from new_data_pipeline_spark.sources.tensorize import (
+        grouped_running_sum, release_range_caches)
+
+    spark.catalog.clearCache()
+    release_range_caches()
+    df = spark.createDataFrame(
+        [(i % 2, i, i + 1) for i in range(50)], "g int, k int, v int")
+    out = grouped_running_sum(df, "g", ["k"], "v", num_ranges=3)
+    first = sorted(map(tuple, out.collect()))
+    assert release_range_caches() >= 1
+    assert release_range_caches() == 0  # idempotent
+    # deterministic lineage: recompute after release matches
+    assert sorted(map(tuple, out.collect())) == first
+    spark.catalog.clearCache()

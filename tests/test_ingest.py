@@ -220,3 +220,46 @@ def test_s2_s3_archive_prep_tar_and_slip_guard(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ingest.prepare_archive(str(evil), str(tmp_path / "dest2"))
+
+
+def test_tar_extraction_rejects_special_members_and_strips_modes(tmp_path):
+    """ADVICE r9: the data filter must reject special members (FIFOs,
+    device nodes) outright and strip dangerous mode bits (setuid,
+    world-writable) that a verbatim extractall would apply while
+    running privileged."""
+    import io
+    import os
+    import tarfile
+
+    # FIFO member → hard reject
+    fifo_tar = tmp_path / "fifo.tar"
+    with tarfile.open(fifo_tar, "w") as tf:
+        ti = tarfile.TarInfo("pipe")
+        ti.type = tarfile.FIFOTYPE
+        tf.addfile(ti)
+    with pytest.raises(tarfile.SpecialFileError):
+        ingest.prepare_archive(str(fifo_tar), str(tmp_path / "d1"))
+
+    # character-device member → hard reject
+    dev_tar = tmp_path / "dev.tar"
+    with tarfile.open(dev_tar, "w") as tf:
+        ti = tarfile.TarInfo("null")
+        ti.type = tarfile.CHRTYPE
+        ti.devmajor, ti.devminor = 1, 3
+        tf.addfile(ti)
+    with pytest.raises(tarfile.SpecialFileError):
+        ingest.prepare_archive(str(dev_tar), str(tmp_path / "d2"))
+
+    # setuid + world-writable regular file → extracted, bits stripped
+    mode_tar = tmp_path / "mode.tar"
+    payload = b"#!/bin/sh\n"
+    with tarfile.open(mode_tar, "w") as tf:
+        ti = tarfile.TarInfo("tool.sh")
+        ti.size = len(payload)
+        ti.mode = 0o4777  # setuid, world-writable
+        tf.addfile(ti, io.BytesIO(payload))
+    out = ingest.prepare_archive(str(mode_tar), str(tmp_path / "d3"))
+    mode = os.stat(os.path.join(out, "tool.sh")).st_mode
+    assert not (mode & 0o4000), "setuid bit must be stripped"
+    assert not (mode & 0o022), "group/world write must be stripped"
+    assert open(os.path.join(out, "tool.sh"), "rb").read() == payload

@@ -145,3 +145,29 @@ def test_grouped_running_sum_matches_per_group_window(spark):
         out.explain("formatted")
     plan = buf.getvalue().replace("#", "").replace("L", "")
     assert "windowspecdefinition(__pid" in plan or "__pid" in buf.getvalue()
+
+
+def test_grouped_running_sum_keeps_null_groups(spark):
+    """ADVICE r9: NULL-group rows must survive — the window semantics
+    this device replaces (SUM OVER (PARTITION BY g)) treats NULL as its
+    own partition, so the offset attach has to be a NULL-SAFE join (a
+    plain inner equi-join drops every NULL-group row)."""
+    from new_data_pipeline_spark.sources.tensorize import grouped_running_sum
+
+    rows = [(None if i % 4 == 0 else i % 3, i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "g int, k bigint, v bigint") \
+        .repartition(5)
+    out = grouped_running_sum(df, "g", ["k"], "v", out_col="cum",
+                              total_col="tot", num_ranges=4)
+    got = {(r["g"], r["k"]): (r["cum"], r["tot"]) for r in out.collect()}
+    assert len(got) == len(rows), "NULL-group rows were dropped"
+    # replay per group, NULL included
+    for g in (None, 0, 1, 2):
+        acc = 0
+        for gg, k, v in sorted((r for r in rows if r[0] == g),
+                               key=lambda r: r[1]):
+            acc += v
+            assert got[(g, k)][0] == acc, (g, k, got[(g, k)], acc)
+        for (gg, _), (_, tot) in got.items():
+            if gg == g:
+                assert tot == acc

@@ -311,19 +311,19 @@ def test_streaming_neardup_filter_matches_batch(spark, tmp_path):
 
     idx_bands_dir = str(tmp_path / "idx_bands")
     idx_shingles_dir = str(tmp_path / "idx_shingles")
-    s0, b0 = dedup._shingle_bands_from(base)
+    s0, b0, caches0 = dedup._shingle_bands_from(base)
     b0.write.mode("overwrite").parquet(idx_bands_dir)
     s0.write.mode("overwrite").parquet(idx_shingles_dir)
+    for c in caches0:
+        c.unpersist()
     out_dir = str(tmp_path / "verdicts")
+    base_rdd_count = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
     def probe(batch_df, _bid):
-        sess = batch_df.sparkSession
-        verdicts, bands_b, s_b = dedup.neardup_probe_batch(
-            batch_df, sess.read.parquet(idx_bands_dir),
-            sess.read.parquet(idx_shingles_dir))
-        verdicts.write.mode("append").parquet(out_dir)
-        bands_b.write.mode("append").parquet(idx_bands_dir)
-        s_b.write.mode("append").parquet(idx_shingles_dir)
+        # the complete probe+append+release microbatch body (ADVICE r9:
+        # the per-batch persisted frames must not outlive the batch)
+        dedup.neardup_probe_and_append(
+            batch_df, idx_bands_dir, idx_shingles_dir, out_dir)
 
     arrivals = tmp_path / "arrivals"
     arrivals.mkdir()
@@ -347,6 +347,13 @@ def test_streaming_neardup_filter_matches_batch(spark, tmp_path):
             q.processAllAvailable()  # batch i fully probed before i+1
     finally:
         q.stop()
+
+    # the release contract: after the stream drains, no per-batch
+    # storage blocks may remain (3 microbatches would have leaked 6)
+    leaked = (len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+              - base_rdd_count)
+    assert leaked <= 0, \
+        f"{leaked} per-batch persisted frame(s) outlived their microbatch"
 
     got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
     want = sorted(map(tuple,
