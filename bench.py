@@ -62,6 +62,17 @@ HEADLINE = (
     # BASELINE.md tracks the r4-comparable-22 subtotal separately
     "sim_ivfpq_topk",
     "cep_stream_funnel",
+    # round 10 (VERDICT r9 #6): round 9's compute-heaviest additions,
+    # previously invisible to round-over-round regression tracking —
+    # the trained NB classifier (train+inference aggregation pipeline),
+    # dedup-on-ingest (incremental LSH probe + verdict join), the
+    # persisted bucketed IVF probe (index build + shuffle-free probe),
+    # and the DOULION sampled census (the 100 TB triangle path);
+    # BASELINE.md tracks the comparable-24 subtotal separately
+    "text_nb_source_classifier",
+    "stream_neardup_filter",
+    "sim_ivf_bucketed_probe",
+    "graph_triangle_doulion",
 )
 
 

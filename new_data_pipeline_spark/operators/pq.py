@@ -108,9 +108,10 @@ _SQL_PART_COLS = ",\n             ".join(
 _SQL_ADC = " + ".join(f"t{s}" for s in range(PQ_M))
 
 
-@register(
-    "sim_pq_topk",
-    oracle=f"""
+# Shared by sim_pq_topk and sim_pq_bucketed_probe: persisting the code
+# table + codebook must not change WHAT any query retrieves, so both
+# gates carry the identical answer contract.
+_PQ_ORACLE = f"""
     WITH km AS (
       SELECT GREATEST(1, (COUNT(*) + {PQ_K_TARGET} - 1) // {PQ_K_TARGET})
                AS md
@@ -162,7 +163,12 @@ _SQL_ADC = " + ".join(f"t{s}" for s in range(PQ_M))
     SELECT query_id, candidate_id, label,
            round(adc, 4) AS adc_dist, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "sim_pq_topk",
+    oracle=_PQ_ORACLE,
     tags=("similarity", "pq", "approx"),
 )
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,4 +522,95 @@ def sim_ivfpq_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(*[F.sum(F.when(F.col("cs") == s, F.col("qd2")))
                     .alias(f"t{s}") for s in range(PQ_M)])
              .withColumnRenamed("cqid", "query_id"))
+    return _adc_rank(parts)
+
+
+@register(
+    "sim_pq_bucketed_probe",
+    # identical answer contract to sim_pq_topk: persisting the code
+    # table + codebook must not change WHAT any query retrieves
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "pq", "approx", "layout", "bucketing"),
+)
+def sim_pq_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-only index actually PERSISTED — VERDICT r9 #4, the last
+    ANN family member that was still rebuilding its codebook + codes
+    per query. Two catalog tables, written once per corpus version:
+
+    - ``ndp_b_pqcb_*`` — the codebook (M·K subvector centroids, a few
+      thousand rows);
+    - ``ndp_b_pqidx_*`` — the code table, ONE row per corpus vector
+      (candidate_id, label, codes[M]) bucketed by ``candidate_id``.
+
+    Probe path touches NO corpus vectors: the queries' subvectors come
+    off a vec_id-pruned embeddings scan, join the broadcast codebook
+    into the ADC distance table, and the code table posexplodes into
+    (s, code) pairs that join the broadcast table. The per-candidate
+    partial-sum aggregation groups by (query_id, candidate_id, label) —
+    HashPartitioning(candidate_id) from the bucketed scan satisfies
+    that clustered distribution (posexplode and broadcast joins
+    preserve it), so the index side aggregates SHUFFLE-FREE; only the
+    final top-k window exchanges the tiny ranked candidate set
+    (no-Exchange-below-the-aggregate asserted in
+    tests/test_physical.py). This is what PQ looks like at 100 TB: the
+    16-byte code rows are the on-disk index, the flat vectors are only
+    read to answer the queries themselves.
+
+    Same persist-before-bucketed-write lesson as
+    ``sim_ivfpq_bucketed_probe``: bucketBy writes re-execute the
+    N·M·K encode subtree without adaptive re-planning, so the index
+    rows are cached and eagerly filled before ``saveAsTable``.
+    """
+    import hashlib
+
+    from new_data_pipeline_spark.plans import physical
+    from new_data_pipeline_spark.plans.layout_queries import (
+        _sweep_stale_bucketed)
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    mod = codebook_mod(emb.count())
+    res = PQ_CENT_RESIDUE % mod
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl_cb, tbl_idx = f"ndp_b_pqcb_{h}", f"ndp_b_pqidx_{h}"
+    _sweep_stale_bucketed(spark, keep={tbl_cb}, prefixes=("ndp_b_pqcb_",))
+    _sweep_stale_bucketed(spark, keep={tbl_idx}, prefixes=("ndp_b_pqidx_",))
+
+    # ---- index build (once per corpus version) ----
+    cb_rows = (_subspaces(emb.filter(F.col("vec_id") % mod == res),
+                          "cent_id")
+               .select("cent_id", "s", F.col("sub").alias("cent_sub")))
+    physical.write_bucketed(cb_rows, tbl_cb, "s", n_buckets=4)
+    cb = spark.table(tbl_cb)
+    dists = (_subspaces(emb, "vec_id").join(F.broadcast(cb), "s")
+             .withColumn("d2", F.expr(_D2)))
+    codes = (dists.groupBy("vec_id", "label", "s")
+             .agg(F.expr("min_by(cent_id, struct(d2, cent_id))")
+                  .alias("code")))
+    idx_rows = (codes.groupBy("vec_id", "label")
+                .agg(F.array_sort(F.collect_list(F.struct("s", "code")))
+                     .alias("sc"))
+                .select(F.col("vec_id").alias("candidate_id"), "label",
+                        F.expr("transform(sc, x -> x.code)").alias("codes")))
+    idx_rows = idx_rows.persist()
+    idx_rows.count()  # eager fill BEFORE the bucketed write (see above)
+    physical.write_bucketed(idx_rows, tbl_idx, "candidate_id")
+    idx_rows.unpersist()
+
+    # ---- probe (corpus-scan-free) ----
+    qtab = (_subspaces(emb.filter(F.col("vec_id") < N_QUERIES),
+                       "query_id")
+            .join(F.broadcast(cb), "s")
+            .withColumn("d2", F.expr(_D2))
+            .select("query_id", F.col("s").alias("qs"),
+                    F.col("cent_id").alias("qcent"),
+                    F.col("d2").alias("qd2")))
+    cand = spark.table(tbl_idx).select(
+        "candidate_id", "label", F.posexplode("codes").alias("cs", "ccode"))
+    parts = (cand.join(F.broadcast(qtab),
+                       (F.col("qs") == F.col("cs"))
+                       & (F.col("qcent") == F.col("ccode")))
+             .filter(F.col("query_id") != F.col("candidate_id"))
+             .groupBy("query_id", "candidate_id", "label")
+             .agg(*[F.sum(F.when(F.col("cs") == s, F.col("qd2")))
+                    .alias(f"t{s}") for s in range(PQ_M)]))
     return _adc_rank(parts)

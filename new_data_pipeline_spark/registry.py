@@ -80,83 +80,60 @@ QUERIES: dict[str, QuerySpec] = {}
 # stream_interval_join, join_asof_event_streams,
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
-# Round-9 window (re-aimed per VERDICT r8 #3). Composition:
-# - slots 1-7: every query ADDED or CHANGED in round 9 — the DOULION
-#   sampled triangle estimator and the bucketed-persisted IVF probe
-#   (new), the weighted median's per-group range+offset prefix-sum
-#   rewrite, the refactored exact census (shared counter + automatic
-#   broadcast fallback), the token sharder's exact integer DIV, the
-#   ndpdatum manifest rework (append merge + bloom cache/deflate), and
-#   the IVF refactor shared by both probes;
-# - backfill: the longest-unexposed rotation — ALL 17 remaining
-#   round-2-graded sampling/profile/text/multimodal slots, then ALL 22
-#   round-3-graded slots, then the leading round-5-graded slots that
-#   still fit the 50-query window (the bounded-error approx pair +
-#   exact mode). Round 10 should re-seat the remaining ~13 r5 slots
-#   first; after that every registered query will have been re-exposed
-#   within 4 rounds.
-# Released this round (all r8-green, all still re-verified every run
-# by the local full-registry replay): the r8-additions/changes block
-# and the full round-1 relational/join/window/setop rotation.
+# Round-10 window (re-aimed per VERDICT r9 #1). Composition:
+# - slots 1-2: the queries ADDED in round 10 — the persisted PQ-only
+#   index probe (VERDICT r9 #4) and the size-gated census→DOULION
+#   dispatcher (VERDICT r9 #3);
+# - slots 3-19: EVERY query whose code path changed in round 10, per
+#   the every-changed-query rule (ADVICE r9 flagged r9's omissions) —
+#   output-identical refactors included, because "output-identical"
+#   is exactly the claim the gate exists to check: the PQ/IVF-PQ qtab
+#   re-aliasing (sim_pq_topk, sim_ivfpq_topk, sim_ivfpq_bucketed_
+#   probe), the null-safe + cache-tracked range devices and everything
+#   built on them (agg_weighted_median, corpus_token_shards,
+#   curriculum_rank_global, text_bow_vectorize, window_rank_dense_
+#   ntile, window_pct_cume_nth, ingest_key_assignment, ingest_batch_
+#   assignment, ingest_binding_join), and the _shingle_bands 3-tuple
+#   refactor (dedup_minhash_lsh, dedup_incremental_lsh,
+#   dedup_lsh_bucketed_probe, dedup_cluster_components,
+#   stream_neardup_filter);
+# - slots 20-34: ALL 15 remaining round-5-graded slots — with these
+#   seated, every registered query has been driver-re-exposed within
+#   the last 4 rounds for the first time (the registry's stated
+#   target);
+# - slots 35-50: backfill from the now-oldest (round-6-graded) block,
+#   regeneration-sensitive first: the streaming/timestamp family,
+#   temporal joins, sessionization, the heavy dedup/curation
+#   pipelines.
+# Released this round (all r9-green, all still re-verified every run
+# by the local full-registry replay): the r9-additions block
+# (graph_triangle_doulion, sim_ivf_bucketed_probe,
+# text_nb_source_classifier, ...) and the round-2/round-3 rotation.
+# Round 11 should seat the ~31 remaining r6-graded slots next
+# (TPC-H q4-q22 variants, agg cube/pivot family, flagship/pricing).
 GATE_PRIORITY: tuple[str, ...] = (
-    # ---- added in round 9 ----
-    "graph_triangle_doulion",
-    "sim_ivf_bucketed_probe",
+    # ---- added in round 10 ----
+    "sim_pq_bucketed_probe",
+    "graph_triangle_census_auto",
+    # ---- changed in round 10 ----
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
     "sim_ivfpq_bucketed_probe",
-    "stream_neardup_filter",
-    "text_nb_source_classifier",
-    # ---- changed in round 9 ----
     "agg_weighted_median",
-    "graph_triangle_stats",
     "corpus_token_shards",
-    "ingest_datum_source_scan",
-    "sim_ivf_topk",
-    # ---- rotation: the full remaining round-2 block (oldest greens) ----
-    "corpus_pack_sequences",
-    "multimodal_decode_stats",
-    "multimodal_metadata_stats",
-    "profile_table_quality",
-    "sample_stratified_hash",
-    "sample_weighted_hash",
-    "scalar_string_funcs",
-    "split_leakage_check",
-    "split_train_test",
-    "subquery_correlated_exists",
-    "subquery_in",
+    "curriculum_rank_global",
     "text_bow_vectorize",
-    "text_fingerprint",
-    "text_heavy_hitters",
-    "text_langid",
-    "text_term_stats",
-    "unpivot_stack",
-    # ---- rotation: the full round-3 block ----
-    "agg_bitwise_bool",
-    "agg_corr_regression",
-    "agg_exact_quantiles",
-    "cumulative_unique_users",
-    "date_format_strings",
-    "entity_resolution_parts",
-    "join_fuzzy_qgram",
-    "join_salted_skew",
-    "mix_temperature_weights",
-    "multimodal_audio_stats",
-    "profile_referential_integrity",
-    "profile_value_histogram",
-    "regex_surface",
-    "scalar_json_struct_agg",
-    "split_kfold_assign",
-    "string_agg_ordered",
-    "subquery_scalar",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_tfidf",
-    "text_token_counts",
-    "text_top_bigrams",
-    # ---- rotation: round-5 block, part 1 of 2 ----
-    "agg_approx_distinct",
-    # ---- first-50 window boundary: "agg_approx_distinct" is slot 50
-    # (5 added + 5 changed + 17 r2 + 22 r3 + 1); everything below is
-    # OUTSIDE the graded window this round ----
+    "window_rank_dense_ntile",
+    "window_pct_cume_nth",
+    "ingest_key_assignment",
+    "ingest_batch_assignment",
+    "ingest_binding_join",
+    "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
+    "dedup_lsh_bucketed_probe",
+    "dedup_cluster_components",
+    "stream_neardup_filter",
+    # ---- rotation: the full remaining round-5 block ----
     "agg_percentile_approx",
     "agg_exact_mode",
     "corpus_source_policy",
@@ -172,6 +149,34 @@ GATE_PRIORITY: tuple[str, ...] = (
     "sample_reservoir_pergroup",
     "text_hashing_vectorize",
     "text_model_quality_filter",
+    # ---- rotation: round-6 block, regeneration-sensitive first ----
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_interval_join",
+    "stream_dedup_keep_first",
+    "join_asof_event_streams",
+    "join_temporal_pointintime",
+    "events_pattern_skip_match",
+    "sessionize_lag",
+    "event_path_trigrams",
+    "retention_cohorts",
+    "active_users_rolling",
+    "anomaly_event_rate",
+    "corpus_e2e_curation",
+    "text_contamination_ngrams",
+    "dedup_apply_minhash",
+    "dedup_simhash",
+    # ---- first-50 window boundary: "dedup_simhash" is slot 50
+    # (2 added + 17 changed + 15 r5 + 16 r6); everything below is
+    # OUTSIDE the graded window this round ----
+    "dedup_embedding_cosine",
+    "dedup_exact_substrings",
+    "sim_bruteforce_topk",
+    "agg_collect_sorted",
+    "array_higher_order",
+    "scalar_array_funcs",
+    "struct_funcs",
+    "lateral_explode",
     # earlier-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.
 )

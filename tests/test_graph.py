@@ -93,3 +93,39 @@ def test_doulion_estimate_scales_sampled_count(spark):
         h = hashlib.md5(f"{r['u']}_{r['v']}".encode()).hexdigest()[:2]
         kept += h < "40"
     assert kept == row["n_edges_kept"]
+
+
+def test_census_auto_dispatcher_pins_both_branches(spark):
+    """VERDICT r9 #3: the size-gated dispatcher must run the EXACT
+    census below the lineitem-count threshold and the DOULION estimate
+    above it, each bit-equal to the standalone gate it dispatches to,
+    and the registered default must replay the oracle's CASE branch
+    (lineitem-count gate, not a graph stat — deciding must not cost a
+    graph build)."""
+    from new_data_pipeline_spark.operators.graph import (
+        CENSUS_EXACT_LI_MAX, graph_triangle_census_auto,
+        graph_triangle_doulion, graph_triangle_stats)
+    from new_data_pipeline_spark import catalog
+
+    n_li = catalog.load(spark, SF_DIR, "lineitem").count()
+
+    # forced-exact branch
+    row = graph_triangle_census_auto(spark, SF_DIR,
+                                     exact_max=10**12).collect()[0]
+    want_exact = graph_triangle_stats(spark, SF_DIR).collect()[0]
+    assert row["method"] == "exact"
+    assert row["n_lineitem"] == n_li
+    assert row["est_triangles"] == want_exact["n_triangles"]
+
+    # forced-doulion branch
+    row = graph_triangle_census_auto(spark, SF_DIR,
+                                     exact_max=0).collect()[0]
+    want_est = graph_triangle_doulion(spark, SF_DIR).collect()[0]
+    assert row["method"] == "doulion"
+    assert row["est_triangles"] == want_est["est_triangles"]
+
+    # the registered default takes the branch the oracle's CASE takes
+    got = graph_triangle_census_auto(spark, SF_DIR).collect()[0]
+    want_method = "exact" if n_li <= CENSUS_EXACT_LI_MAX else "doulion"
+    assert got["method"] == want_method
+    spark.catalog.clearCache()

@@ -386,3 +386,45 @@ def test_sweep_stale_bucketed_age_gate(spark, tmp_path):
         import shutil
         shutil.rmtree(fresh, ignore_errors=True)
         shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_pq_index_probe_aggregates_shuffle_free(spark):
+    """sim_pq_bucketed_probe (VERDICT r9 #4): the persisted PQ code
+    table (one row per vector, bucketed by candidate_id) must be read
+    bucket-aware, and NO exchange may sit between its scan and the
+    per-candidate partial-sum aggregation — HashPartitioning
+    (candidate_id) satisfies the groupBy(query_id, candidate_id, label)
+    clustered distribution through the posexplode and the broadcast
+    ADC-table join. Only the final top-k window (tiny ranked candidate
+    set) may shuffle, which is ABOVE the final HashAggregate."""
+    from new_data_pipeline_spark.operators import pq
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = pq.sim_pq_bucketed_probe(spark, SF_DIR)
+        plan = _plan(df)
+        assert "Bucketed: true" in plan, \
+            "PQ code-table scan must be bucket-aware"
+        tree = plan.split("\n\n", 1)[0].splitlines()
+        idx = next(i for i, l in enumerate(tree) if "ndp_b_pqidx" in l)
+
+        def indent(line):
+            return len(line) - len(line.lstrip(" :+-"))
+
+        cur = indent(tree[idx])
+        aggs_seen = 0
+        for j in range(idx - 1, -1, -1):
+            ind = indent(tree[j])
+            if ind < cur:
+                cur = ind
+                assert "Exchange" not in tree[j], \
+                    f"exchange below the per-candidate aggregate: {tree[j]}"
+                if "HashAggregate" in tree[j]:
+                    aggs_seen += 1
+                    if aggs_seen == 2:  # partial + final — stop here
+                        break
+        assert aggs_seen == 2, \
+            "expected partial+final HashAggregate above the index scan"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
