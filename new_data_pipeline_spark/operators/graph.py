@@ -501,3 +501,128 @@ def graph_triangle_census_auto(spark: SparkSession, sf_dir: str,
         F.lit("doulion").alias("method"),
         F.lit(n_li).cast("bigint").alias("n_lineitem"),
         F.col("est_triangles"))
+
+
+# k-core peeling parameters: remove nodes of degree < k, drop edges
+# touching them, repeat for KCORE_ROUNDS rounds. Fixed-round peeling
+# (not iterate-to-fixpoint) is the same determinism device as
+# pagerank's ITERATIONS=5: both engines replay the exact same number
+# of rounds, so the oracle is a chain of generated CTEs. k is COUNT-
+# DERIVED — k = ⌈7/8 · initial average degree⌉ = (14·E + 8·N − 1)
+# DIV (8·N) — because any fixed k degenerates as scale moves (k=4
+# peeled NOTHING at sf0.01 where the co-purchase average degree is
+# ~115, and a fixed 116 would vaporize a sparser graph). The 7/8
+# fraction is measured, not aesthetic: at exactly avg the homogeneous
+# co-purchase graph collapses in one round (115729 → 1 edge), while
+# 7/8·avg peels through THREE shrinking rounds at both sf0.01
+# (115729 → 71875 → 14250 → 0) and sf0.1 (1.196M → 743k → 158k → 0) —
+# real multi-round peeling for the gate to verify. The integer
+# ceil-division replays exactly as the oracle's scalar subquery (the
+# codebook_mod device, operators/pq.py:59). Each round is one map-combinable
+# degree aggregate plus two semi-joins — O(rounds · E), rounds
+# bounding the tail the way MAX_CC_ITERS bounds label propagation.
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    # every CTE is MATERIALIZED: each round references the previous
+    # round ~5 times, and DuckDB inlines plain CTEs per reference —
+    # the un-materialized chain re-evaluated the lineitem self-join
+    # exponentially and died on file handles (the SQL twin of the
+    # Spark-side localCheckpoint-vs-persist lesson in the docstring)
+    ctes = ["""e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )""", """kk AS MATERIALIZED (
+      SELECT (14 * (SELECT COUNT(*) FROM e0)
+              + 8 * (SELECT COUNT(DISTINCT node) FROM (
+                   SELECT u AS node FROM e0
+                   UNION ALL SELECT v AS node FROM e0)) - 1)
+             // (8 * (SELECT COUNT(DISTINCT node) FROM (
+                   SELECT u AS node FROM e0
+                   UNION ALL SELECT v AS node FROM e0))) AS k
+    )"""]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(f"""d{p} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT u AS node FROM e{p} UNION ALL SELECT v AS node FROM e{p})
+      GROUP BY node
+    )""")
+        ctes.append(f"""k{p} AS MATERIALIZED (
+      SELECT node FROM d{p} WHERE d >= (SELECT k FROM kk)
+    )""")
+        ctes.append(f"""e{r} AS MATERIALIZED (
+      SELECT u, v FROM e{p}
+      WHERE u IN (SELECT node FROM k{p})
+        AND v IN (SELECT node FROM k{p})
+    )""")
+    selects = [f"""
+    SELECT {r} AS round,
+           CAST((SELECT COUNT(DISTINCT node) FROM (
+                 SELECT u AS node FROM e{r}
+                 UNION ALL SELECT v AS node FROM e{r})) AS BIGINT)
+             AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT) AS n_edges"""
+               for r in range(1, KCORE_ROUNDS + 1)]
+    return "WITH " + ",\n    ".join(ctes) + "\n" + \
+        "\n    UNION ALL".join(selects)
+
+
+@register(
+    "graph_kcore_peeling",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "iterative"),
+)
+def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling of the part co-purchase graph (Matula & Beck's
+    peeling algorithm, bounded rounds): each round removes every node
+    whose CURRENT degree is below KCORE_K and all edges touching one,
+    emitting (round, n_nodes, n_edges) per round — the per-round
+    shrink trace a curation pipeline uses to pick a cohesion threshold
+    (the k-core is the classic "dense interaction subgraph" extractor).
+
+    Scale: per round one map-combinable degree aggregate + two
+    LEFT SEMI joins against the (small, shrinking) kept-node set; the
+    per-round edge frame is ``localCheckpoint(eager=True)``-ed, NOT
+    merely persisted — each round references the previous frame ~5
+    times (two degree branches, two semi-join probes, the count), so
+    a persist-only loop keeps execution linear but grows the LOGICAL
+    plan ~5^rounds (measured: the 6-round plan string hit Catalyst's
+    2 GB cap); the checkpoint truncates lineage so analysis stays
+    O(rounds). Checkpoint blocks are session-scoped — the audit
+    harness GCs per query (tools/scale_audit.py), the same discipline
+    every iterative operator here follows. Convergence within
+    KCORE_ROUNDS on the fixture is pinned by a test; the fixed round
+    budget is what makes the trace oracle-replayable.
+    """
+    cur = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    n_e = cur.count()
+    n_n = (cur.select(F.col("u").alias("x"))
+           .unionAll(cur.select(F.col("v").alias("x")))
+           .agg(F.countDistinct("x")).first()[0]) or 1
+    k = (14 * n_e + 8 * n_n - 1) // (8 * n_n)  # ceil(7/8·avg), see above
+    rows = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (cur.select(F.col("u").alias("node"))
+               .unionAll(cur.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.filter(F.col("d") >= k).select("node")
+        nxt = (cur.join(keep.withColumnRenamed("node", "u"), "u",
+                        "left_semi")
+               .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+               .select("u", "v").localCheckpoint(eager=True))
+        nodes = (nxt.select(F.col("u").alias("x"))
+                 .unionAll(nxt.select(F.col("v").alias("x")))
+                 .agg(F.countDistinct("x").alias("n_nodes")))
+        edges = nxt.agg(F.count(F.lit(1)).alias("n_edges"))
+        rows.append(edges.crossJoin(nodes).select(
+            F.lit(r).alias("round"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges")))
+        cur = nxt
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionAll(fr)
+    return out

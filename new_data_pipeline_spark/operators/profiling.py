@@ -728,3 +728,65 @@ def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     benford.alias("benford_share"),
                     F.round(F.abs(F.col("n").cast("double") / F.col("t")
                                   - benford), 6).alias("abs_deviation")))
+
+
+@register(
+    "profile_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rn
+      FROM rev
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(rn * rev) AS wsum, SUM(rev) AS tot
+      FROM ranked
+    )
+    SELECT n_customers,
+           CAST(tot AS DOUBLE) AS total_revenue,
+           ROUND(2.0 * CAST(wsum AS DOUBLE)
+                 / (n_customers * CAST(tot AS DOUBLE))
+                 - (n_customers + 1.0) / n_customers, 6) AS gini
+    FROM agg
+    """,
+    tags=("profile", "inequality", "concentration"),
+)
+def profile_gini_concentration(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    screen a corpus curator runs per source/domain (is 1% of customers
+    — or crawl hosts — most of the mass?): G = 2·Σ(i·xᵢ)/(n·Σx) −
+    (n+1)/n over revenues sorted ascending, rank ties broken by
+    customer key so both engines rank identically (tied revenues
+    contribute the same Σ i·xᵢ under any tie order anyway).
+
+    Scale: the global rank comes from the range-partition + offset
+    device (``tensorize.global_row_number``) — never a single-task
+    ``ROW_NUMBER() OVER (ORDER BY …)``; per-customer sums are exact
+    DECIMAL(18,2) (no float reduction-order drift), the rank-weighted
+    sum is decimal·bigint (still exact), and doubles appear only in
+    the final scalar division — identical IEEE ops on identical exact
+    inputs, so the 6-dp round hash-gates.
+    """
+    from new_data_pipeline_spark.sources.tensorize import global_row_number
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("rev")))
+    ranked, _ = global_row_number(
+        rev, [F.col("rev").asc(), F.col("o_custkey").asc()], "__rn")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("__rn") * F.col("rev")).alias("wsum"),
+        F.sum("rev").alias("tot"))
+    n = F.col("n_customers").cast("double")
+    return agg.select(
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("tot").cast("double").alias("total_revenue"),
+        F.round(F.lit(2.0) * F.col("wsum").cast("double")
+                / (n * F.col("tot").cast("double"))
+                - (n + F.lit(1.0)) / n, 6).alias("gini"))

@@ -81,30 +81,31 @@ QUERIES: dict[str, QuerySpec] = {}
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
 # Round-10 window (re-aimed per VERDICT r9 #1). Composition:
-# - slots 1-2: the queries ADDED in round 10 — the persisted PQ-only
-#   index probe (VERDICT r9 #4) and the size-gated census→DOULION
-#   dispatcher (VERDICT r9 #3);
-# - slots 3-19: EVERY query whose code path changed in round 10, per
+# - slots 1-5: the queries ADDED in round 10 — the persisted PQ-only
+#   index probe (VERDICT r9 #4), the size-gated census→DOULION
+#   dispatcher (VERDICT r9 #3), k-core peeling, the containment join,
+#   and the Gini concentration profile;
+# - slots 6-23: EVERY query whose code path changed in round 10, per
 #   the every-changed-query rule (ADVICE r9 flagged r9's omissions) —
 #   output-identical refactors included, because "output-identical"
-#   is exactly the claim the gate exists to check: the PQ/IVF-PQ qtab
-#   re-aliasing (sim_pq_topk, sim_ivfpq_topk, sim_ivfpq_bucketed_
-#   probe), the null-safe + cache-tracked range devices and everything
-#   built on them (agg_weighted_median, corpus_token_shards,
+#   is exactly the claim the gate exists to check: the prefix join's
+#   new lossless length filter, the PQ/IVF-PQ qtab re-aliasing
+#   (sim_pq_topk, sim_ivfpq_topk, sim_ivfpq_bucketed_probe), the
+#   null-safe + cache-tracked range devices and everything built on
+#   them (agg_weighted_median, corpus_token_shards,
 #   curriculum_rank_global, text_bow_vectorize, window_rank_dense_
 #   ntile, window_pct_cume_nth, ingest_key_assignment, ingest_batch_
 #   assignment, ingest_binding_join), and the _shingle_bands 3-tuple
 #   refactor (dedup_minhash_lsh, dedup_incremental_lsh,
 #   dedup_lsh_bucketed_probe, dedup_cluster_components,
 #   stream_neardup_filter);
-# - slots 20-34: ALL 15 remaining round-5-graded slots — with these
+# - slots 24-38: ALL 15 remaining round-5-graded slots — with these
 #   seated, every registered query has been driver-re-exposed within
 #   the last 4 rounds for the first time (the registry's stated
 #   target);
-# - slots 35-50: backfill from the now-oldest (round-6-graded) block,
+# - slots 39-50: backfill from the now-oldest (round-6-graded) block,
 #   regeneration-sensitive first: the streaming/timestamp family,
-#   temporal joins, sessionization, the heavy dedup/curation
-#   pipelines.
+#   temporal joins, sessionization, event analytics.
 # Released this round (all r9-green, all still re-verified every run
 # by the local full-registry replay): the r9-additions block
 # (graph_triangle_doulion, sim_ivf_bucketed_probe,
@@ -115,7 +116,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # ---- added in round 10 ----
     "sim_pq_bucketed_probe",
     "graph_triangle_census_auto",
+    "graph_kcore_peeling",
+    "join_set_containment",
+    "profile_gini_concentration",
     # ---- changed in round 10 ----
+    "join_set_similarity_prefix",
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "sim_ivfpq_bucketed_probe",
@@ -162,13 +167,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "retention_cohorts",
     "active_users_rolling",
     "anomaly_event_rate",
+    # ---- first-50 window boundary: "anomaly_event_rate" is slot 50
+    # (5 added + 18 changed + 15 r5 + 12 r6); everything below is
+    # OUTSIDE the graded window this round ----
     "corpus_e2e_curation",
     "text_contamination_ngrams",
     "dedup_apply_minhash",
     "dedup_simhash",
-    # ---- first-50 window boundary: "dedup_simhash" is slot 50
-    # (2 added + 17 changed + 15 r5 + 16 r6); everything below is
-    # OUTSIDE the graded window this round ----
     "dedup_embedding_cosine",
     "dedup_exact_substrings",
     "sim_bruteforce_topk",

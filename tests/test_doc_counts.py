@@ -59,3 +59,20 @@ def test_readme_test_count_matches_collection():
     assert cm, f"could not parse collection output: {out.stdout[-200:]}"
     assert int(m.group(1)) == int(cm.group(1)), (
         f"README cites {m.group(1)} tests; pytest collects {cm.group(1)}")
+
+
+def test_baseline_snapshot_counts_are_current_or_round_scoped():
+    """VERDICT r9 #8: historical BASELINE.md sections must not carry
+    "N/N oracles"-style counts that read as CURRENT state. Every such
+    count must either equal the live registry size or sit on a line
+    that names the round it snapshots (e.g. "(the r8 registry)")."""
+    n = _registered()
+    text = open("/root/repo/BASELINE.md").read()
+    for line in text.splitlines():
+        for m in re.finditer(r"(\d+)/(\d+) (?:oracles?|queries)", line):
+            a, b = int(m.group(1)), int(m.group(2))
+            if a == b == n:
+                continue
+            assert re.search(r"\br(?:ound[- ])?\d+\b|\bas of\b", line), (
+                f"undated stale count in BASELINE.md: {line.strip()!r} "
+                f"(registry has {n}; date-scope the line or update it)")

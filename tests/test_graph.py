@@ -129,3 +129,37 @@ def test_census_auto_dispatcher_pins_both_branches(spark):
     want_method = "exact" if n_li <= CENSUS_EXACT_LI_MAX else "doulion"
     assert got["method"] == want_method
     spark.catalog.clearCache()
+
+
+def test_kcore_peeling_matches_driver_replay_and_converges(spark):
+    """The fixed-round peel trace must (a) equal a driver-side replay
+    of Matula-Beck peeling at the same count-derived k, (b) actually
+    REMOVE something (a static trace would gate nothing), and (c)
+    converge within the round budget (last two rounds equal) — the
+    promise the fixed-round determinism device rests on."""
+    from collections import Counter
+
+    from new_data_pipeline_spark.operators.graph import (
+        _copurchase_edges, graph_kcore_peeling)
+
+    got = [(r["round"], r["n_nodes"], r["n_edges"])
+           for r in graph_kcore_peeling(spark, SF_DIR).collect()]
+    got.sort()
+    edges = [(r["u"], r["v"])
+             for r in _copurchase_edges(spark, SF_DIR).collect()]
+    n_e, n_n = len(edges), len({x for e in edges for x in e})
+    k = (14 * n_e + 8 * n_n - 1) // (8 * n_n)
+    cur, want = edges, []
+    for rnd in range(1, len(got) + 1):
+        deg = Counter()
+        for u, v in cur:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        cur = [(u, v) for u, v in cur if u in keep and v in keep]
+        want.append((rnd, len({x for e in cur for x in e}), len(cur)))
+    assert got == want
+    assert got[0][2] < n_e, "round 1 must peel something"
+    assert got[-1] [1:] == got[-2][1:], \
+        "peeling must converge within the round budget"
+    spark.catalog.clearCache()
