@@ -308,11 +308,17 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = sig.filter(
         F.col("n_tok").between(10, 1000)
         & (F.col("n_distinct").cast("double") / F.col("n_tok") >= 0.3))
+    # kfp alias, not a bare fingerprint==fingerprint: keeper shares
+    # kept's lineage, so the same-name condition references one
+    # attribute and logs the "trivially true equals predicate" warning
+    # every run (self-join dedup re-keyed it correctly; the alias keeps
+    # the condition unambiguous — the sim_pq_topk lesson, VERDICT r9 #7)
     keeper = (kept.groupBy("fingerprint")
-              .agg(F.min("doc_id").alias("keeper_id")))
+              .agg(F.min("doc_id").alias("keeper_id"))
+              .select(F.col("fingerprint").alias("kfp"), "keeper_id"))
     dedup = kept.join(keeper,
-                      (kept["fingerprint"] == keeper["fingerprint"])
-                      & (kept["doc_id"] == keeper["keeper_id"])).select(kept["*"])
+                      (F.col("fingerprint") == F.col("kfp"))
+                      & (F.col("doc_id") == F.col("keeper_id"))).select(kept["*"])
     return (dedup
             .groupBy(assign_split("doc_id").alias("split"), "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),

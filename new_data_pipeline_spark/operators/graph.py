@@ -38,7 +38,7 @@ Reference analog: none — the reference has no graph surface; SURVEY.md
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from new_data_pipeline_spark import catalog
@@ -626,3 +626,115 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in rows[1:]:
         out = out.unionAll(fr)
     return out
+
+
+# Link-prediction parameters: common-neighbor scoring is computed PER
+# QUERY NODE (the LP_N_QUERIES smallest node ids — deterministic, one
+# ORDER BY node LIMIT both engines replay), NOT all-pairs. All-pairs
+# common-neighbor counting is inherently Σd² with a pair-cardinality
+# output that grows ~quadratically in density — the first 10× oracle
+# drive OOM'd a 1 GB driver on ~140M candidate rows. Per-query is also
+# the shape production link prediction actually runs (recommendations
+# are served per user, not as a global pair table): per query the
+# candidate stream is |Γ(q)|·cap ≤ LP_HUB_CAP² rows, independent of
+# corpus size. The hub cap on CENTER degree is principled, not just
+# cheap — a 10k-degree hub's co-occurrence says nothing about q-v
+# affinity (the stop-word of graphs; Adamic-Adar exists to down-weight
+# exactly these centers) — and the oracle replays it bit-exactly.
+# Scoring degrees stay UNCAPPED exact values.
+LP_HUB_CAP = 256
+LP_TOP_K = 5
+LP_N_QUERIES = 16
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS MATERIALIZED (
+      SELECT u AS w, v AS n FROM e UNION ALL SELECT v AS w, u AS n FROM e
+    ), deg AS MATERIALIZED (
+      SELECT w AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY w
+    ), qn AS MATERIALIZED (
+      SELECT node FROM deg ORDER BY node LIMIT {LP_N_QUERIES}
+    ), qadj AS MATERIALIZED (
+      SELECT s.w AS q, s.n AS center FROM sym s
+      JOIN qn ON s.w = qn.node
+    ), cand AS MATERIALIZED (
+      SELECT qa.q, s2.n AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM qadj qa
+      JOIN deg dc ON qa.center = dc.node
+      JOIN sym s2 ON s2.w = qa.center AND s2.n <> qa.q
+      WHERE dc.d <= {LP_HUB_CAP}
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT cand.q, cand.v, cand.c,
+             CAST(cand.c AS DOUBLE) / (dq.d + dv.d - cand.c) AS jac
+      FROM cand
+      JOIN deg dq ON cand.q = dq.node
+      JOIN deg dv ON cand.v = dv.node
+      WHERE NOT EXISTS (SELECT 1 FROM sym
+                        WHERE sym.w = cand.q AND sym.n = cand.v)
+    )
+    SELECT q, v, c AS common_neighbors,
+           ROUND(jac, 6) AS jaccard_score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q
+                                   ORDER BY jac DESC, v) AS BIGINT) AS rn
+    FROM scored
+    QUALIFY rn <= {LP_TOP_K}
+    """,
+    tags=("graph", "link-prediction", "similarity"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction on the part co-purchase graph: for each
+    of the LP_N_QUERIES query nodes, the LP_TOP_K NON-adjacent
+    candidates ranked by neighborhood Jaccard |Γ(q)∩Γ(v)| / |Γ(q)∪Γ(v)|
+    — the co-purchase "customers also bought" recommendation primitive
+    (Liben-Nowell & Kleinberg), computed the way a recommender actually
+    serves it: per query node, never as the all-pairs table (see the
+    parameter comment — the all-pairs formulation is Σd² with a
+    quadratic output and OOM'd the 10× drive).
+
+    Plan shape: query adjacency is a broadcast semi-probe of the
+    symmetrized edge list; candidates come from ONE equi-join of that
+    (tiny) adjacency against the edge list on the center node, with
+    hub centers dropped by the oracle-replayed LP_HUB_CAP; existing
+    edges are removed by a left-anti join against the same symmetrized
+    list; the top-k window partitions by query node (never global).
+    Per-query cost is ≤ LP_HUB_CAP² candidate rows at any corpus size.
+    """
+    e = _copurchase_edges(spark, sf_dir).persist()
+    e.count()  # eager fill: sym is consumed by 4 non-identical stages
+    sym = (e.select(F.col("u").alias("w"), F.col("v").alias("n"))
+           .unionAll(e.select(F.col("v").alias("w"),
+                              F.col("u").alias("n"))))
+    deg = sym.groupBy(F.col("w").alias("node")).agg(
+        F.count(F.lit(1)).alias("d"))
+    qn = (deg.select("node").orderBy("node").limit(LP_N_QUERIES)
+          .select(F.col("node").alias("q")))
+    qadj = (sym.join(F.broadcast(qn), sym["w"] == qn["q"])
+            .select("q", F.col("n").alias("center")))
+    dc = deg.select(F.col("node").alias("center"), F.col("d").alias("dc"))
+    cand = (qadj.join(dc, "center")
+            .filter(F.col("dc") <= LP_HUB_CAP)
+            .join(sym.select(F.col("w").alias("center"),
+                             F.col("n").alias("v")), "center")
+            .filter(F.col("v") != F.col("q"))
+            .groupBy("q", "v").agg(F.count(F.lit(1)).alias("c")))
+    adj_pairs = sym.select(F.col("w").alias("q"), F.col("n").alias("v"))
+    dq = deg.select(F.col("node").alias("q"), F.col("d").alias("dq"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    jac = F.col("c").cast("double") / (F.col("dq") + F.col("dv")
+                                       - F.col("c"))
+    scored = (cand.join(adj_pairs, ["q", "v"], "left_anti")
+              .join(F.broadcast(dq), "q").join(dv, "v")
+              .select("q", "v", F.col("c").alias("common_neighbors"),
+                      jac.alias("jac")))
+    w = Window.partitionBy("q").orderBy(F.col("jac").desc(), "v")
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= LP_TOP_K)
+            .select("q", "v", "common_neighbors",
+                    F.round("jac", 6).alias("jaccard_score"), "rn"))

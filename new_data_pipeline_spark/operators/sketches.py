@@ -177,11 +177,15 @@ def agg_countmin_point_estimates(spark: SparkSession,
     cells = (cnt.crossJoin(rows)
              .select("r", F.expr(_cm_col("r", "w")).alias("col"), "c")
              .groupBy("r", "col").agg(F.sum("c").alias("cell")))
+    # pr alias: both sides cross-join the SAME spark.range frame, so a
+    # bare r == r condition references one attribute and logs the
+    # trivially-true-predicate warning (VERDICT r9 #7 class)
     probe_cells = (probes.crossJoin(rows)
-                   .select("term", "exact_count", "r",
+                   .select("term", "exact_count",
+                           F.col("r").alias("pr"),
                            F.expr(_cm_col("r", "term")).alias("pcol")))
     est = (probe_cells
-           .join(cells, (probe_cells["r"] == cells["r"])
+           .join(cells, (probe_cells["pr"] == cells["r"])
                  & (probe_cells["pcol"] == cells["col"]))
            .groupBy("term", "exact_count")
            .agg(F.min("cell").alias("est_count")))

@@ -81,29 +81,31 @@ QUERIES: dict[str, QuerySpec] = {}
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
 # Round-10 window (re-aimed per VERDICT r9 #1). Composition:
-# - slots 1-5: the queries ADDED in round 10 — the persisted PQ-only
+# - slots 1-6: the queries ADDED in round 10 — the persisted PQ-only
 #   index probe (VERDICT r9 #4), the size-gated census→DOULION
 #   dispatcher (VERDICT r9 #3), k-core peeling, the containment join,
-#   and the Gini concentration profile;
-# - slots 6-23: EVERY query whose code path changed in round 10, per
+#   the Gini concentration profile, and hub-capped link prediction;
+# - slots 7-26: EVERY query whose code path changed in round 10, per
 #   the every-changed-query rule (ADVICE r9 flagged r9's omissions) —
 #   output-identical refactors included, because "output-identical"
 #   is exactly the claim the gate exists to check: the prefix join's
-#   new lossless length filter, the PQ/IVF-PQ qtab re-aliasing
-#   (sim_pq_topk, sim_ivfpq_topk, sim_ivfpq_bucketed_probe), the
-#   null-safe + cache-tracked range devices and everything built on
-#   them (agg_weighted_median, corpus_token_shards,
+#   new lossless length filter, the trivially-true-predicate aliasing
+#   sweep (sim_pq_topk, sim_ivfpq_topk, sim_ivfpq_bucketed_probe,
+#   corpus_e2e_curation, agg_countmin_point_estimates,
+#   multimodal_e2e_curation — the last already seated in the r5
+#   block), the null-safe + cache-tracked range devices and everything
+#   built on them (agg_weighted_median, corpus_token_shards,
 #   curriculum_rank_global, text_bow_vectorize, window_rank_dense_
 #   ntile, window_pct_cume_nth, ingest_key_assignment, ingest_batch_
 #   assignment, ingest_binding_join), and the _shingle_bands 3-tuple
 #   refactor (dedup_minhash_lsh, dedup_incremental_lsh,
 #   dedup_lsh_bucketed_probe, dedup_cluster_components,
 #   stream_neardup_filter);
-# - slots 24-38: ALL 15 remaining round-5-graded slots — with these
+# - slots 27-41: ALL 15 remaining round-5-graded slots — with these
 #   seated, every registered query has been driver-re-exposed within
 #   the last 4 rounds for the first time (the registry's stated
 #   target);
-# - slots 39-50: backfill from the now-oldest (round-6-graded) block,
+# - slots 42-50: backfill from the now-oldest (round-6-graded) block,
 #   regeneration-sensitive first: the streaming/timestamp family,
 #   temporal joins, sessionization, event analytics.
 # Released this round (all r9-green, all still re-verified every run
@@ -119,8 +121,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "graph_kcore_peeling",
     "join_set_containment",
     "profile_gini_concentration",
+    "graph_link_prediction",
     # ---- changed in round 10 ----
     "join_set_similarity_prefix",
+    "corpus_e2e_curation",
+    "agg_countmin_point_estimates",
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "sim_ivfpq_bucketed_probe",
@@ -164,13 +169,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_pattern_skip_match",
     "sessionize_lag",
     "event_path_trigrams",
+    # ---- first-50 window boundary: "event_path_trigrams" is slot 50
+    # (6 added + 20 changed + 15 r5 + 9 r6); everything below is
+    # OUTSIDE the graded window this round ----
     "retention_cohorts",
     "active_users_rolling",
     "anomaly_event_rate",
-    # ---- first-50 window boundary: "anomaly_event_rate" is slot 50
-    # (5 added + 18 changed + 15 r5 + 12 r6); everything below is
-    # OUTSIDE the graded window this round ----
-    "corpus_e2e_curation",
     "text_contamination_ngrams",
     "dedup_apply_minhash",
     "dedup_simhash",

@@ -38,6 +38,7 @@ def empty_sf_dir(tmp_path_factory):
 FIXED_ROWS = {
     "profile_table_quality": 6,          # one row per profiled column
     "profile_referential_integrity": 4,  # one row per FK check
+    "graph_kcore_peeling": 6,            # one (all-zero) row per round
 }
 
 

@@ -66,6 +66,16 @@ HEAVY = [
     "sim_ivfpq_bucketed_probe",
     "stream_neardup_filter",
     "text_nb_source_classifier",
+    # round 10: the persisted PQ-only probe (VERDICT r9 #4), the
+    # census→DOULION dispatcher (r9 #3 — the audit row should show it
+    # picking DOULION at 10×), bounded-round k-core peeling, the
+    # containment join, and the Gini rank device
+    "sim_pq_bucketed_probe",
+    "graph_triangle_census_auto",
+    "graph_kcore_peeling",
+    "join_set_containment",
+    "profile_gini_concentration",
+    "graph_link_prediction",
 ]
 
 
