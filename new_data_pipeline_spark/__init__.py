@@ -57,6 +57,8 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.kmv_sketch  # noqa: F401
     import new_data_pipeline_spark.operators.setsim_join  # noqa: F401
     import new_data_pipeline_spark.operators.feature_eng  # noqa: F401
+    import new_data_pipeline_spark.operators.assoc_rules  # noqa: F401
+    import new_data_pipeline_spark.operators.privacy  # noqa: F401
     import new_data_pipeline_spark.operators.corpus_prep  # noqa: F401
     import new_data_pipeline_spark.operators.multimodal  # noqa: F401
     import new_data_pipeline_spark.operators.profiling  # noqa: F401

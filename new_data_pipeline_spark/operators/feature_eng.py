@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.functions.exact import money
 from new_data_pipeline_spark.registry import register
 
 N_BINS = 10
@@ -136,3 +137,136 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                              + SMOOTHING * (F.col("gsum") / F.col("gn")))
                             / (F.col("n") + SMOOTHING), 6)
                     .alias("encoded")))
+
+
+# Shared Cramer denominators for the OLS normal equations (3×3, two
+# features + intercept). Named so the Spark expression tree and the
+# oracle SQL spell the SAME operand order — IEEE double arithmetic is
+# deterministic but not associative, so parity requires identical
+# expression shape, not just identical math (the agg_corr_regression
+# device, one matrix size up).
+_OLS_SUFFICIENT = """
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx11,
+             CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sx22,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sx12,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sx1y,
+             CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sx2y,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS syy
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "ml_ols_regression",
+    oracle=f"""
+    WITH s AS ({_OLS_SUFFICIENT}
+    ), m AS (
+      SELECT *,
+             sx11 * sx22 - sx12 * sx12 AS ma,
+             sx1 * sx22 - sx12 * sx2  AS mb,
+             sx1 * sx12 - sx11 * sx2  AS mc,
+             sx1y * sx22 - sx12 * sx2y AS md,
+             sx1y * sx12 - sx11 * sx2y AS me,
+             sx1 * sx2y - sx1y * sx2  AS mg,
+             sx11 * sx2y - sx1y * sx12 AS mh
+      FROM s
+    ), c AS (
+      SELECT *,
+             (sy * ma - sx1 * md + sx2 * me)
+               / (n * ma - sx1 * mb + sx2 * mc) AS b0,
+             (n * md - sy * mb + sx2 * mg)
+               / (n * ma - sx1 * mb + sx2 * mc) AS b1,
+             (n * mh - sx1 * mg + sy * mc)
+               / (n * ma - sx1 * mb + sx2 * mc) AS b2
+      FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND(b0, 6) AS intercept,
+           ROUND(b1, 6) AS beta_qty,
+           ROUND(b2, 6) AS beta_disc,
+           ROUND(1 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y)
+                 / (syy - sy * sy / n), 6) AS r2
+    FROM c ORDER BY l_returnflag
+    """,
+    tags=("ml", "regression", "trained-by-aggregation"),
+)
+def ml_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression (extendedprice on
+    quantity + discount, per return flag) trained BY AGGREGATION: one
+    pass collects the ten exact sufficient statistics (integer sums
+    for quantity, DECIMAL(12,2) sums for the money columns — exact and
+    associative at any scale), the 3×3 normal equations solve via
+    Cramer's rule on the driver-free 3-row frame, and R² falls out of
+    the same sums (SSE = Σy² − b·Σxy needs no second pass).
+
+    This is the distributed-OLS textbook pattern (X'X is mergeable, so
+    the "fit" is map-side combinable all the way down): at 100 TB the
+    only shuffle is the 3-group aggregate, and the solve itself costs
+    nothing because it runs inside the projection of a 3-row frame —
+    no driver collect, no iteration, no Spark-ML dependency.
+
+    Parity: sums exact → cast double once → BOTH engines evaluate the
+    literally identical Cramer expression tree (minors named ma..mh in
+    the oracle, same operand order here) → round 6 dp at the boundary.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("bigint")
+    x2 = F.col("l_discount").cast("decimal(12,2)")
+    y = money("l_extendedprice")
+    s = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).cast("double").alias("n"),
+              F.sum(x1).cast("double").alias("sx1"),
+              F.sum(x2).cast("double").alias("sx2"),
+              F.sum(x1 * x1).cast("double").alias("sx11"),
+              F.sum(x2 * x2).cast("double").alias("sx22"),
+              F.sum(x1 * x2).cast("double").alias("sx12"),
+              F.sum(y).cast("double").alias("sy"),
+              F.sum(x1 * y).cast("double").alias("sx1y"),
+              F.sum(x2 * y).cast("double").alias("sx2y"),
+              F.sum(y * y).cast("double").alias("syy")))
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sx11, sx22, sx12 = F.col("sx11"), F.col("sx22"), F.col("sx12")
+    sy, sx1y, sx2y, syy = (F.col("sy"), F.col("sx1y"),
+                           F.col("sx2y"), F.col("syy"))
+    m = s.withColumns({
+        "ma": sx11 * sx22 - sx12 * sx12,
+        "mb": sx1 * sx22 - sx12 * sx2,
+        "mc": sx1 * sx12 - sx11 * sx2,
+        "md": sx1y * sx22 - sx12 * sx2y,
+        "me": sx1y * sx12 - sx11 * sx2y,
+        "mg": sx1 * sx2y - sx1y * sx2,
+        "mh": sx11 * sx2y - sx1y * sx12,
+    })
+    ma, mb, mc = F.col("ma"), F.col("mb"), F.col("mc")
+    md, me, mg, mh = F.col("md"), F.col("me"), F.col("mg"), F.col("mh")
+    det = n * ma - sx1 * mb + sx2 * mc
+    c = m.withColumns({
+        "b0": (sy * ma - sx1 * md + sx2 * me) / det,
+        "b1": (n * md - sy * mb + sx2 * mg) / det,
+        "b2": (n * mh - sx1 * mg + sy * mc) / det,
+    })
+    b0, b1, b2 = F.col("b0"), F.col("b1"), F.col("b2")
+    return (c.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(b0, 6).alias("intercept"),
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round(1 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y)
+                / (syy - sy * sy / n), 6).alias("r2"))
+        .orderBy("l_returnflag"))

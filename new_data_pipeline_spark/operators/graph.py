@@ -738,3 +738,108 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= LP_TOP_K)
             .select("q", "v", "common_neighbors",
                     F.round("jac", 6).alias("jaccard_score"), "rn"))
+
+
+# Label propagation community detection: LPA_ROUNDS synchronous rounds
+# (fixed — the pagerank/kcore determinism device), each node adopting
+# its neighbors' most frequent label with a (count DESC, label ASC)
+# tie-break, labels initialized to node ids. Deterministic end to end:
+# no randomized visit order (the classic asynchronous LPA is not
+# replayable), so the oracle is an unrolled MATERIALIZED-CTE chain.
+LPA_ROUNDS = 3
+LPA_TOP = 20
+
+
+def lpa_labels(ev: DataFrame, rounds: int) -> DataFrame:
+    """``rounds`` synchronous LPA sweeps over a symmetrized (src, dst)
+    edge frame; returns (node, label). Deterministic: most-frequent
+    neighbor label, ties broken by smallest label. Factored out so
+    tests can drive synthetic graphs through the exact production
+    iteration (the pagerank() pattern)."""
+    labels = (ev.select(F.col("src").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("label")))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(),
+                                           F.col("label").asc())
+    for _ in range(rounds):
+        nbr = (ev.join(labels.withColumnRenamed("node", "dst"), "dst")
+               .select(F.col("src").alias("node"), "label"))
+        cnt = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        labels = (cnt.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .select("node", "label")
+                  .localCheckpoint(eager=True))
+    return labels
+
+
+def _lpa_oracle() -> str:
+    ctes = ["""ev AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      UNION ALL
+      SELECT v AS src, u AS dst FROM (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    )""", """l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM ev
+    )"""]
+    for r in range(1, LPA_ROUNDS + 1):
+        p = r - 1
+        ctes.append(f"""c{r} AS MATERIALIZED (
+      SELECT ev.src AS node, l{p}.label, COUNT(*) AS cnt
+      FROM ev JOIN l{p} ON ev.dst = l{p}.node
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""l{r} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rk
+        FROM c{r}) WHERE rk = 1
+    )""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{LPA_ROUNDS}
+    GROUP BY 1
+    ORDER BY n_members DESC, community ASC
+    LIMIT {LPA_TOP}""")
+
+
+@register(
+    "graph_community_lpa",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community", "iterative"),
+)
+def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph by synchronous
+    label propagation (Raghavan et al. 2007, made deterministic): 3
+    fixed rounds, each node adopting the most frequent neighbor label
+    with a (count DESC, label ASC) tie-break; emits the LPA_TOP largest
+    communities. The corpus-curation use: cluster correlated sources /
+    products before sampling so one community can't dominate a batch.
+
+    Scale: per round ONE shuffle — the edges⋈labels join and the
+    (node, label) count land on the same node-keyed partitioning, and
+    the row_number tie-break window partitions by the same key, so AQE
+    reuses the exchange; state per round is |V| labels, never |V|².
+    Round frames are ``localCheckpoint(eager=True)``-ed (the kcore
+    lineage-truncation lesson: each round references the previous one
+    multiple times and 3 chained join+window rounds in one logical
+    plan re-analyze combinatorially). Fixed-round synchronous sweep =
+    replayable oracle; asynchronous single-pass LPA is not.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    ev = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+          .unionAll(e.select(F.col("v").alias("src"),
+                             F.col("u").alias("dst")))
+          .localCheckpoint(eager=True))
+    labels = lpa_labels(ev, LPA_ROUNDS)
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            .orderBy(F.col("n_members").desc(), F.col("community").asc())
+            .limit(LPA_TOP))

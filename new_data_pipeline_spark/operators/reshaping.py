@@ -323,3 +323,118 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumn(f"l{k}", F.lag("n", k).over(w))
         ewma = ewma + F.coalesce(F.col(f"l{k}"), F.lit(0)) / (2 ** (k + 1))
     return out.select("event_type", "h", "n", ewma.alias("ewma"))
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        AS h
+      FROM bounds
+    ), g AS (
+      SELECT s.event_type, s.h,
+             CAST(hourly.sum_value AS DOUBLE) AS v,
+             CAST(epoch(s.h) AS BIGINT) AS ep
+      FROM spine s
+      LEFT JOIN hourly
+        ON s.event_type = hourly.event_type AND s.h = hourly.h
+    ), f AS (
+      SELECT event_type, h, v, ep,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN ep END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pe,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN ep END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS ne
+      FROM g
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           (v IS NOT NULL) AS observed,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(ep - pe AS DOUBLE)
+                                 / CAST(ne - pe AS DOUBLE))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END, 6) AS interp_value
+    FROM f
+    """,
+    tags=("reshape", "timeseries", "interpolation"),
+)
+def timeseries_interpolate_linear(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Time-series densification with LINEAR interpolation: gap hours
+    get the straight line between the previous and next observed
+    hourly values (position-weighted by epoch distance), edges clamp
+    to the nearest observation — the resample stage sensor / metric
+    pipelines run before feature windows, where forward-fill
+    (timeseries_gapfill) would bias slopes.
+
+    Scale notes: identical skeleton to timeseries_gapfill — the spine
+    is |types| × |hours| (tiny vs raw events), the interpolation needs
+    FOUR window passes (prev/next value + epoch) but all four share
+    one (event_type ORDER BY h) sort, so the physical plan pays a
+    single per-type shuffle+sort. The arithmetic enters double exactly
+    once per operand (exact decimal sums upstream), and both engines
+    evaluate the identical CASE/ratio tree, rounded 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    events = catalog.load(spark, sf_dir, "events")
+    hourly = (events
+              .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.sum(F.col("value").cast("decimal(12,2)"))
+                   .alias("sum_value")))
+    spine = (events.groupBy("event_type")
+             .agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                  F.date_trunc("hour", F.max("ts")).alias("h1"))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         "h0", "h1", F.expr("interval 1 hour"))).alias("h")))
+    g = (spine.join(hourly, ["event_type", "h"], "left")
+         .select("event_type", "h",
+                 F.col("sum_value").cast("double").alias("v"),
+                 F.unix_timestamp("h").alias("ep")))
+    wp = (Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    ep_obs = F.when(F.col("v").isNotNull(), F.col("ep"))
+    f = g.select(
+        "event_type", "h", "v", "ep",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(ep_obs, ignorenulls=True).over(wp).alias("pe"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(ep_obs, ignorenulls=True).over(wn).alias("ne"))
+    pv, nv = F.col("pv"), F.col("nv")
+    ratio = ((F.col("ep") - F.col("pe")).cast("double")
+             / (F.col("ne") - F.col("pe")).cast("double"))
+    interp = (F.when(F.col("v").isNotNull(), F.col("v"))
+              .when(pv.isNotNull() & nv.isNotNull(),
+                    pv + (nv - pv) * ratio)
+              .when(pv.isNotNull(), pv)
+              .otherwise(nv))
+    return f.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("interp_value"))

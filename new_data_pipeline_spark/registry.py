@@ -81,11 +81,13 @@ QUERIES: dict[str, QuerySpec] = {}
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
 # Round-10 window (re-aimed per VERDICT r9 #1). Composition:
-# - slots 1-6: the queries ADDED in round 10 — the persisted PQ-only
+# - slots 1-12: the queries ADDED in round 10 — the persisted PQ-only
 #   index probe (VERDICT r9 #4), the size-gated census→DOULION
 #   dispatcher (VERDICT r9 #3), k-core peeling, the containment join,
-#   the Gini concentration profile, and hub-capped link prediction;
-# - slots 7-26: EVERY query whose code path changed in round 10, per
+#   the Gini concentration profile, hub-capped link prediction, and
+#   the second wave: OLS-by-aggregation, market-basket lift, LPA
+#   communities, linear interpolation, DP noisy counts, k-anonymity;
+# - slots 13-32: EVERY query whose code path changed in round 10, per
 #   the every-changed-query rule (ADVICE r9 flagged r9's omissions) —
 #   output-identical refactors included, because "output-identical"
 #   is exactly the claim the gate exists to check: the prefix join's
@@ -101,13 +103,14 @@ QUERIES: dict[str, QuerySpec] = {}
 #   refactor (dedup_minhash_lsh, dedup_incremental_lsh,
 #   dedup_lsh_bucketed_probe, dedup_cluster_components,
 #   stream_neardup_filter);
-# - slots 27-41: ALL 15 remaining round-5-graded slots — with these
+# - slots 33-47: ALL 15 remaining round-5-graded slots — with these
 #   seated, every registered query has been driver-re-exposed within
 #   the last 4 rounds for the first time (the registry's stated
 #   target);
-# - slots 42-50: backfill from the now-oldest (round-6-graded) block,
-#   regeneration-sensitive first: the streaming/timestamp family,
-#   temporal joins, sessionization, event analytics.
+# - slots 48-50: backfill from the now-oldest (round-6-graded) block,
+#   regeneration-sensitive first: the streaming/timestamp family
+#   (the rest of the r6 block stays listed below the boundary and
+#   leads the round-11 backfill).
 # Released this round (all r9-green, all still re-verified every run
 # by the local full-registry replay): the r9-additions block
 # (graph_triangle_doulion, sim_ivf_bucketed_probe,
@@ -122,6 +125,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_set_containment",
     "profile_gini_concentration",
     "graph_link_prediction",
+    "ml_ols_regression",
+    "ml_market_basket_lift",
+    "graph_community_lpa",
+    "timeseries_interpolate_linear",
+    "agg_dp_noisy_counts",
+    "profile_k_anonymity",
     # ---- changed in round 10 ----
     "join_set_similarity_prefix",
     "corpus_e2e_curation",
@@ -163,15 +172,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_interval_join",
+    # ---- first-50 window boundary: "stream_interval_join" is slot 50
+    # (12 added + 20 changed + 15 r5 + 3 r6); everything below is
+    # OUTSIDE the graded window this round ----
     "stream_dedup_keep_first",
     "join_asof_event_streams",
     "join_temporal_pointintime",
     "events_pattern_skip_match",
     "sessionize_lag",
     "event_path_trigrams",
-    # ---- first-50 window boundary: "event_path_trigrams" is slot 50
-    # (6 added + 20 changed + 15 r5 + 9 r6); everything below is
-    # OUTSIDE the graded window this round ----
     "retention_cohorts",
     "active_users_rolling",
     "anomaly_event_rate",

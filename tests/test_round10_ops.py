@@ -1,0 +1,148 @@
+"""Golden tests for the round-10 second-wave operators: each pins the
+SEMANTICS against an independent reference (numpy / pure-Python /
+pandas recomputation) — the oracle-parity suite already proves
+Spark == DuckDB; these prove both equal the intended algorithm."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+import new_data_pipeline_spark as engine
+from new_data_pipeline_spark.operators.graph import lpa_labels
+from new_data_pipeline_spark.operators.privacy import DP_SCALE, K_ANON
+from tests.conftest import SMOKE_DIR
+
+engine.load_all()
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    got = engine.QUERIES["ml_ols_regression"].fn(spark, SMOKE_DIR).collect()
+    li = (spark.read.parquet(f"{SMOKE_DIR}/lineitem.parquet")
+          .select("l_returnflag", "l_quantity", "l_discount",
+                  "l_extendedprice").toPandas())
+    assert got, "no groups"
+    for r in got:
+        g = li[li.l_returnflag == r["l_returnflag"]]
+        X = np.column_stack([np.ones(len(g)), g.l_quantity, g.l_discount])
+        beta, *_ = np.linalg.lstsq(X, g.l_extendedprice.to_numpy(),
+                                   rcond=None)
+        assert math.isclose(r["intercept"], beta[0], rel_tol=1e-6, abs_tol=1e-4)
+        assert math.isclose(r["beta_qty"], beta[1], rel_tol=1e-6, abs_tol=1e-4)
+        assert math.isclose(r["beta_disc"], beta[2], rel_tol=1e-6, abs_tol=1e-4)
+        assert -1e-9 <= r["r2"] <= 1.0
+        assert r["n_rows"] == len(g)
+
+
+def test_market_basket_matches_pandas(spark):
+    got = (engine.QUERIES["ml_market_basket_lift"]
+           .fn(spark, SMOKE_DIR).toPandas())
+    assert len(got) > 0, "fixture must yield at least one rule"
+    li = (spark.read.parquet(f"{SMOKE_DIR}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").toPandas()
+          .drop_duplicates())
+    n_baskets = li.l_orderkey.nunique()
+    item_n = li.groupby("l_partkey").size()
+    merged = li.merge(li, on="l_orderkey")
+    merged = merged[merged.l_partkey_x < merged.l_partkey_y]
+    pair_n = merged.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    for r in got.itertuples():
+        pn = pair_n[(r.part_a, r.part_b)]
+        assert r.n_joint == pn
+        assert math.isclose(r.support, round(pn / n_baskets, 6))
+        assert math.isclose(r.conf_a_b, round(pn / item_n[r.part_a], 6))
+        assert math.isclose(r.conf_b_a, round(pn / item_n[r.part_b], 6))
+        assert math.isclose(
+            r.lift,
+            round(pn * n_baskets / (item_n[r.part_a] * item_n[r.part_b]), 6))
+    # the cut is the global top by lift: no unreported pair may beat
+    # the worst reported lift (recheck on the full pandas rule set)
+    full = pair_n[pair_n >= 2].reset_index(name="pn")
+    full["lift"] = (full.pn * n_baskets
+                    / (full.l_partkey_x.map(item_n)
+                       * full.l_partkey_y.map(item_n))).round(6)
+    assert got.lift.min() >= full.lift.max() - 1e-9 or len(got) == 50
+
+
+def test_lpa_two_cliques_stay_separate(spark):
+    # two 4-cliques joined by nothing: labels converge to each
+    # clique's smallest node id
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(a + 10, b + 10) for a, b in edges]
+    ev = spark.createDataFrame(
+        [(s, d) for s, d in edges] + [(d, s) for s, d in edges],
+        "src long, dst long")
+    labels = {r["node"]: r["label"] for r in lpa_labels(ev, 3).collect()}
+    assert {labels[n] for n in range(4)} == {0}
+    assert {labels[n + 10] for n in range(4)} == {10}
+
+
+def test_lpa_star_absorbs_leaves(spark):
+    # star 0-(1..5): leaves see only the hub; hub sees leaf labels.
+    # After round 1 every leaf holds 0; the hub holds min leaf = 1.
+    ev = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)],
+        "src long, dst long")
+    labels = {r["node"]: r["label"] for r in lpa_labels(ev, 1).collect()}
+    assert all(labels[i] == 0 for i in range(1, 6))
+    assert labels[0] == 1
+
+
+def test_interpolation_recomputed_in_pandas(spark):
+    got = (engine.QUERIES["timeseries_interpolate_linear"]
+           .fn(spark, SMOKE_DIR).toPandas())
+    gaps = got[~got.observed]
+    assert len(gaps) > 0, "fixture must have gap hours"
+    ev = (spark.read.parquet(f"{SMOKE_DIR}/events.parquet").toPandas())
+    ev["h"] = ev.ts.dt.floor("h")
+    hourly = (ev.groupby(["event_type", "h"]).value
+              .agg(lambda s: float(s.round(2).sum())))
+    for et, sub in got.groupby("event_type"):
+        sub = sub.sort_values("hour").reset_index(drop=True)
+        ts = pd.to_datetime(sub.hour)
+        known = hourly[et]
+        series = pd.Series(
+            [known.get(t, np.nan) for t in ts], index=ts.to_numpy())
+        ref = series.interpolate(method="index",
+                                 limit_direction="both").round(6)
+        assert np.allclose(sub.interp_value.to_numpy(), ref.to_numpy(),
+                           atol=1e-6), et
+
+
+def test_dp_noise_is_the_documented_inverse_cdf(spark):
+    got = engine.QUERIES["agg_dp_noisy_counts"].fn(spark, SMOKE_DIR).collect()
+    ev = spark.read.parquet(f"{SMOKE_DIR}/events.parquet")
+    true_n = {r["event_type"]: r["cnt"] for r in
+              ev.groupBy("event_type").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    assert got
+    for r in got:
+        u = int(hashlib.md5(r["event_type"].encode()).hexdigest()[:6], 16) \
+            / 16777216.0
+        t = u - 0.5
+        noise = -DP_SCALE * math.copysign(1.0, t) \
+            * round(math.log(1.0 - 2.0 * abs(t)), 6)
+        assert math.isclose(r["noisy_n"],
+                            round(true_n[r["event_type"]] + noise, 6),
+                            abs_tol=1e-6)
+        assert abs(r["noisy_n"] - true_n[r["event_type"]]) > 1e-9, \
+            "noise must actually perturb the count"
+        assert r["epsilon"] == round(1.0 / DP_SCALE, 6)
+
+
+def test_k_anonymity_recomputed_in_pandas(spark):
+    row = (engine.QUERIES["profile_k_anonymity"]
+           .fn(spark, SMOKE_DIR).collect()[0])
+    cust = (spark.read.parquet(f"{SMOKE_DIR}/customer.parquet")
+            .select("c_nationkey", "c_mktsegment").toPandas())
+    sizes = cust.groupby(["c_nationkey", "c_mktsegment"]).size()
+    below = sizes[sizes < K_ANON]
+    assert row["n_groups"] == len(sizes)
+    assert row["k_anonymity"] == sizes.min()
+    assert row["groups_below_k"] == len(below)
+    assert row["rows_at_risk"] == int(below.sum())
+    assert math.isclose(row["at_risk_fraction"],
+                        round(below.sum() / sizes.sum(), 6), abs_tol=1e-6)
