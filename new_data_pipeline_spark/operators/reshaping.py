@@ -438,3 +438,114 @@ def timeseries_interpolate_linear(spark: SparkSession,
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.col("v").isNotNull().alias("observed"),
         F.round(interp, 6).alias("interp_value"))
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        AS h
+      FROM bounds
+    ), grid AS (
+      SELECT s.event_type, s.h, COALESCE(hourly.x, 0) AS x
+      FROM spine s LEFT JOIN hourly
+        ON s.event_type = hourly.event_type AND s.h = hourly.h
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(x) AS BIGINT) AS total
+      FROM grid GROUP BY 1
+    ), dev AS (
+      SELECT g.event_type, g.h,
+             st.n_hours * g.x - st.total AS d,
+             st.n_hours
+      FROM grid g JOIN stats st ON g.event_type = st.event_type
+    ), pre AS (
+      SELECT event_type, h, n_hours,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS s
+      FROM dev
+    ), cus AS (
+      SELECT event_type, h, n_hours,
+             s - MIN(s) OVER (PARTITION BY event_type ORDER BY h
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c
+      FROM pre
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS change_hour,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           ROUND(CAST(c AS DOUBLE) / n_hours, 6) AS cusum_peak
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY c DESC, h ASC) AS rk
+          FROM cus) WHERE rk = 1
+    ORDER BY event_type
+    """,
+    tags=("reshape", "timeseries", "changepoint"),
+)
+def timeseries_cusum_changepoint(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection on per-type hourly event
+    rates: the hour where the cumulative positive deviation from the
+    type's mean rate peaks — the standard drift alarm a pipeline runs
+    on ingestion volumes before retraining.
+
+    Exactness device (the pagerank scaled-integer idea): the clamped
+    CUSUM recurrence c_t = max(0, c_{t-1} + (x_t − μ)) is NOT a window
+    expression, but it equals S_t − min_{j≤t} S_j for the prefix sums
+    S of (x − μ) — and multiplying through by n_hours makes every term
+    the exact INTEGER n·x_t − Σx, so both engines run integer window
+    arithmetic end to end and divide once at the boundary. Two
+    same-keyed running windows (prefix sum, running min) plus the
+    argmax rank share ONE (event_type ORDER BY h) sort — a single
+    shuffle over the |types|×|hours| grid, which is tiny relative to
+    raw events at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    events = catalog.load(spark, sf_dir, "events")
+    hourly = (events
+              .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("x")))
+    spine = (events.groupBy("event_type")
+             .agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                  F.date_trunc("hour", F.max("ts")).alias("h1"))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         "h0", "h1", F.expr("interval 1 hour"))).alias("h")))
+    grid = (spine.join(hourly, ["event_type", "h"], "left")
+            .select("event_type", "h",
+                    F.coalesce("x", F.lit(0).cast("bigint")).alias("x")))
+    stats = (grid.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+                  F.sum("x").cast("bigint").alias("total")))
+    dev = (grid.join(stats, "event_type")
+           .select("event_type", "h", "n_hours",
+                   (F.col("n_hours") * F.col("x") - F.col("total"))
+                   .alias("d")))
+    run = (Window.partitionBy("event_type").orderBy("h")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = dev.withColumn("s", F.sum("d").over(run))
+    cus = pre.withColumn("c", F.col("s") - F.min("s").over(run))
+    rk = Window.partitionBy("event_type").orderBy(F.col("c").desc(),
+                                                  F.col("h").asc())
+    return (cus.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") == 1)
+            .select("event_type",
+                    F.date_format("h", "yyyy-MM-dd HH:mm:ss")
+                    .alias("change_hour"),
+                    F.col("n_hours").cast("bigint").alias("n_hours"),
+                    F.round(F.col("c").cast("double") / F.col("n_hours"), 6)
+                    .alias("cusum_peak"))
+            .orderBy("event_type"))

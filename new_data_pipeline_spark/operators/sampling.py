@@ -268,3 +268,56 @@ def sample_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= RESERVOIR_K)
             .select("source", "rk", "doc_id"))
+
+
+@register(
+    "split_group_aware",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(source), 1, 2) < 'e6' THEN 'valid'
+                  ELSE 'test' END AS split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_docs), 6)
+             AS avg_chars
+    FROM s GROUP BY split ORDER BY split
+    """,
+    tags=("sampling", "split", "leakage"),
+)
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/valid/test split: the hash is taken over the
+    SOURCE (the leakage group), not the document, so every document of
+    a source lands in the same split by construction — the standard
+    defense against near-duplicate leakage across splits (documents
+    from one crawl/site are each other's likeliest near-dups, and a
+    doc-hashed split scatters them across train AND test;
+    split_leakage_check measures that failure, this operator prevents
+    it). Same 80/10/10 hash bands as split_train_test.
+
+    Scale: assignment is a map-only expression on the group key — no
+    join against a split table, no shuffle beyond the reporting
+    aggregate; at 100 TB the split of any row is recomputable locally
+    (pure function of source), which is what makes the split stable
+    across reruns and engines."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("source").cast("binary")), 1, 2)
+    split = (F.when(h < "cc", "train").when(h < "e6", "valid")
+             .otherwise("test"))
+    per_source = (docs.select(F.col("source"), split.alias("split"),
+                              "n_chars")
+                  .groupBy("source", "split")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                       F.sum("n_chars").cast("bigint").alias("n_chars")))
+    return (per_source.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+                 F.sum("n_docs").cast("bigint").alias("n_docs"),
+                 F.round(F.sum("n_chars").cast("double")
+                         / F.sum("n_docs"), 6).alias("avg_chars"))
+            .orderBy("split"))

@@ -81,13 +81,14 @@ QUERIES: dict[str, QuerySpec] = {}
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
 # Round-10 window (re-aimed per VERDICT r9 #1). Composition:
-# - slots 1-12: the queries ADDED in round 10 — the persisted PQ-only
+# - slots 1-14: the queries ADDED in round 10 — the persisted PQ-only
 #   index probe (VERDICT r9 #4), the size-gated census→DOULION
 #   dispatcher (VERDICT r9 #3), k-core peeling, the containment join,
 #   the Gini concentration profile, hub-capped link prediction, and
 #   the second wave: OLS-by-aggregation, market-basket lift, LPA
-#   communities, linear interpolation, DP noisy counts, k-anonymity;
-# - slots 13-32: EVERY query whose code path changed in round 10, per
+#   communities, linear interpolation, DP noisy counts, k-anonymity,
+#   the group-aware split, and the CUSUM changepoint;
+# - slots 15-34: EVERY query whose code path changed in round 10, per
 #   the every-changed-query rule (ADVICE r9 flagged r9's omissions) —
 #   output-identical refactors included, because "output-identical"
 #   is exactly the claim the gate exists to check: the prefix join's
@@ -103,11 +104,11 @@ QUERIES: dict[str, QuerySpec] = {}
 #   refactor (dedup_minhash_lsh, dedup_incremental_lsh,
 #   dedup_lsh_bucketed_probe, dedup_cluster_components,
 #   stream_neardup_filter);
-# - slots 33-47: ALL 15 remaining round-5-graded slots — with these
+# - slots 35-49: ALL 15 remaining round-5-graded slots — with these
 #   seated, every registered query has been driver-re-exposed within
 #   the last 4 rounds for the first time (the registry's stated
 #   target);
-# - slots 48-50: backfill from the now-oldest (round-6-graded) block,
+# - slot 50: backfill from the now-oldest (round-6-graded) block,
 #   regeneration-sensitive first: the streaming/timestamp family
 #   (the rest of the r6 block stays listed below the boundary and
 #   leads the round-11 backfill).
@@ -131,6 +132,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_interpolate_linear",
     "agg_dp_noisy_counts",
     "profile_k_anonymity",
+    "split_group_aware",
+    "timeseries_cusum_changepoint",
     # ---- changed in round 10 ----
     "join_set_similarity_prefix",
     "corpus_e2e_curation",
@@ -170,11 +173,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_model_quality_filter",
     # ---- rotation: round-6 block, regeneration-sensitive first ----
     "stream_tumbling_window",
+    # ---- first-50 window boundary: "stream_tumbling_window" is slot
+    # 50 (14 added + 20 changed + 15 r5 + 1 r6); everything below is
+    # OUTSIDE the graded window this round ----
     "stream_sliding_window",
     "stream_interval_join",
-    # ---- first-50 window boundary: "stream_interval_join" is slot 50
-    # (12 added + 20 changed + 15 r5 + 3 r6); everything below is
-    # OUTSIDE the graded window this round ----
     "stream_dedup_keep_first",
     "join_asof_event_streams",
     "join_temporal_pointintime",

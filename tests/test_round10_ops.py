@@ -146,3 +146,43 @@ def test_k_anonymity_recomputed_in_pandas(spark):
     assert row["rows_at_risk"] == int(below.sum())
     assert math.isclose(row["at_risk_fraction"],
                         round(below.sum() / sizes.sum(), 6), abs_tol=1e-6)
+
+
+def test_group_aware_split_is_leakage_free(spark):
+    docs = (spark.read.parquet(f"{SMOKE_DIR}/documents.parquet")
+            .select("source", "doc_id").toPandas())
+    got = (engine.QUERIES["split_group_aware"]
+           .fn(spark, SMOKE_DIR).toPandas())
+    # every source lands in exactly one split (the group-hash property)
+    def split_of(src: str) -> str:
+        h = hashlib.md5(src.encode()).hexdigest()[:2]
+        return "train" if h < "cc" else ("valid" if h < "e6" else "test")
+    per = docs.assign(split=docs.source.map(split_of))
+    sizes = per.groupby("split").agg(n_sources=("source", "nunique"),
+                                     n_docs=("doc_id", "size"))
+    for r in got.itertuples():
+        assert sizes.loc[r.split, "n_sources"] == r.n_sources
+        assert sizes.loc[r.split, "n_docs"] == r.n_docs
+    assert got.n_docs.sum() == len(docs)
+
+
+def test_cusum_equals_clamped_recurrence(spark):
+    got = (engine.QUERIES["timeseries_cusum_changepoint"]
+           .fn(spark, SMOKE_DIR).toPandas().set_index("event_type"))
+    ev = spark.read.parquet(f"{SMOKE_DIR}/events.parquet").toPandas()
+    ev["h"] = ev.ts.dt.floor("h")
+    for et, sub in ev.groupby("event_type"):
+        hours = pd.date_range(sub.h.min(), sub.h.max(), freq="h")
+        x = sub.groupby("h").size().reindex(hours, fill_value=0)
+        n, total = len(x), int(x.sum())
+        c = best = 0
+        best_h = hours[0]
+        for h, xi in x.items():
+            c = max(0, c + (n * int(xi) - total))
+            if c > best:  # strict: first peak wins (h ASC tie-break)
+                best, best_h = c, h
+        assert got.loc[et, "n_hours"] == n
+        assert math.isclose(got.loc[et, "cusum_peak"],
+                            round(best / n, 6), abs_tol=1e-6)
+        assert got.loc[et, "change_hour"] == best_h.strftime(
+            "%Y-%m-%d %H:%M:%S")

@@ -39,6 +39,14 @@ for t in TABLES:
 
 qs, oracles = e.queries(), e.oracle_sql()
 
+# optional argv filter: `python tools/drive_entry.py q1 q2 ...` drives
+# only the named queries (delta verification after adding operators —
+# the full sweep stays the default)
+if len(sys.argv) > 1:
+    missing = [n for n in sys.argv[1:] if n not in qs]
+    assert not missing, f"unknown queries: {missing}"
+    qs = {n: qs[n] for n in sys.argv[1:]}
+
 
 def canon(cols, rows):
     ix = sorted(range(len(cols)), key=lambda i: cols[i])

@@ -76,6 +76,12 @@ HEAVY = [
     "join_set_containment",
     "profile_gini_concentration",
     "graph_link_prediction",
+    # round 10 second wave: OLS/market-basket/LPA are the compute-
+    # bearing additions (the interpolation/privacy ops are spine- or
+    # |groups|-sized — audited once to confirm flat, not tracked)
+    "ml_ols_regression",
+    "ml_market_basket_lift",
+    "graph_community_lpa",
 ]
 
 
