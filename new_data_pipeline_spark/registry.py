@@ -87,8 +87,9 @@ QUERIES: dict[str, QuerySpec] = {}
 #   the Gini concentration profile, hub-capped link prediction, and
 #   the second wave: OLS-by-aggregation, market-basket lift, LPA
 #   communities, linear interpolation, DP noisy counts, k-anonymity,
-#   the group-aware split, and the CUSUM changepoint;
-# - slots 15-34: EVERY query whose code path changed in round 10, per
+#   the group-aware split, the CUSUM changepoint, and the ACID
+#   MERGE/upsert (file-granular copy-on-write);
+# - slots 16-35: EVERY query whose code path changed in round 10, per
 #   the every-changed-query rule (ADVICE r9 flagged r9's omissions) —
 #   output-identical refactors included, because "output-identical"
 #   is exactly the claim the gate exists to check: the prefix join's
@@ -104,14 +105,11 @@ QUERIES: dict[str, QuerySpec] = {}
 #   refactor (dedup_minhash_lsh, dedup_incremental_lsh,
 #   dedup_lsh_bucketed_probe, dedup_cluster_components,
 #   stream_neardup_filter);
-# - slots 35-49: ALL 15 remaining round-5-graded slots — with these
+# - slots 36-50: ALL 15 remaining round-5-graded slots — with these
 #   seated, every registered query has been driver-re-exposed within
 #   the last 4 rounds for the first time (the registry's stated
-#   target);
-# - slot 50: backfill from the now-oldest (round-6-graded) block,
-#   regeneration-sensitive first: the streaming/timestamp family
-#   (the rest of the r6 block stays listed below the boundary and
-#   leads the round-11 backfill).
+#   target). The r6 block now sits entirely below the boundary and
+#   leads the round-11 backfill.
 # Released this round (all r9-green, all still re-verified every run
 # by the local full-registry replay): the r9-additions block
 # (graph_triangle_doulion, sim_ivf_bucketed_probe,
@@ -134,6 +132,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "profile_k_anonymity",
     "split_group_aware",
     "timeseries_cusum_changepoint",
+    "store_merge_upsert",
     # ---- changed in round 10 ----
     "join_set_similarity_prefix",
     "corpus_e2e_curation",
@@ -171,11 +170,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "sample_reservoir_pergroup",
     "text_hashing_vectorize",
     "text_model_quality_filter",
+    # ---- first-50 window boundary: "text_model_quality_filter" is
+    # slot 50 (15 added + 20 changed + 15 r5); everything below is
+    # OUTSIDE the graded window this round ----
     # ---- rotation: round-6 block, regeneration-sensitive first ----
     "stream_tumbling_window",
-    # ---- first-50 window boundary: "stream_tumbling_window" is slot
-    # 50 (14 added + 20 changed + 15 r5 + 1 r6); everything below is
-    # OUTSIDE the graded window this round ----
     "stream_sliding_window",
     "stream_interval_join",
     "stream_dedup_keep_first",

@@ -335,3 +335,52 @@ def vacuum(table: str, retain_last: int = 1) -> int:
         if not os.listdir(d):
             os.rmdir(d)
     return removed
+
+
+def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
+                 key_cols: list[str]) -> int:
+    """MERGE INTO (the Delta/Iceberg upsert): target rows matching an
+    update row on ``key_cols`` are REPLACED by it, unmatched update
+    rows are INSERTED. Copy-on-write at FILE granularity (the
+    delete_where device): one distributed semi-join pass finds the
+    files containing a matched key (input_file_name per hit, distinct
+    at file granularity — O(matched files) rows to the driver, never
+    O(rows)); only those files rewrite, with their non-matched rows
+    surviving verbatim, and every untouched file carries over by
+    reference — at 100 TB the difference between rewriting a few
+    key-clustered files and rewriting the table. Commits with
+    merge=False optimistic concurrency: a concurrent writer invalidates
+    this merge's read-modify-write premise, so the conflict surfaces
+    instead of silently rebasing (the Delta serializable-MERGE rule).
+    """
+    from pyspark.sql import functions as F
+
+    parent = latest_version(table)
+    snap = _load_snapshot(table, parent)
+    all_paths = [os.path.join(table, f) for f in snap["files"]]
+    cur = spark.read.parquet(*all_paths)
+    keys = updates.select(*key_cols).distinct()
+    # the _metadata.file_name hidden column, NOT input_file_name():
+    # the expression form rejects multi-source plans, and the matched-
+    # key probe is inherently a join (delete_where gets away with
+    # input_file_name because its predicate keeps the scan single-
+    # source)
+    hit_uris = {
+        r[0] for r in spark.read.parquet(*all_paths)
+        .select(*key_cols, F.col("_metadata.file_name").alias("__file"))
+        .join(keys, key_cols, "left_semi")
+        .select("__file").distinct().collect()}
+    hit_names = {os.path.basename(u) for u in hit_uris}
+    keep_files = [f for f in snap["files"]
+                  if os.path.basename(f) not in hit_names]
+    rewrite_files = [f for f in snap["files"]
+                     if os.path.basename(f) in hit_names]
+    fresh = updates.select(*cur.columns)
+    if rewrite_files:
+        survivors = (spark.read.parquet(
+            *[os.path.join(table, f) for f in rewrite_files])
+            .join(keys, key_cols, "left_anti"))
+        fresh = survivors.select(*cur.columns).unionByName(fresh)
+    new_files = _write_data_files(fresh, table)
+    return _commit_with_retry(table, "merge", keep_files + new_files,
+                              snap["schema"], parent=parent, merge=False)

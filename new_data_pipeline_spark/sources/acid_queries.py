@@ -76,3 +76,82 @@ def acid_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("l_orderkey").cast("bigint")
                  .alias("n_orders"),
                  F.sum("price").cast("double").alias("total_price")))
+
+
+@register(
+    "store_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer
+    ), urgent AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey
+    ), upd AS (
+      SELECT t.custkey, t.segment, CAST(t.bal + u.spend AS DECIMAL(12,2))
+        AS bal
+      FROM target t JOIN urgent u ON t.custkey = u.custkey
+    ), ins AS (
+      SELECT custkey + 1000000000 AS custkey,
+             'MERGED_NEW' AS segment, CAST(0.00 AS DECIMAL(12,2)) AS bal
+      FROM target WHERE custkey % 97 = 0
+    ), updates AS (
+      SELECT * FROM upd UNION ALL SELECT * FROM ins
+    ), merged AS (
+      SELECT t.* FROM target t
+      WHERE t.custkey NOT IN (SELECT custkey FROM updates)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(bal) AS DOUBLE) AS total_bal
+    FROM merged GROUP BY segment ORDER BY segment
+    """,
+    tags=("acid", "merge", "upsert"),
+)
+def store_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO end to end: seed a transactional table from customer,
+    build a deterministic update batch (matched rows: balance bumped by
+    the customer's URGENT-order spend; new rows: offset-keyed inserts
+    for custkey % 97 = 0), run the copy-on-write file-granular upsert
+    (acid.merge_upsert), and aggregate the POST-MERGE table per
+    segment. The oracle replays the merge relationally
+    (anti-join ∪ updates), so a hash match proves the file rewrite
+    lost no survivor, duplicated no key, and applied every update —
+    the row-level invariants a Delta MERGE is specified by."""
+    token = hashlib.md5(("merge:" + sf_dir).encode()).hexdigest()[:12]
+    table = os.path.join(tempfile.gettempdir(), f"ndp_merge_{token}")
+    shutil.rmtree(table, ignore_errors=True)  # rerun isolation
+
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        money("c_acctbal").alias("bal"))
+    acid.create_or_overwrite(cust, table)
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .groupBy(F.col("o_custkey").alias("custkey"))
+              .agg(F.sum(money("o_totalprice")).alias("spend")))
+    upd = (cust.join(urgent, "custkey")
+           .select("custkey", "segment",
+                   (F.col("bal") + F.col("spend"))
+                   .cast("decimal(12,2)").alias("bal")))
+    ins = (cust.filter(F.col("custkey") % 97 == 0)
+           .select((F.col("custkey") + 1000000000).alias("custkey"),
+                   F.lit("MERGED_NEW").alias("segment"),
+                   F.lit("0.00").cast("decimal(12,2)").alias("bal")))
+    acid.merge_upsert(spark, upd.unionByName(ins), table, ["custkey"])
+
+    return (acid.read(spark, table)
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.countDistinct("custkey").cast("bigint")
+                 .alias("n_customers"),
+                 F.sum("bal").cast("double").alias("total_bal"))
+            .orderBy("segment"))

@@ -141,3 +141,45 @@ def test_crash_before_commit_leaves_table_untouched(spark, table):
     assert [r.val for r in acid.read(spark, table).collect()] == ["a"]
     removed = acid.vacuum(table, retain_last=1)
     assert removed > 0  # the orphan is collectible
+
+
+def test_merge_upsert_semantics(spark, table):
+    """Matched keys replaced, unmatched updates inserted, untouched rows
+    survive, no key duplicated."""
+    acid.create_or_overwrite(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    acid.merge_upsert(
+        spark, _df(spark, [(2, "B2"), (9, "new")]), table, ["id"])
+    got = {r.id: r.val for r in acid.read(spark, table).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    assert acid.history(table)[-1]["operation"] == "merge"
+
+
+def test_merge_upsert_is_file_granular_cow(spark, table):
+    """Files with no matched key carry over BY REFERENCE (same file
+    name in the new snapshot), files with a hit are rewritten."""
+    acid.create_or_overwrite(_df(spark, [(1, "a")]), table)
+    acid.append(_df(spark, [(2, "b")]), table)  # second, disjoint file
+    before = set(acid._load_snapshot(table, acid.latest_version(table))
+                 ["files"])
+    acid.merge_upsert(spark, _df(spark, [(2, "B2")]), table, ["id"])
+    after = set(acid._load_snapshot(table, acid.latest_version(table))
+                ["files"])
+    carried = before & after
+    assert carried, "the unmatched file must carry over by reference"
+    # the carried file is the one holding id=1: its content survived
+    got = {r.id: r.val for r in acid.read(spark, table).collect()}
+    assert got == {1: "a", 2: "B2"}
+    assert after - before, "the matched file must be rewritten as new"
+
+
+def test_merge_upsert_all_inserts_touches_no_files(spark, table):
+    acid.create_or_overwrite(_df(spark, [(1, "a")]), table)
+    before = set(acid._load_snapshot(table, acid.latest_version(table))
+                 ["files"])
+    acid.merge_upsert(spark, _df(spark, [(7, "x"), (8, "y")]), table,
+                      ["id"])
+    after = set(acid._load_snapshot(table, acid.latest_version(table))
+                ["files"])
+    assert before <= after, "all-insert merge must rewrite nothing"
+    assert len(acid.read(spark, table).collect()) == 3
