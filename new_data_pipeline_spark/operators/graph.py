@@ -750,32 +750,38 @@ LPA_ROUNDS = 3
 LPA_TOP = 20
 
 
-def lpa_labels(ev: DataFrame, rounds: int) -> DataFrame:
+def lpa_labels(ev: DataFrame, rounds: int,
+               checkpoint: bool = True) -> DataFrame:
     """``rounds`` synchronous LPA sweeps over a symmetrized (src, dst)
     edge frame; returns (node, label). Deterministic: most-frequent
     neighbor label, ties broken by smallest label. Factored out so
     tests can drive synthetic graphs through the exact production
-    iteration (the pagerank() pattern)."""
+    iteration (the pagerank() pattern); ``checkpoint=False`` keeps the
+    logical plan inspectable for the no-Sort plan assertion."""
     labels = (ev.select(F.col("src").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("label")))
+    # Argmax strategy, a documented NEGATIVE result: a max_by over a
+    # (cnt, -label) struct looks like it should beat this window (map-
+    # side combinable, "no sort") — but Spark plans struct-buffered
+    # max_by as SortAggregate, which SORTS each side of the shuffle
+    # anyway and forfeits the exchange reuse the window gets from
+    # sharing the node partitioning with the count. Measured at 10x:
+    # window 33.9 s vs max_by 37.6-54.1 s. The ranking window stays.
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(),
+                                           F.col("label").asc())
     for _ in range(rounds):
         nbr = (ev.join(labels.withColumnRenamed("node", "dst"), "dst")
                .select(F.col("src").alias("node"), "label"))
         cnt = nbr.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt"))
-        # argmax by (count DESC, label ASC) as a map-side-combinable
-        # max_by over a (cnt, -label) struct — lexicographic struct
-        # max = max count, then max(-label) = MIN label — instead of
-        # a row_number window, which would re-SORT every partition
-        # each round (the nb_classifier min_by-argmax device)
-        labels = (cnt.groupBy("node")
-                  .agg(F.max_by(
-                      "label",
-                      F.struct(F.col("cnt").alias("c"),
-                               (-F.col("label")).alias("nl")))
-                      .alias("label"))
-                  .localCheckpoint(eager=True))
+        labels = (cnt.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .select("node", "label"))
+        if checkpoint:
+            # per-round lineage truncation (the kcore lesson); skipped
+            # only by plan-inspection callers
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 

@@ -428,3 +428,38 @@ def test_pq_index_probe_aggregates_shuffle_free(spark):
             "expected partial+final HashAggregate above the index scan"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_market_basket_scans_lineitem_once(spark):
+    """Pairs, item counts, and the basket count all derive from ONE
+    persisted basket frame — the physical plan must contain exactly one
+    lineitem parquet scan (the other consumers read the InMemory
+    cache)."""
+    import new_data_pipeline_spark as engine
+    engine.load_all()
+    df = engine.QUERIES["ml_market_basket_lift"].fn(spark, SF_DIR)
+    try:
+        plan = _plan(df)
+        scans = plan.count("lineitem.parquet")
+        cached = plan.count("InMemoryTableScan")
+        assert scans <= 1, f"{scans} lineitem scans:\n{plan}"
+        assert cached >= 2, f"expected cached basket reuse:\n{plan}"
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_ols_is_a_single_aggregate_pass(spark):
+    """The whole OLS fit is one partial+final aggregate over lineitem:
+    exactly one Exchange in the plan (the 3-group shuffle); the Cramer
+    solve adds projections, never another shuffle."""
+    import new_data_pipeline_spark as engine
+    engine.load_all()
+    df = engine.QUERIES["ml_ols_regression"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # formatted plans list each node twice (tree + details): count the
+    # numbered detail entries. Allowed: the 3-group shuffle + the final
+    # orderBy's range exchange.
+    import re
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 2, f"{n_ex} exchanges:\n{plan}"
+    assert "HashAggregate" in plan
