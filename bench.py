@@ -73,6 +73,14 @@ HEADLINE = (
     "stream_neardup_filter",
     "sim_ivf_bucketed_probe",
     "graph_triangle_doulion",
+    # round 10 second wave: the association-rule miner (single-basket-
+    # frame pair counting) and the ACID MERGE upsert (file-granular
+    # copy-on-write end to end). graph_community_lpa is deliberately
+    # NOT benched — its ~10 s/round-trip wall would dominate the total
+    # and its regression tracking lives in the scale-audit table
+    # (BASELINE.md) instead.
+    "ml_market_basket_lift",
+    "store_merge_upsert",
 )
 
 
