@@ -338,7 +338,7 @@ def vacuum(table: str, retain_last: int = 1) -> int:
 
 
 def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
-                 key_cols: list[str]) -> int:
+                 key_cols: list[str], *, txn: dict | None = None) -> int:
     """MERGE INTO (the Delta/Iceberg upsert): target rows matching an
     update row on ``key_cols`` are REPLACED by it, unmatched update
     rows are INSERTED. Copy-on-write at FILE granularity (the
@@ -357,6 +357,11 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
 
     parent = latest_version(table)
     snap = _load_snapshot(table, parent)
+    if not snap["files"]:  # empty target: every update row inserts
+        new_files = _write_data_files(updates, table)
+        return _commit_with_retry(table, "merge", new_files,
+                                  snap["schema"], parent=parent,
+                                  merge=False, txn=txn)
     all_paths = [os.path.join(table, f) for f in snap["files"]]
     cur = spark.read.parquet(*all_paths)
     keys = updates.select(*key_cols).distinct()
@@ -383,4 +388,5 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
         fresh = survivors.select(*cur.columns).unionByName(fresh)
     new_files = _write_data_files(fresh, table)
     return _commit_with_retry(table, "merge", keep_files + new_files,
-                              snap["schema"], parent=parent, merge=False)
+                              snap["schema"], parent=parent, merge=False,
+                              txn=txn)

@@ -5,6 +5,7 @@ transactional table holding every source row exactly once, with the
 
 from __future__ import annotations
 
+import datetime
 import time
 
 from new_data_pipeline_spark import catalog
@@ -195,3 +196,49 @@ def test_full_redelivery_all_epochs_skipped(spark, tmp_path):
     assert acid.latest_version(table) == v_first  # zero new commits
     assert _rows(spark, table) == first
     assert first and len(first) == batch.count()
+
+
+def test_merge_apply_replayed_epoch_is_noop(spark, tmp_path):
+    """A re-delivered micro-batch (same epoch_id) must not re-merge."""
+    from new_data_pipeline_spark.streaming.acid_sink import (
+        merge_apply_writer)
+
+    table = str(tmp_path / "state")
+    seed = ("user_id bigint, last_ts timestamp, last_event_id bigint, "
+            "last_type string, last_value double")
+    acid.create_or_overwrite(spark.createDataFrame([], seed), table)
+    batch = spark.createDataFrame(
+        [(1, 7, datetime.datetime(2024, 1, 2), "click", 5.0)],
+        "user_id bigint, event_id bigint, ts timestamp, "
+        "event_type string, value double")
+    w = merge_apply_writer(spark, table, "s1")
+    w(batch, 0)
+    v_after_first = acid.latest_version(table)
+    w(batch, 0)  # replay: must be a no-op, no new version
+    assert acid.latest_version(table) == v_after_first
+    assert acid.read(spark, table).count() == 1
+
+
+def test_merge_apply_stale_update_rejected(spark, tmp_path):
+    """An out-of-order batch carrying OLDER events for a user must not
+    overwrite the newer state row (last-writer-wins by data)."""
+    from new_data_pipeline_spark.streaming.acid_sink import (
+        merge_apply_writer)
+
+    table = str(tmp_path / "state")
+    seed = ("user_id bigint, last_ts timestamp, last_event_id bigint, "
+            "last_type string, last_value double")
+    acid.create_or_overwrite(spark.createDataFrame([], seed), table)
+    schema = ("user_id bigint, event_id bigint, ts timestamp, "
+              "event_type string, value double")
+    newer = spark.createDataFrame(
+        [(1, 9, datetime.datetime(2024, 1, 5), "purchase", 9.0)], schema)
+    older = spark.createDataFrame(
+        [(1, 3, datetime.datetime(2024, 1, 1), "view", 1.0),
+         (2, 4, datetime.datetime(2024, 1, 1), "click", 2.0)], schema)
+    w = merge_apply_writer(spark, table, "s1")
+    w(newer, 0)
+    w(older, 1)  # user 1 stale (dropped); user 2 new (inserted)
+    got = {r.user_id: (r.last_type, r.last_event_id)
+           for r in acid.read(spark, table).collect()}
+    assert got == {1: ("purchase", 9), 2: ("click", 4)}
