@@ -790,3 +790,113 @@ def profile_gini_concentration(spark: SparkSession,
         F.round(F.lit(2.0) * F.col("wsum").cast("double")
                 / (n * F.col("tot").cast("double"))
                 - (n + F.lit(1.0)) / n, 6).alias("gini"))
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS prev_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1
+    )
+    SELECT c.prev_type, c.next_type, c.n AS n_transitions,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS prob
+    FROM c JOIN t ON c.prev_type = t.prev_type
+    ORDER BY c.prev_type, c.next_type
+    """,
+    tags=("analytics", "sequence", "markov"),
+)
+def events_markov_transitions(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), row-normalized
+    exact counts — the sequence model behind next-action prediction and
+    behavioral anomaly scoring (event_path_trigrams counts raw paths;
+    this is the normalized chain).
+
+    Scale: ONE keyed window per user (shuffle on user_id, LEAD within)
+    emits transitions per row; counting is map-combinable into a
+    |types|² matrix, and the row normalization joins two
+    |types|-sized aggregates — everything after the window is
+    metadata-sized. Probabilities are single IEEE divisions on exact
+    integer operands, rounded 6 dp.
+    """
+    from pyspark.sql import Window as W
+
+    events = catalog.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"))
+    c = (seq.filter(F.col("next_type").isNotNull())
+         .groupBy("prev_type", "next_type")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    t = c.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("total"))
+    return (c.join(t, "prev_type")
+            .select("prev_type", "next_type",
+                    F.col("n").alias("n_transitions"),
+                    F.round(F.col("n").cast("double") / F.col("total"), 6)
+                    .alias("prob"))
+            .orderBy("prev_type", "next_type"))
+
+
+@register(
+    "profile_shannon_diversity",
+    oracle="""
+    WITH cl AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ), ns AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM cl GROUP BY 1
+    )
+    SELECT cl.source, ns.n AS n_docs, ns.n_langs,
+           ROUND(CAST(SUM(CAST(ROUND(
+             -(CAST(cl.c AS DOUBLE) / ns.n)
+               * ROUND(ln(CAST(cl.c AS DOUBLE) / ns.n), 6),
+             9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy
+    FROM cl JOIN ns ON cl.source = ns.source
+    GROUP BY cl.source, ns.n, ns.n_langs
+    ORDER BY cl.source
+    """,
+    tags=("profile", "diversity", "entropy"),
+)
+def profile_shannon_diversity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the language distribution — the
+    corpus-diversity screen a mixing pipeline runs before setting
+    sampling weights (a source whose languages collapsed to one is a
+    crawl regression; compare profile_gini_concentration for mass
+    concentration and profile_source_drift for content drift).
+
+    Parity device (the source_drift term monoid): each −p·ln(p) term
+    computes in doubles on identical operands with the ln rounded 6 dp
+    (libm-ulp shield), is rounded to 9 dp and cast to DECIMAL(18,9),
+    and the per-source SUM then runs over exact decimals — associative,
+    so reduction order can't flip the hash. Two map-combinable
+    aggregates plus a |sources|-sized join; nothing scales past the
+    group count.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    cl = (docs.groupBy("source", "lang")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    ns = (cl.groupBy("source")
+          .agg(F.sum("c").cast("bigint").alias("n"),
+               F.count(F.lit(1)).cast("bigint").alias("n_langs")))
+    p = F.col("c").cast("double") / F.col("n")
+    term = (F.round(-p * F.round(F.log(p), 6), 9)
+            .cast("decimal(18,9)"))
+    return (cl.join(ns, "source")
+            .groupBy("source", F.col("n").alias("n_docs"), "n_langs")
+            .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy"))
+            .orderBy("source"))

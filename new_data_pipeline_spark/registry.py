@@ -81,16 +81,17 @@ QUERIES: dict[str, QuerySpec] = {}
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
 # Round-10 window (re-aimed per VERDICT r9 #1). Composition:
-# - slots 1-16: the queries ADDED in round 10 — the persisted PQ-only
+# - slots 1-18: the queries ADDED in round 10 — the persisted PQ-only
 #   index probe (VERDICT r9 #4), the size-gated census→DOULION
 #   dispatcher (VERDICT r9 #3), k-core peeling, the containment join,
 #   the Gini concentration profile, hub-capped link prediction, and
 #   the second wave: OLS-by-aggregation, market-basket lift, LPA
 #   communities, linear interpolation, DP noisy counts, k-anonymity,
 #   the group-aware split, the CUSUM changepoint, the ACID
-#   MERGE/upsert (file-granular copy-on-write), and the streaming CDC
-#   apply (foreachBatch reduce→newer-than-current→merge);
-# - slots 17-36: EVERY query whose code path changed in round 10, per
+#   MERGE/upsert (file-granular copy-on-write), the streaming CDC
+#   apply (foreachBatch reduce→newer-than-current→merge), the Markov
+#   transition matrix, and the Shannon diversity profile;
+# - slots 19-38: EVERY query whose code path changed in round 10, per
 #   the every-changed-query rule (ADVICE r9 flagged r9's omissions) —
 #   output-identical refactors included, because "output-identical"
 #   is exactly the claim the gate exists to check: the prefix join's
@@ -106,13 +107,14 @@ QUERIES: dict[str, QuerySpec] = {}
 #   refactor (dedup_minhash_lsh, dedup_incremental_lsh,
 #   dedup_lsh_bucketed_probe, dedup_cluster_components,
 #   stream_neardup_filter);
-# - slots 37-50: 14 of the 15 remaining round-5-graded slots.
-#   text_model_quality_filter slips just past the boundary (16 adds +
-#   20 changed leave 14 free slots): new additions MUST take their
-#   first driver exposure, so it leads the round-11 backfill together
-#   with the r6 block. It stays replay-verified every run by the local
-#   full-registry mirror (tests/test_oracle_parity.py), as does
-#   everything below the line.
+# - slots 39-50: 12 of the 15 remaining round-5-graded slots.
+#   text_hashing_vectorize, text_model_quality_filter, and
+#   sample_reservoir_pergroup slip just past the boundary (18 adds +
+#   20 changed leave 12 free slots): new additions MUST take their
+#   first driver exposure, so those three lead the round-11 backfill
+#   together with the r6 block. They stay replay-verified every run by
+#   the local full-registry mirror (tests/test_oracle_parity.py), as
+#   does everything below the line.
 # Released this round (all r9-green, all still re-verified every run
 # by the local full-registry replay): the r9-additions block
 # (graph_triangle_doulion, sim_ivf_bucketed_probe,
@@ -137,6 +139,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_cusum_changepoint",
     "store_merge_upsert",
     "stream_merge_apply",
+    "events_markov_transitions",
+    "profile_shannon_diversity",
     # ---- changed in round 10 ----
     "join_set_similarity_prefix",
     "corpus_e2e_curation",
@@ -171,11 +175,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_thumbnail_stats",
     "profile_benford_deviation",
     "profile_source_drift",
+    # ---- first-50 window boundary: "profile_source_drift" is
+    # slot 50 (18 added + 20 changed + 12 r5); everything below is
+    # OUTSIDE the graded window this round ----
     "sample_reservoir_pergroup",
     "text_hashing_vectorize",
-    # ---- first-50 window boundary: "text_hashing_vectorize" is
-    # slot 50 (16 added + 20 changed + 14 r5); everything below is
-    # OUTSIDE the graded window this round ----
     "text_model_quality_filter",
     # ---- rotation: round-6 block, regeneration-sensitive first ----
     "stream_tumbling_window",

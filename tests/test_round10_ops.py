@@ -186,3 +186,31 @@ def test_cusum_equals_clamped_recurrence(spark):
                             round(best / n, 6), abs_tol=1e-6)
         assert got.loc[et, "change_hour"] == best_h.strftime(
             "%Y-%m-%d %H:%M:%S")
+
+
+def test_markov_rows_normalize_to_one(spark):
+    got = (engine.QUERIES["events_markov_transitions"]
+           .fn(spark, SMOKE_DIR).toPandas())
+    assert len(got) > 0
+    sums = got.groupby("prev_type").prob.sum()
+    assert np.allclose(sums.to_numpy(), 1.0, atol=1e-4), sums
+    # exact transition counts recomputed in pandas
+    ev = (spark.read.parquet(f"{SMOKE_DIR}/events.parquet")
+          .toPandas().sort_values(["user_id", "ts", "event_id"]))
+    nxt = ev.groupby("user_id").event_type.shift(-1)
+    ref = (pd.DataFrame({"prev_type": ev.event_type, "next_type": nxt})
+           .dropna().groupby(["prev_type", "next_type"]).size())
+    for r in got.itertuples():
+        assert ref[(r.prev_type, r.next_type)] == r.n_transitions
+
+
+def test_shannon_diversity_bounds(spark):
+    got = (engine.QUERIES["profile_shannon_diversity"]
+           .fn(spark, SMOKE_DIR).toPandas())
+    assert len(got) > 0
+    # 0 <= H <= ln(n_langs); single-lang sources have H == 0
+    assert (got.entropy >= -1e-9).all()
+    assert (got.entropy <= np.log(got.n_langs) + 1e-6).all()
+    single = got[got.n_langs == 1]
+    if len(single):
+        assert (single.entropy.abs() < 1e-9).all()
