@@ -44,6 +44,7 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.similarity  # noqa: F401
     import new_data_pipeline_spark.operators.pq  # noqa: F401
     import new_data_pipeline_spark.operators.clustering  # noqa: F401
+    import new_data_pipeline_spark.operators.random_projection  # noqa: F401
     import new_data_pipeline_spark.operators.fuzzy_join  # noqa: F401
     import new_data_pipeline_spark.operators.incremental  # noqa: F401
     import new_data_pipeline_spark.operators.text_analysis  # noqa: F401

@@ -335,3 +335,43 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(W.partitionBy("user_id"))
          .cast("bigint").alias("n_events"),
     ).distinct()
+
+
+@register(
+    "window_distinct_over_frame",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(DISTINCT event_type)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_last5,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_last5
+    FROM events
+    """,
+    tags=("window", "distinct", "frame"),
+)
+def window_distinct_over_frame(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Distinct count over a sliding row frame (how many DIFFERENT
+    event types in the user's last 5 actions — the behavioral-variety
+    feature sessionization models use). Spark has no
+    COUNT(DISTINCT) OVER, so the operator is expressed as
+    size(collect_set() OVER frame) — semantically identical, and the
+    per-row set is bounded by the frame length (5), so state stays
+    O(frame), never O(cardinality). DuckDB replays it natively with
+    COUNT(DISTINCT ...) OVER, making this a two-idiom parity gate.
+
+    Scale: one keyed window (shuffle on user_id + within-partition
+    sort shared by both frame expressions); the collect_set buffer is
+    frame-bounded, so memory is O(rows_in_partition + frame), the same
+    class as the moving sum next to it."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, W.currentRow))
+    return events.select(
+        "user_id", "event_id", "ts",
+        F.size(F.collect_set("event_type").over(w))
+         .cast("bigint").alias("distinct_types_last5"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last5"))

@@ -214,3 +214,30 @@ def test_shannon_diversity_bounds(spark):
     single = got[got.n_langs == 1]
     if len(single):
         assert (single.entropy.abs() < 1e-9).all()
+
+
+def test_random_projection_matches_numpy(spark):
+    """The Spark-side JL projection must equal the numpy projection of
+    the same constant sign matrix (mechanism equality), and the
+    reported exact cosine must equal the raw-space cosine for each
+    reported pair. Top-k recall at RP_DIM=16 over 64-d near-uniform
+    vectors is LOW by JL math (~0.1 at this fixture; ε ≈ √(ln n / d))
+    — which is exactly why the operator reports both cosines: the
+    degradation is observable in the result, not hidden behind it."""
+    from new_data_pipeline_spark.operators.random_projection import (
+        RP_QUERIES, SIGNS)
+
+    got = (engine.QUERIES["sim_random_projection_topk"]
+           .fn(spark, SMOKE_DIR).toPandas())
+    assert set(got.query_id) == set(range(RP_QUERIES))
+    emb = (spark.read.parquet(f"{SMOKE_DIR}/embeddings.parquet")
+           .toPandas())
+    V = {r.vec_id: np.array(r.embedding, float) for r in emb.itertuples()}
+    S = np.array(SIGNS, float)
+    for r in got.itertuples():
+        qp, cp = S @ V[r.query_id], S @ V[r.candidate_id]
+        pref = float(qp @ cp / (np.linalg.norm(qp) * np.linalg.norm(cp)))
+        assert math.isclose(r.proj_cosine, round(pref, 4), abs_tol=2e-4)
+        qv, cv = V[r.query_id], V[r.candidate_id]
+        xref = float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+        assert math.isclose(r.exact_cosine, round(xref, 4), abs_tol=2e-4)
