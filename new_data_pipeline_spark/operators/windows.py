@@ -375,3 +375,62 @@ def window_distinct_over_frame(spark: SparkSession,
         F.size(F.collect_set("event_type").over(w))
          .cast("bigint").alias("distinct_types_last5"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_last5"))
+
+
+@register(
+    "events_streak_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+      FROM events
+    ), islands AS (
+      SELECT user_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS streak_len,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS streak_start,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS streak_end
+      FROM seq GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, event_type, streak_len, streak_start, streak_end
+    FROM islands
+    ORDER BY streak_len DESC, user_id, streak_start, event_type
+    LIMIT 20
+    """,
+    tags=("window", "gaps-islands", "sequence"),
+)
+def events_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: the 20 longest runs of CONSECUTIVE same-type
+    events per user (did a user click 9 times in a row?) — the
+    value-change grouping device (difference of two row_numbers is
+    constant within an island), complementary to time-gap
+    sessionization (sessionize_lag cuts on elapsed time; this cuts on
+    value change regardless of time).
+
+    Scale: both row_number windows sort by the SAME (ts, event_id)
+    order and partition by user prefixes of one another, so the
+    physical plan pays one user-keyed shuffle with one sort, the
+    (user, type) window reusing the (user) sort order; the island
+    aggregate is map-combinable and the top-20 is a TakeOrdered merge.
+    The deterministic tie-break (len DESC, user, start, type — type
+    included because colliding timestamps can start two same-user
+    islands at one instant) makes the cut replayable."""
+    events = catalog.load(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type", "ts",
+        (F.row_number().over(wu) - F.row_number().over(wt)).alias("grp"))
+    return (seq.groupBy("user_id", "event_type", "grp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("streak_len"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("streak_start"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("streak_end"))
+            .select("user_id", "event_type", "streak_len",
+                    "streak_start", "streak_end")
+            .orderBy(F.col("streak_len").desc(), "user_id",
+                     "streak_start", "event_type")
+            .limit(20))

@@ -81,7 +81,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
 # Round-10 window (re-aimed per VERDICT r9 #1). Composition:
-# - slots 1-20: the queries ADDED in round 10 — the persisted PQ-only
+# - slots 1-21: the queries ADDED in round 10 — the persisted PQ-only
 #   index probe (VERDICT r9 #4), the size-gated census→DOULION
 #   dispatcher (VERDICT r9 #3), k-core peeling, the containment join,
 #   the Gini concentration profile, hub-capped link prediction, and
@@ -91,8 +91,9 @@ QUERIES: dict[str, QuerySpec] = {}
 #   MERGE/upsert (file-granular copy-on-write), the streaming CDC
 #   apply (foreachBatch reduce→newer-than-current→merge), the Markov
 #   transition matrix, the Shannon diversity profile, the sliding-
-#   frame distinct count, and JL random-projection top-k;
-# - slots 21-40: EVERY query whose code path changed in round 10, per
+#   frame distinct count, JL random-projection top-k, and the
+#   gaps-and-islands streak finder;
+# - slots 22-41: EVERY query whose code path changed in round 10, per
 #   the every-changed-query rule (ADVICE r9 flagged r9's omissions) —
 #   output-identical refactors included, because "output-identical"
 #   is exactly the claim the gate exists to check: the prefix join's
@@ -108,12 +109,13 @@ QUERIES: dict[str, QuerySpec] = {}
 #   refactor (dedup_minhash_lsh, dedup_incremental_lsh,
 #   dedup_lsh_bucketed_probe, dedup_cluster_components,
 #   stream_neardup_filter);
-# - slots 41-50: 10 of the 15 remaining round-5-graded slots.
-#   profile_benford_deviation, profile_source_drift,
-#   sample_reservoir_pergroup, text_hashing_vectorize, and
-#   text_model_quality_filter slip just past the boundary (20 adds +
-#   20 changed leave 10 free slots): new additions MUST take their
-#   first driver exposure, so those five lead the round-11 backfill
+# - slots 42-50: 9 of the 15 remaining round-5-graded slots.
+#   multimodal_thumbnail_stats, profile_benford_deviation,
+#   profile_source_drift, sample_reservoir_pergroup,
+#   text_hashing_vectorize, and text_model_quality_filter slip just
+#   past the boundary (21 adds + 20 changed leave 9 free slots): new
+#   additions MUST take their first driver exposure, so those six
+#   lead the round-11 backfill
 #   together with the r6 block. They stay replay-verified every run by
 #   the local full-registry mirror (tests/test_oracle_parity.py), as
 #   does everything below the line.
@@ -145,6 +147,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "profile_shannon_diversity",
     "window_distinct_over_frame",
     "sim_random_projection_topk",
+    "events_streak_islands",
     # ---- changed in round 10 ----
     "join_set_similarity_prefix",
     "corpus_e2e_curation",
@@ -176,10 +179,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "multimodal_audio_resample",
     "multimodal_e2e_curation",
-    "multimodal_thumbnail_stats",
-    # ---- first-50 window boundary: "multimodal_thumbnail_stats" is
-    # slot 50 (20 added + 20 changed + 10 r5); everything below is
+    # ---- first-50 window boundary: "multimodal_e2e_curation" is
+    # slot 50 (21 added + 20 changed + 9 r5); everything below is
     # OUTSIDE the graded window this round ----
+    "multimodal_thumbnail_stats",
     "profile_benford_deviation",
     "profile_source_drift",
     "sample_reservoir_pergroup",

@@ -241,3 +241,27 @@ def test_random_projection_matches_numpy(spark):
         qv, cv = V[r.query_id], V[r.candidate_id]
         xref = float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
         assert math.isclose(r.exact_cosine, round(xref, 4), abs_tol=2e-4)
+
+
+def test_streak_islands_recomputed_in_pandas(spark):
+    got = (engine.QUERIES["events_streak_islands"]
+           .fn(spark, SMOKE_DIR).toPandas())
+    assert len(got) > 0
+    ev = (spark.read.parquet(f"{SMOKE_DIR}/events.parquet").toPandas()
+          .sort_values(["user_id", "ts", "event_id"]))
+    change = ((ev.event_type != ev.groupby("user_id").event_type.shift())
+              | (ev.user_id != ev.user_id.shift()))
+    ev["island"] = change.cumsum()
+    ref = (ev.groupby("island")
+           .agg(user_id=("user_id", "first"),
+                event_type=("event_type", "first"),
+                streak_len=("event_id", "size"),
+                streak_start=("ts", "min")))
+    ref_sorted = ref.sort_values(
+        ["streak_len", "user_id", "streak_start", "event_type"],
+        ascending=[False, True, True, True]).head(len(got))
+    for r, (_, e) in zip(got.itertuples(), ref_sorted.iterrows()):
+        assert (r.user_id, r.event_type, r.streak_len) == (
+            e.user_id, e.event_type, e.streak_len)
+        assert r.streak_start == e.streak_start.strftime(
+            "%Y-%m-%d %H:%M:%S")
