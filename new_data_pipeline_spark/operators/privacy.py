@@ -7,7 +7,11 @@ Determinism device for the DP release: real DP draws fresh randomness
 per release; a *testable, replayable* engine needs the noise to be a
 pure function of the data, so the Laplace draw comes from the md5
 inverse-CDF device (the sampling.py / dedup.py hash-uniform): u =
-md5(group-key) → uniform in [0,1), noise = −b·sign(u−½)·ln(1−2|u−½|).
+(md5(group-key) 24-bit prefix + 0.5) / 2^24 → uniform in (0,1), noise
+= −b·sign(u−½)·ln(1−2|u−½|). The half-step offset keeps u strictly
+inside the open interval: a key whose md5 prefix is 000000 (u=0)
+would otherwise hit ln(0) = −inf and release noisy_n = −Infinity in
+both engines (parity holds but the value is garbage — ADVICE r10).
 That is the exact Laplace inverse CDF — the *distribution* over groups
 is the DP-calibrated one — while both engines replay it bit-for-bit.
 The ln() is rounded to 6 dp on both sides (the text_lm_perplexity
@@ -45,8 +49,8 @@ K_ANON = 5  # the conventional "re-identifiable below k=5" threshold
     oracle=f"""
     WITH g AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST('0x' || substr(md5(event_type), 1, 6) AS BIGINT)
-               / CAST(16777216 AS DOUBLE) - 0.5 AS t
+             (CAST('0x' || substr(md5(event_type), 1, 6) AS BIGINT)
+               + 0.5) / CAST(16777216 AS DOUBLE) - 0.5 AS t
       FROM events GROUP BY event_type
     )
     SELECT event_type,
@@ -69,8 +73,8 @@ def agg_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = catalog.load(spark, sf_dir, "events")
     g = (events.groupBy("event_type")
          .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
-    t = (F.conv(F.substring(F.md5(F.col("event_type").cast("binary")),
-                            1, 6), 16, 10).cast("bigint")
+    t = ((F.conv(F.substring(F.md5(F.col("event_type").cast("binary")),
+                             1, 6), 16, 10).cast("bigint") + F.lit(0.5))
          / 16777216.0 - 0.5)
     g = g.withColumn("t", t)
     noise = ((-DP_SCALE) * F.signum(F.col("t"))

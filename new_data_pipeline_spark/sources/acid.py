@@ -372,14 +372,17 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
     # source)
     hit_uris = {
         r[0] for r in spark.read.parquet(*all_paths)
-        .select(*key_cols, F.col("_metadata.file_name").alias("__file"))
+        .select(*key_cols, F.col("_metadata.file_path").alias("__file"))
         .join(keys, key_cols, "left_semi")
         .select("__file").distinct().collect()}
-    hit_names = {os.path.basename(u) for u in hit_uris}
-    keep_files = [f for f in snap["files"]
-                  if os.path.basename(f) not in hit_names]
-    rewrite_files = [f for f in snap["files"]
-                     if os.path.basename(f) in hit_names]
+    # Suffix-match the full URI against each table-relative snapshot
+    # path (ADVICE r10): basenames collide across txn dirs, and a
+    # collision would silently pull an extra file into the rewrite
+    # set, degrading the file-granular CoW guarantee.
+    def _hit(rel: str) -> bool:
+        return any(u.endswith("/" + rel) for u in hit_uris)
+    keep_files = [f for f in snap["files"] if not _hit(f)]
+    rewrite_files = [f for f in snap["files"] if _hit(f)]
     fresh = updates.select(*cur.columns)
     if rewrite_files:
         survivors = (spark.read.parquet(

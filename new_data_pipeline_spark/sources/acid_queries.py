@@ -18,6 +18,7 @@ rewrite survivors) breaks the hash.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
@@ -58,9 +59,15 @@ from new_data_pipeline_spark.sources import acid
 def acid_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate the insert/delete feed between the post-create and
     post-delete snapshots of a freshly built transactional table."""
-    token = hashlib.md5(("cdf:" + sf_dir).encode()).hexdigest()[:12]
+    # pid in the token (ADVICE r10): a path keyed only by sf_dir lets
+    # concurrent runs on the same sf_dir rmtree each other's live
+    # table mid-query; atexit reclaims the per-pid dir (the
+    # acid_sink.py convention). Same-process reruns still reuse one.
+    token = hashlib.md5(
+        f"cdf:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
     table = os.path.join(tempfile.gettempdir(), f"ndp_cdf_{token}")
     shutil.rmtree(table, ignore_errors=True)  # rerun isolation
+    atexit.register(shutil.rmtree, table, ignore_errors=True)
 
     li = catalog.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber",
@@ -124,9 +131,13 @@ def store_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anti-join ∪ updates), so a hash match proves the file rewrite
     lost no survivor, duplicated no key, and applied every update —
     the row-level invariants a Delta MERGE is specified by."""
-    token = hashlib.md5(("merge:" + sf_dir).encode()).hexdigest()[:12]
+    # pid-keyed + atexit-reclaimed, mirroring acid_change_data_feed
+    # above (ADVICE r10: concurrent runs must not share a live table).
+    token = hashlib.md5(
+        f"merge:{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
     table = os.path.join(tempfile.gettempdir(), f"ndp_merge_{token}")
     shutil.rmtree(table, ignore_errors=True)  # rerun isolation
+    atexit.register(shutil.rmtree, table, ignore_errors=True)
 
     cust = catalog.load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),
