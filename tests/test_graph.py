@@ -163,3 +163,50 @@ def test_kcore_peeling_matches_driver_replay_and_converges(spark):
     assert got[-1] [1:] == got[-2][1:], \
         "peeling must converge within the round budget"
     spark.catalog.clearCache()
+
+
+def test_kcore_auto_dispatcher_pins_both_branches(spark):
+    """VERDICT r10 #2: the size-gated k-core dispatcher must replay the
+    exact peel trace below the lineitem gate and the p=1/4 coin-sampled
+    peel above it — each bit-equal to running _kcore_trace on the
+    corresponding edge set — and the registered default must take the
+    branch the oracle's COUNT(*) CASE takes."""
+    from new_data_pipeline_spark import catalog
+    from new_data_pipeline_spark.operators.graph import (
+        KCORE_EXACT_LI_MAX, KCORE_SAMPLE_HEX_LIMIT, KCORE_SAMPLE_INV_P,
+        _copurchase_edges, _copurchase_pairs, _kcore_trace,
+        graph_kcore_auto, graph_kcore_peeling)
+
+    def trace(df):
+        return sorted((r["round"], r["n_nodes"], r["n_edges"])
+                      for r in df.collect())
+
+    # forced-exact branch == the standalone peeling gate
+    got = graph_kcore_auto(spark, SF_DIR, exact_max=10**12)
+    rows = got.collect()
+    assert {r["method"] for r in rows} == {"exact"}
+    assert all(r["est_edges"] == r["n_edges"] for r in rows)
+    assert trace(got) == trace(graph_kcore_peeling(spark, SF_DIR))
+
+    # forced-sampled branch == peeling the deterministic coin sample
+    got = graph_kcore_auto(spark, SF_DIR, exact_max=0)
+    rows = got.collect()
+    assert {r["method"] for r in rows} == {"sampled"}
+    assert all(r["est_edges"] == r["n_edges"] * KCORE_SAMPLE_INV_P
+               for r in rows)
+    coin = F.substring(
+        F.md5(F.concat_ws("_", F.col("u").cast("string"),
+                          F.col("v").cast("string")).cast("binary")), 1, 2)
+    s = (_copurchase_pairs(spark, SF_DIR)
+         .filter(coin < F.lit(KCORE_SAMPLE_HEX_LIMIT)).distinct())
+    assert trace(got) == trace(_kcore_trace(s))
+    # the sample must actually sparsify (the scale path's whole point)
+    assert (s.count()
+            < _copurchase_edges(spark, SF_DIR).count())
+
+    # the registered default takes the oracle's CASE branch
+    n_li = catalog.load(spark, SF_DIR, "lineitem").count()
+    want = "exact" if n_li <= KCORE_EXACT_LI_MAX else "sampled"
+    rows = graph_kcore_auto(spark, SF_DIR).collect()
+    assert {r["method"] for r in rows} == {want}
+    spark.catalog.clearCache()

@@ -82,6 +82,11 @@ HEAVY = [
     "ml_ols_regression",
     "ml_market_basket_lift",
     "graph_community_lpa",
+    # round 11: the kcore dispatcher (the audit row should show it
+    # peeling the p=1/4 sample at 10×, retiring r10's one weak alpha)
+    # and the JL-projection→IVF composition
+    "graph_kcore_auto",
+    "sim_rp_ivf_topk",
 ]
 
 
