@@ -287,3 +287,48 @@ def test_lpa_frontier_equals_full_sweep(spark):
                 for r in lpa_labels(ev, rounds, frontier=True).collect()}
         assert fast == full, f"frontier diverged at rounds={rounds}"
     spark.catalog.clearCache()
+
+def test_rp_ivf_composition_mechanism(spark):
+    """VERDICT r10 #6: the composed JL→IVF gate must (a) restrict each
+    query's candidates to members of its probed IVF cells in the
+    PROJECTED space (replayed in numpy from the same sign matrix and
+    centroid rule), and (b) report projected and exact cosines that
+    match numpy for every reported pair — proving the index was built
+    on projected vectors and the 64-d originals survive for the
+    exact-cosine report."""
+    from new_data_pipeline_spark.operators.random_projection import (
+        RP_QUERIES, RP_TOP_K, SIGNS)
+    from new_data_pipeline_spark.operators.similarity import (
+        IVF_CENT_RESIDUE, IVF_NPROBE, ivf_mod)
+
+    got = (engine.QUERIES["sim_rp_ivf_topk"]
+           .fn(spark, SMOKE_DIR).toPandas())
+    assert set(got.query_id) <= set(range(RP_QUERIES))
+    assert got.groupby("query_id").rn.max().max() <= RP_TOP_K
+    emb = (spark.read.parquet(f"{SMOKE_DIR}/embeddings.parquet")
+           .toPandas())
+    V = {r.vec_id: np.array(r.embedding, float) for r in emb.itertuples()}
+    S = np.array(SIGNS, float)
+    P = {k: S @ v for k, v in V.items()}
+    mod = ivf_mod(len(emb))
+    res = IVF_CENT_RESIDUE % mod
+    cents = {k: P[k] for k in V if k % mod == res}
+
+    def cell_ranking(pv):
+        # (ccos DESC, cent_id ASC) over all centroids
+        return sorted(
+            ((float(pv @ c / (np.linalg.norm(pv) * np.linalg.norm(c))),
+              -cid) for cid, c in cents.items()),
+            reverse=True)
+
+    assign = {k: -cell_ranking(P[k])[0][1] for k in V}
+    for r in got.itertuples():
+        probed = {-t[1] for t in cell_ranking(P[r.query_id])[:IVF_NPROBE]}
+        assert assign[r.candidate_id] in probed, \
+            "candidate outside the query's probed cells"
+        qp, cp = P[r.query_id], P[r.candidate_id]
+        pref = float(qp @ cp / (np.linalg.norm(qp) * np.linalg.norm(cp)))
+        assert math.isclose(r.proj_cosine, round(pref, 4), abs_tol=2e-4)
+        qv, cv = V[r.query_id], V[r.candidate_id]
+        xref = float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+        assert math.isclose(r.exact_cosine, round(xref, 4), abs_tol=2e-4)
