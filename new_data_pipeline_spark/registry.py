@@ -80,108 +80,45 @@ QUERIES: dict[str, QuerySpec] = {}
 # stream_interval_join, join_asof_event_streams,
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
-# Round-10 window (re-aimed per VERDICT r9 #1). Composition:
-# - slots 1-21: the queries ADDED in round 10 — the persisted PQ-only
-#   index probe (VERDICT r9 #4), the size-gated census→DOULION
-#   dispatcher (VERDICT r9 #3), k-core peeling, the containment join,
-#   the Gini concentration profile, hub-capped link prediction, and
-#   the second wave: OLS-by-aggregation, market-basket lift, LPA
-#   communities, linear interpolation, DP noisy counts, k-anonymity,
-#   the group-aware split, the CUSUM changepoint, the ACID
-#   MERGE/upsert (file-granular copy-on-write), the streaming CDC
-#   apply (foreachBatch reduce→newer-than-current→merge), the Markov
-#   transition matrix, the Shannon diversity profile, the sliding-
-#   frame distinct count, JL random-projection top-k, and the
-#   gaps-and-islands streak finder;
-# - slots 22-41: EVERY query whose code path changed in round 10, per
-#   the every-changed-query rule (ADVICE r9 flagged r9's omissions) —
-#   output-identical refactors included, because "output-identical"
-#   is exactly the claim the gate exists to check: the prefix join's
-#   new lossless length filter, the trivially-true-predicate aliasing
-#   sweep (sim_pq_topk, sim_ivfpq_topk, sim_ivfpq_bucketed_probe,
-#   corpus_e2e_curation, agg_countmin_point_estimates,
-#   multimodal_e2e_curation — the last already seated in the r5
-#   block), the null-safe + cache-tracked range devices and everything
-#   built on them (agg_weighted_median, corpus_token_shards,
-#   curriculum_rank_global, text_bow_vectorize, window_rank_dense_
-#   ntile, window_pct_cume_nth, ingest_key_assignment, ingest_batch_
-#   assignment, ingest_binding_join), and the _shingle_bands 3-tuple
-#   refactor (dedup_minhash_lsh, dedup_incremental_lsh,
-#   dedup_lsh_bucketed_probe, dedup_cluster_components,
-#   stream_neardup_filter);
-# - slots 42-50: 9 of the 15 remaining round-5-graded slots.
-#   multimodal_thumbnail_stats, profile_benford_deviation,
-#   profile_source_drift, sample_reservoir_pergroup,
-#   text_hashing_vectorize, and text_model_quality_filter slip just
-#   past the boundary (21 adds + 20 changed leave 9 free slots): new
-#   additions MUST take their first driver exposure, so those six
-#   lead the round-11 backfill
-#   together with the r6 block. They stay replay-verified every run by
-#   the local full-registry mirror (tests/test_oracle_parity.py), as
-#   does everything below the line.
-# Released this round (all r9-green, all still re-verified every run
-# by the local full-registry replay): the r9-additions block
-# (graph_triangle_doulion, sim_ivf_bucketed_probe,
-# text_nb_source_classifier, ...) and the round-2/round-3 rotation.
-# Round 11 should seat the ~31 remaining r6-graded slots next
-# (TPC-H q4-q22 variants, agg cube/pivot family, flagship/pricing).
+# Round-11 window (re-aimed per VERDICT r10 #1: seat the r5/r6
+# driver-exposure backlog — 51 queries were last graded in r6 or
+# earlier, computed by tools/exposure_report.py, which replaces the
+# hand-maintained lists this comment used to carry). Composition:
+# - slots 1-2: the queries ADDED in round 11 (new additions MUST take
+#   their first driver exposure): the size-gated k-core dispatcher
+#   (VERDICT r10 #2) and the JL-projection→IVF composed gate
+#   (VERDICT r10 #6);
+# - slots 3-8: EVERY query whose code path changed in round 11, per
+#   the every-changed-query rule: the Laplace u=0 clamp (ADVICE r10 —
+#   changed BOTH engines' noise expression), the ACID merge_upsert
+#   file_path suffix match + pid-keyed temp tables (ADVICE r10:
+#   store_merge_upsert, stream_merge_apply, acid_change_data_feed),
+#   the k-core peel body factored into _kcore_trace
+#   (graph_kcore_peeling), and the LPA dst-partitioned persisted edge
+#   frame + frontier-capable sweep (graph_community_lpa);
+# - slots 9-14: the six r5-graded stragglers VERDICT r10 #1 named;
+# - slots 15-50: 36 of the 45 r6-graded queries,
+#   regeneration-sensitive first (streaming family, temporal joins,
+#   event analytics, dedup family, array/struct-emitting oracles),
+#   then cube/pivot/composite/flagship and three TPC-H shapes.
+# DEFERRED to lead round 12 (9 slots short): the remaining TPC-H
+# block — q7, q8, q13, q14, q15, q17, q18, q19, q22 — pure
+# decimal-aggregate shapes, the least regeneration-sensitive of the
+# backlog; they stay replay-verified every run by the local
+# full-registry mirror (tests/test_oracle_parity.py), as does
+# everything outside the window.
 GATE_PRIORITY: tuple[str, ...] = (
-    # ---- added in round 10 ----
-    "sim_pq_bucketed_probe",
-    "graph_triangle_census_auto",
-    "graph_kcore_peeling",
-    "join_set_containment",
-    "profile_gini_concentration",
-    "graph_link_prediction",
-    "ml_ols_regression",
-    "ml_market_basket_lift",
-    "graph_community_lpa",
-    "timeseries_interpolate_linear",
+    # ---- added in round 11 ----
+    "graph_kcore_auto",
+    "sim_rp_ivf_topk",
+    # ---- changed in round 11 ----
     "agg_dp_noisy_counts",
-    "profile_k_anonymity",
-    "split_group_aware",
-    "timeseries_cusum_changepoint",
     "store_merge_upsert",
     "stream_merge_apply",
-    "events_markov_transitions",
-    "profile_shannon_diversity",
-    "window_distinct_over_frame",
-    "sim_random_projection_topk",
-    "events_streak_islands",
-    # ---- changed in round 10 ----
-    "join_set_similarity_prefix",
-    "corpus_e2e_curation",
-    "agg_countmin_point_estimates",
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_bucketed_probe",
-    "agg_weighted_median",
-    "corpus_token_shards",
-    "curriculum_rank_global",
-    "text_bow_vectorize",
-    "window_rank_dense_ntile",
-    "window_pct_cume_nth",
-    "ingest_key_assignment",
-    "ingest_batch_assignment",
-    "ingest_binding_join",
-    "dedup_minhash_lsh",
-    "dedup_incremental_lsh",
-    "dedup_lsh_bucketed_probe",
-    "dedup_cluster_components",
-    "stream_neardup_filter",
-    # ---- rotation: the full remaining round-5 block ----
-    "agg_percentile_approx",
-    "agg_exact_mode",
-    "corpus_source_policy",
-    "events_pattern_match",
-    "incremental_monthly_distinct",
-    "incremental_monthly_revenue",
-    "join_asof_nearest",
-    "multimodal_audio_resample",
-    "multimodal_e2e_curation",
-    # ---- first-50 window boundary: "multimodal_e2e_curation" is
-    # slot 50 (21 added + 20 changed + 9 r5); everything below is
-    # OUTSIDE the graded window this round ----
+    "acid_change_data_feed",
+    "graph_kcore_peeling",
+    "graph_community_lpa",
+    # ---- rotation: the six r5-graded stragglers ----
     "multimodal_thumbnail_stats",
     "profile_benford_deviation",
     "profile_source_drift",
@@ -212,6 +149,31 @@ GATE_PRIORITY: tuple[str, ...] = (
     "scalar_array_funcs",
     "struct_funcs",
     "lateral_explode",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_rollup",
+    "composite_returned_items",
+    "composite_shipping_priority",
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "report_revenue_share",
+    "window_topk_per_group",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    # ---- first-50 window boundary: "tpch_q6_forecast_revenue" is
+    # slot 50 (2 added + 6 changed + 6 r5 + 36 r6); everything below
+    # is OUTSIDE the graded window this round ----
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicate",
+    "tpch_q22_idle_customers",
     # earlier-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.
 )

@@ -76,3 +76,23 @@ def test_baseline_snapshot_counts_are_current_or_round_scoped():
             assert re.search(r"\br(?:ound[- ])?\d+\b|\bas of\b", line), (
                 f"undated stale count in BASELINE.md: {line.strip()!r} "
                 f"(registry has {n}; date-scope the line or update it)")
+
+
+def test_coverage_numeric_registry_claims_are_current_or_round_scoped():
+    """VERDICT r10 #5: COVERAGE.md:126 said "all 195 oracles" while the
+    registry held 221 — the headline gate above missed it. Every
+    "N oracles"/"N queries"/"N registered" claim anywhere in
+    COVERAGE.md must now equal the live registry size or sit on a line
+    that names the round it snapshots."""
+    n = _registered()
+    text = open("/root/repo/COVERAGE.md").read()
+    for line in text.splitlines():
+        for m in re.finditer(
+                r"\b(\d+) (?:oracles?\b|(?:registered )?queries\b)|"
+                r"\b(?:all|ALL) (\d+)\b", line):
+            cited = int(m.group(1) or m.group(2))
+            if cited == n:
+                continue
+            assert re.search(r"\br(?:ound[- ])?\d+\b|\bas of\b", line), (
+                f"undated stale count in COVERAGE.md: {line.strip()!r} "
+                f"(registry has {n}; date-scope the line or update it)")
