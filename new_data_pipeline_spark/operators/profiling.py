@@ -900,3 +900,72 @@ def profile_shannon_diversity(spark: SparkSession,
             .groupBy("source", F.col("n").alias("n_docs"), "n_langs")
             .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy"))
             .orderBy("source"))
+
+
+# Pre-join skew diagnostic: how many of the hottest keys to report the
+# row share of. 10 hottest keys' coverage is the number a salting /
+# skew-join decision actually reads (one mega-key vs a fat head).
+SKEW_TOP_KEYS = 10
+
+
+@register(
+    "profile_join_key_skew",
+    oracle=f"""
+    WITH freq AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_freq
+      FROM freq
+    ), top AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS top_rows FROM (
+        SELECT cnt FROM freq ORDER BY cnt DESC, key LIMIT {SKEW_TOP_KEYS})
+    )
+    SELECT n_keys, n_rows, max_freq,
+           ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_freq,
+           ROUND(CAST(max_freq AS DOUBLE) * n_keys / n_rows, 6)
+             AS skew_ratio,
+           ROUND(CAST(top_rows AS DOUBLE) / n_rows, 6) AS top{SKEW_TOP_KEYS}_share
+    FROM stats CROSS JOIN top
+    """,
+    tags=("profile", "skew", "join"),
+)
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over lineitem.l_partkey — the profile a
+    pipeline reads BEFORE picking a join strategy at 100 TB: key
+    cardinality, max/mean key frequency, the skew ratio (max_freq /
+    avg_freq — >>1 means one key's partition dwarfs the mean and a
+    plain hash join stalls on its straggler task), and the row share
+    of the SKEW_TOP_KEYS hottest keys (one mega-key → salt it; a fat
+    head → AQE skew-join split covers it). The decision inputs for
+    dedup.py's cap_hot_buckets and the salted-skew join, produced as
+    data instead of folklore.
+
+    Scale: one map-combinable frequency aggregate (the only
+    O(rows) stage), then O(keys) state: a 1-row stats aggregate and a
+    top-{SKEW_TOP_KEYS} TakeOrdered — never a global sort of the
+    frequency table (Spark plans orderBy+limit as TakeOrdered; the
+    (cnt DESC, key) tie-break makes the cut deterministic for the
+    oracle)."""
+    freq = (catalog.load(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_partkey").alias("key"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    stats = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_freq"))
+    top = (freq.orderBy(F.col("cnt").desc(), "key")
+           .limit(SKEW_TOP_KEYS)
+           .agg(F.sum("cnt").cast("bigint").alias("top_rows")))
+    return (stats.crossJoin(top)
+            .select("n_keys", "n_rows", "max_freq",
+                    F.round(F.col("n_rows").cast("double")
+                            / F.col("n_keys"), 6).alias("avg_freq"),
+                    F.round(F.col("max_freq").cast("double")
+                            * F.col("n_keys") / F.col("n_rows"), 6)
+                    .alias("skew_ratio"),
+                    F.round(F.col("top_rows").cast("double")
+                            / F.col("n_rows"), 6)
+                    .alias(f"top{SKEW_TOP_KEYS}_share")))

@@ -321,3 +321,82 @@ def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("n_chars").cast("double")
                          / F.sum("n_docs"), 6).alias("avg_chars"))
             .orderBy("split"))
+
+
+# Exact-quota stratified split fractions: cumulative 80/10/10. The
+# floors are the standard exact-proportion rule (train gets
+# floor(0.8·n), valid gets floor(0.9·n) − floor(0.8·n), test the
+# remainder), so every stratum's split sizes are DETERMINED by its
+# count — what the hash-band split above can only approximate.
+STRAT_TRAIN_PCT = 80
+STRAT_VALID_PCT = 90  # cumulative
+
+
+@register(
+    "split_stratified",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ), ranked AS (
+      SELECT d.doc_id, d.lang, d.n_chars, cnt.n,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      FROM documents d JOIN cnt USING (lang)
+    ), assigned AS (
+      SELECT lang, doc_id, n_chars,
+             CASE WHEN rn <= (n * {STRAT_TRAIN_PCT}) // 100 THEN 'train'
+                  WHEN rn <= (n * {STRAT_VALID_PCT}) // 100 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM ranked
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """,
+    tags=("sampling", "split", "stratified"),
+)
+def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quota stratified train/valid/test split by language: each
+    stratum contributes floor(80%)/floor(90%)−floor(80%)/remainder of
+    its documents, assigned by the deterministic within-stratum md5
+    rank of doc_id — the split a training pipeline uses when the class
+    mix must be preserved EXACTLY per split (the hash-band splits,
+    split_train_test / split_group_aware, only approximate the
+    proportions; this one hits the floors by construction). The
+    emitted sum_doc_ids/avg_chars depend on WHICH documents landed in
+    each cell, so the gate pins the assignment mechanism, not just the
+    arithmetic of the quotas.
+
+    Scale: the exact quota costs one rank per stratum — a shuffle on
+    lang and a per-stratum sort (Spark's window). Strata counts are
+    bounded (languages); a 100 TB stratum uses the range-partitioned
+    global_row_number device (sources/tensorize.py) for the same rank
+    without a single-task sort, and the md5 ordering key keeps the
+    rank reproducible across engines and reruns either way. The
+    stratum-count join is a broadcast (|langs| rows).
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    cnt = (docs.groupBy("lang")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    ranked = (docs.join(F.broadcast(cnt), "lang")
+              .withColumn("rn", F.row_number().over(w)))
+    split = (F.when(F.col("rn") <= F.expr(
+                 f"(n * {STRAT_TRAIN_PCT}) DIV 100"), "train")
+             .when(F.col("rn") <= F.expr(
+                 f"(n * {STRAT_VALID_PCT}) DIV 100"), "valid")
+             .otherwise("test"))
+    return (ranked.select("lang", split.alias("split"), "doc_id",
+                          "n_chars")
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
+                 F.round(F.sum("n_chars").cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_chars"))
+            .orderBy("lang", "split"))
