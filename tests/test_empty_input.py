@@ -39,6 +39,7 @@ FIXED_ROWS = {
     "profile_table_quality": 6,          # one row per profiled column
     "profile_referential_integrity": 4,  # one row per FK check
     "graph_kcore_peeling": 6,            # one (all-zero) row per round
+    "graph_kcore_auto": 6,               # same fixed-round trace shape
 }
 
 
