@@ -49,6 +49,7 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.incremental  # noqa: F401
     import new_data_pipeline_spark.operators.text_analysis  # noqa: F401
     import new_data_pipeline_spark.operators.sparse_retrieval  # noqa: F401
+    import new_data_pipeline_spark.operators.attribution  # noqa: F401
     import new_data_pipeline_spark.operators.bpe  # noqa: F401
     import new_data_pipeline_spark.operators.boilerplate  # noqa: F401
     import new_data_pipeline_spark.operators.model_score  # noqa: F401

@@ -1186,3 +1186,122 @@ def dedup_priority_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("kd").alias("keeper_doc"),
                     "keeper_source",
                     F.col("n_members").cast("bigint").alias("n_members")))
+
+
+# Recall-eval sample bound: the eval runs brute-force exact Jaccard on
+# a FIXED id-prefix sample (all-pairs on <=200 docs = <=19,900 array
+# intersections), so its cost is constant at ANY corpus size — the
+# production observability pattern: estimate banding recall on a
+# sample, never on the corpus.
+EVAL_SAMPLE_MAX = 200
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < {EVAL_SAMPLE_MAX}
+    ), s AS (
+      SELECT doc_id,
+             list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                            for x in {_SQL_SHINGLES}]) AS hs
+      FROM t
+      WHERE len(toks) >= {SHINGLE_W}
+    ), m AS (
+      SELECT doc_id,
+             [list_min([([{','.join(str(a) for a in MINHASH_A)}][k + 1]
+                          * (h % {MINHASH_P})
+                         + [{','.join(str(b) for b in MINHASH_B)}][k + 1])
+                        % {MINHASH_P} for h in hs])
+              for k in range(0, {MINHASH_K})] AS sig
+      FROM s
+    ), bands AS (
+      SELECT doc_id, b AS band_id,
+             CAST(sig[{MINHASH_R} * b + 1] AS VARCHAR) || ',' ||
+             CAST(sig[{MINHASH_R} * b + 2] AS VARCHAR) AS band_key
+      FROM m, range(0, {MINHASH_BANDS}) AS r(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), truth AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+      FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id
+      WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+            / len(list_distinct(sa.hs || sb.hs)) >= {JACCARD_THRESHOLD}
+    ), counts AS (
+      SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_docs,
+             CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+             CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+             CAST((SELECT COUNT(*) FROM truth tt JOIN cand cc
+                   ON tt.doc_a = cc.doc_a AND tt.doc_b = cc.doc_b)
+                  AS BIGINT) AS tp
+    )
+    SELECT n_docs, n_true_pairs, n_candidates, tp,
+           n_candidates - tp AS fp,
+           n_true_pairs - tp AS fn,
+           COALESCE(ROUND(CAST(tp AS DOUBLE) / NULLIF(n_candidates, 0), 6),
+                    1.0) AS cand_precision,
+           COALESCE(ROUND(CAST(tp AS DOUBLE) / NULLIF(n_true_pairs, 0), 6),
+                    1.0) AS pair_recall
+    FROM counts
+    """,
+    tags=("dedup", "minhash", "lsh", "evaluation"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality EVAL — the observability gate every
+    production dedup runs beside the pipeline itself: on the fixed
+    EVAL_SAMPLE_MAX-doc sample, brute-force exact-Jaccard ground truth
+    (every pair, no index) vs the banded candidate generator (the SAME
+    capped band build the real pipeline uses), reported as
+    tp/fp/fn + candidate precision (how much verification work the
+    bands waste) + pair recall (how many true near-dups banding loses
+    — the number the b/r band-curve tuning actually targets). The
+    convention for an empty denominator is 1.0 (no candidates wasted /
+    no pairs to lose).
+
+    Scale: the sample is an id-prefix pushed into the scan, so truth
+    is <=C(200,2) pairs via a broadcast nested-loop — constant work at
+    any corpus size; the band side is the standard capped band
+    self-join on the same 200 docs."""
+    docs = (catalog.load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < EVAL_SAMPLE_MAX))
+    s, bands, _ = _shingle_bands_from(docs)
+    # two INDEPENDENT consumers of each cache (truth all-pairs + the
+    # candidate self-join + tp join) — eager fill before the fan-out
+    s.count()
+    bands.count()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    jac = (F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+           / F.size(F.array_union("hs_a", "hs_b")))
+    truth = (sa.join(sb, F.col("doc_a") < F.col("doc_b"))
+             .filter(jac >= JACCARD_THRESHOLD)
+             .select("doc_a", "doc_b"))
+    n_docs = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint")
+                      .alias("n_candidates"))
+    tp = (truth.join(cand, ["doc_a", "doc_b"])
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tp")))
+    out = n_docs.crossJoin(n_true).crossJoin(n_cand).crossJoin(tp)
+    return out.select(
+        "n_docs", "n_true_pairs", "n_candidates", "tp",
+        (F.col("n_candidates") - F.col("tp")).alias("fp"),
+        (F.col("n_true_pairs") - F.col("tp")).alias("fn"),
+        F.coalesce(F.round(F.col("tp").cast("double")
+                           / F.nullif(F.col("n_candidates"), F.lit(0)), 6),
+                   F.lit(1.0)).alias("cand_precision"),
+        F.coalesce(F.round(F.col("tp").cast("double")
+                           / F.nullif(F.col("n_true_pairs"), F.lit(0)), 6),
+                   F.lit(1.0)).alias("pair_recall"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from new_data_pipeline_spark import catalog
+from new_data_pipeline_spark.functions.exact import money
 from new_data_pipeline_spark.registry import register
 
 
@@ -549,3 +550,93 @@ def timeseries_cusum_changepoint(spark: SparkSession,
                     F.round(F.col("c").cast("double") / F.col("n_hours"), 6)
                     .alias("cusum_peak"))
             .orderBy("event_type"))
+
+
+# Seasonal decomposition: centered moving-average trend over ±SEAS_HALF
+# hours (window width 2·SEAS_HALF+1 = 25, the classic odd-width choice
+# covering one daily cycle), seasonal index = mean detrended value per
+# hour-of-day. Only COMPLETE frames contribute (cnt == 25), the
+# standard edge-bias rule — and the completeness predicate doubles as
+# the determinism device (every contributing frame has exactly the
+# same weight structure).
+SEAS_HALF = 12
+SEAS_W = 2 * SEAS_HALF + 1
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(value AS DECIMAL(12,2))) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, h, x,
+             CAST(epoch(h) AS BIGINT) // 3600 AS hidx
+      FROM hourly
+    ), framed AS (
+      SELECT event_type, h, x,
+             SUM(x) OVER w AS fsum,
+             COUNT(*) OVER w AS fcnt
+      FROM idx
+      WINDOW w AS (PARTITION BY event_type ORDER BY hidx
+                   RANGE BETWEEN {SEAS_HALF} PRECEDING
+                             AND {SEAS_HALF} FOLLOWING)
+    ), detr AS (
+      -- 25·x − Σframe: EXACT decimal detrending, no division until
+      -- the final rounded scalar (the decimal-monoid parity device)
+      SELECT event_type, EXTRACT(hour FROM h) AS hour_of_day,
+             {SEAS_W} * x - fsum AS d
+      FROM framed WHERE fcnt = {SEAS_W}
+    )
+    SELECT event_type, CAST(hour_of_day AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(CAST(SUM(d) AS DOUBLE) / ({SEAS_W} * COUNT(*)), 6)
+             AS seasonal
+    FROM detr GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("timeseries", "seasonal", "decompose"),
+)
+def timeseries_seasonal_decompose(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the hourly per-type value
+    series: trend = centered {SEAS_W}-hour moving average (one daily
+    cycle), seasonal index = mean detrended value per hour-of-day —
+    the load-shape profile a pipeline reads before scheduling
+    ingestion or normalizing per-hour metrics. Gaps are handled by a
+    RANGE frame on the integer epoch-hour (a missing hour shrinks the
+    frame, and incomplete frames are excluded outright), not a ROWS
+    frame that would silently stretch across gaps.
+
+    Parity: hourly sums are DECIMAL(12,2); detrending is computed as
+    {SEAS_W}·x − Σframe — exact decimal arithmetic with no division
+    anywhere until the final per-cell scalar, which both engines
+    compute from identical operands and round to 6 dp.
+
+    Scale: one map-combinable hourly aggregate (the only O(rows)
+    stage), then a per-series RANGE window and a |types|·24-cell
+    aggregate — O(series-length) state per partition, never a global
+    sort."""
+    from pyspark.sql import Window as W
+    events = catalog.load(spark, sf_dir, "events")
+    hourly = (events.groupBy("event_type",
+                             F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.sum(money("value")).alias("x")))
+    idx = hourly.withColumn(
+        "hidx", (F.unix_seconds("h") / 3600).cast("bigint"))
+    w = (W.partitionBy("event_type").orderBy("hidx")
+         .rangeBetween(-SEAS_HALF, SEAS_HALF))
+    framed = (idx.withColumn("fsum", F.sum("x").over(w))
+              .withColumn("fcnt", F.count(F.lit(1)).over(w)))
+    detr = (framed.filter(F.col("fcnt") == SEAS_W)
+            .select("event_type", F.hour("h").alias("hour_of_day"),
+                    (F.lit(SEAS_W) * F.col("x") - F.col("fsum"))
+                    .alias("d")))
+    return (detr.groupBy("event_type",
+                         F.col("hour_of_day").cast("bigint")
+                         .alias("hour_of_day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+                 F.round(F.sum("d").cast("double")
+                         / (SEAS_W * F.count(F.lit(1))), 6)
+                 .alias("seasonal"))
+            .orderBy("event_type", "hour_of_day"))

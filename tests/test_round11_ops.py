@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 
 import new_data_pipeline_spark as engine
-from tests.conftest import SMOKE_DIR
+from tests.conftest import SF_DIR, SMOKE_DIR
 
 engine.load_all()
 
@@ -147,3 +147,131 @@ def test_tfidf_retrieval_df_cap_drops_boilerplate(spark):
         assert sr.text_tfidf_retrieval(spark, SMOKE_DIR).count() == 0
     finally:
         sr.DF_CAP = orig
+
+
+def test_seasonal_decompose_matches_pandas(spark):
+    """Replay the centered-MA detrend + hour-of-day means in pandas.
+    Runs at SF_DIR (the gate scale): the sf0.001 smoke series is so
+    gappy that no 25-hour frame is ever complete and the result is
+    legitimately empty there."""
+    from new_data_pipeline_spark.operators.reshaping import (
+        SEAS_HALF, SEAS_W)
+
+    got = (engine.QUERIES["timeseries_seasonal_decompose"]
+           .fn(spark, SF_DIR).toPandas())
+    assert len(got) > 0
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    ev["h"] = ev.ts.dt.floor("h")
+    ev["v"] = ev.value.round(2)
+    hourly = ev.groupby(["event_type", "h"]).v.sum().reset_index()
+    hourly["hidx"] = (hourly.h.astype("int64") // 10**9 // 3600)
+    rows = {}
+    for et, g in hourly.groupby("event_type"):
+        g = g.sort_values("hidx").reset_index(drop=True)
+        idx = dict(zip(g.hidx, g.v))
+        for _, r in g.iterrows():
+            frame = [idx[i] for i in range(r.hidx - SEAS_HALF,
+                                           r.hidx + SEAS_HALF + 1)
+                     if i in idx]
+            if len(frame) != SEAS_W:
+                continue
+            d = SEAS_W * r.v - sum(frame)
+            key = (et, r.h.hour)
+            rows.setdefault(key, []).append(d)
+    for r in got.itertuples():
+        ds = rows[(r.event_type, r.hour_of_day)]
+        assert r.n_hours == len(ds)
+        assert math.isclose(r.seasonal,
+                            round(sum(ds) / (SEAS_W * len(ds)), 6),
+                            abs_tol=1e-6)
+    assert len(got) == len(rows)
+
+
+def test_attribution_matches_pandas(spark):
+    """Replay the 24h-lookback touch join and all three credit models
+    in pandas; scaled-integer linear credits must match exactly."""
+    from new_data_pipeline_spark.operators.attribution import (
+        CONV_TYPE, LINEAR_SCALE, LOOKBACK_HOURS)
+
+    got = (engine.QUERIES["events_attribution"].fn(spark, SMOKE_DIR)
+           .toPandas().set_index("channel"))
+    ev = spark.read.parquet(f"{SMOKE_DIR}/events.parquet").toPandas()
+    conv = ev[ev.event_type == CONV_TYPE]
+    touch = ev[ev.event_type != CONV_TYPE]
+    first = {}
+    last = {}
+    micro = {}
+    lb = pd.Timedelta(hours=LOOKBACK_HOURS)
+    for c in conv.itertuples():
+        t = touch[(touch.user_id == c.user_id) & (touch.ts < c.ts)
+                  & (touch.ts >= c.ts - lb)]
+        if not len(t):
+            continue
+        t = t.sort_values(["ts", "event_id"])
+        first[t.iloc[0].event_type] = first.get(t.iloc[0].event_type, 0) + 1
+        last[t.iloc[-1].event_type] = last.get(t.iloc[-1].event_type, 0) + 1
+        per = LINEAR_SCALE // len(t)
+        for ch, cnt in t.event_type.value_counts().items():
+            micro[ch] = micro.get(ch, 0) + cnt * per
+    assert set(got.index) == set(micro)
+    for ch in micro:
+        r = got.loc[ch]
+        assert r.first_touch == first.get(ch, 0)
+        assert r.last_touch == last.get(ch, 0)
+        assert r.linear_micro == micro[ch]
+        assert math.isclose(r.linear_credit,
+                            round(micro[ch] / LINEAR_SCALE, 6),
+                            abs_tol=1e-9)
+
+
+def test_lsh_recall_eval_matches_brute_force(spark):
+    """Replay ground truth AND the banded candidate generator in pure
+    Python over the sample; the confusion counts must match, and the
+    metrics must be consistent with them."""
+    from new_data_pipeline_spark.operators.dedup import (
+        EVAL_SAMPLE_MAX, JACCARD_THRESHOLD, MINHASH_A, MINHASH_B,
+        MINHASH_BANDS, MINHASH_K, MINHASH_P, MINHASH_R, SHINGLE_W)
+
+    got = (engine.QUERIES["dedup_lsh_recall_eval"].fn(spark, SMOKE_DIR)
+           .collect()[0])
+    docs = (spark.read.parquet(f"{SMOKE_DIR}/documents.parquet")
+            .filter(f"doc_id < {EVAL_SAMPLE_MAX}")
+            .select("doc_id", "text").toPandas())
+    hs = {}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        if len(toks) < SHINGLE_W:
+            continue
+        sh = {" ".join(toks[i:i + SHINGLE_W])
+              for i in range(len(toks) - SHINGLE_W + 1)}
+        hs[r.doc_id] = {int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in sh}
+    ids = sorted(hs)
+    truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if len(hs[a] & hs[b]) / len(hs[a] | hs[b])
+             >= JACCARD_THRESHOLD}
+    buckets = {}
+    for d in ids:
+        sig = [min((MINHASH_A[k] * (h % MINHASH_P) + MINHASH_B[k])
+                   % MINHASH_P for h in hs[d]) for k in range(MINHASH_K)]
+        for b in range(MINHASH_BANDS):
+            key = (b, ",".join(str(sig[MINHASH_R * b + j])
+                               for j in range(MINHASH_R)))
+            buckets.setdefault(key, []).append(d)
+    cand = {(a, b) for mem in buckets.values()
+            for i, a in enumerate(mem) for b in mem[i + 1:] if a < b}
+    cand |= {(b, a) for mem in buckets.values()
+             for i, a in enumerate(mem) for b in mem[i + 1:] if a > b}
+    tp = len(truth & cand)
+    assert got["n_docs"] == len(ids)
+    assert got["n_true_pairs"] == len(truth)
+    assert got["n_candidates"] == len(cand)
+    assert got["tp"] == tp
+    assert got["fp"] == len(cand) - tp
+    assert got["fn"] == len(truth) - tp
+    if cand:
+        assert math.isclose(got["cand_precision"],
+                            round(tp / len(cand), 6), abs_tol=1e-9)
+    if truth:
+        assert math.isclose(got["pair_recall"],
+                            round(tp / len(truth), 6), abs_tol=1e-9)
