@@ -172,3 +172,142 @@ def text_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= RETR_TOP_K)
             .select("query_id", "candidate_id", "n_shared_terms",
                     F.round("cos", 4).alias("cosine"), "rn"))
+
+
+# BM25 (Robertson/Spärck Jones; the Lucene +1 idf form, always
+# positive). k1/b are the universal defaults; both literals parse to
+# identical doubles in both engines.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "text_bm25_retrieval",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)]) AS term
+      FROM w WHERE len(ws) >= {SHINGLE_W}
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), dft AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), post AS (
+      -- ln is rounded to 6 dp BEFORE the multiply (the lm_perplexity
+      -- device): the transcendental is the ONLY cross-engine ulp
+      -- source — every downstream mul/div runs on identical doubles.
+      -- Caught live: one weight of the first cut flipped a 6-dp edge
+      -- (6.442250 vs 6.442249) and broke the hash.
+      SELECT tf.doc_id, tf.term,
+             CAST(ROUND(
+               ROUND(ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)),
+                     6)
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * dl.dl / stats.avgdl)),
+               6) AS DECIMAL(18,6)) AS w
+      FROM tf
+      JOIN dft USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      WHERE dft.df <= {DF_CAP}
+    ), qt AS (
+      SELECT doc_id AS query_id, term FROM tf
+      WHERE doc_id < {RETR_QUERIES}
+    ), pairs AS (
+      SELECT qt.query_id, p.doc_id AS candidate_id,
+             CAST(SUM(p.w) AS DOUBLE) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+      FROM qt JOIN post p USING (term)
+      WHERE qt.query_id <> p.doc_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, candidate_id, n_shared_terms, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, candidate_id) AS rn
+      FROM pairs
+    )
+    -- score is emitted at its native decimal scale, NOT re-rounded to
+    -- 4 dp: the sum of scale-6 decimals can land EXACTLY on a 4-dp
+    -- half (caught live: 6.442250 → Spark HALF_UP 6.4423, DuckDB
+    -- binary-double 6.4422). The 6-dp-scale double round-trips
+    -- identically on both engines.
+    SELECT query_id, candidate_id, n_shared_terms,
+           score AS bm25, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {RETR_TOP_K}
+    """,
+    tags=("text", "similarity", "retrieval", "bm25"),
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{RETR_TOP_K} retrieval over the same trigram-shingle
+    inverted index as text_tfidf_retrieval — the OTHER standard sparse
+    ranking function (Robertson/Spärck Jones; Lucene's +1 idf form so
+    weights stay positive), with document-length normalization
+    (k1={BM25_K1}, b={BM25_B}). The query side contributes term
+    PRESENCE (the classic short-query convention), so a candidate's
+    score is the sum of its own BM25 term weights over the shared
+    terms — per-term weights rounded to 6 dp into DECIMAL(18,6), sums
+    order-independent, the tfidf twin's parity device.
+
+    Scale shape is the tfidf twin's: one aggregation of the shingle
+    stream (dl and df both derive from the doc-term aggregate), a
+    broadcast |queries|-sized probe of the df-capped posting lists,
+    map-side partial sums per (query, candidate)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    toks = (docs.select("doc_id", ws.alias("ws"))
+            .filter(F.size("ws") >= SHINGLE_W)
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(0, size(ws) - 3), "
+                "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+                .alias("term")))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")).persist())
+    tf.count()  # three non-identical consumers (dl, dft, post, qt)
+    dl = (tf.groupBy("doc_id")
+          .agg(F.sum("tf").cast("bigint").alias("dl")))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    dft = (tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("df"))
+           .filter(F.col("df") <= DF_CAP))
+    # ln-first 6-dp rounding (the lm_perplexity device; see oracle)
+    idf = F.round(F.log(1.0 + (F.col("n") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)), 6)
+    tfc = (F.col("tf") * (BM25_K1 + 1.0)) \
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+                                    + BM25_B * F.col("dl")
+                                    / F.col("avgdl")))
+    post = (tf.join(dft, "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", "term",
+                    F.round(idf * tfc, 6).cast("decimal(18,6)")
+                    .alias("w")))
+    qt = (tf.filter(F.col("doc_id") < RETR_QUERIES)
+          .select(F.col("doc_id").alias("query_id"), "term"))
+    pairs = (F.broadcast(qt)
+             .join(post.withColumnRenamed("doc_id", "candidate_id"),
+                   "term")
+             .filter(F.col("query_id") != F.col("candidate_id"))
+             .groupBy("query_id", "candidate_id")
+             .agg(F.sum("w").cast("double").alias("score"),
+                  F.count(F.lit(1)).cast("bigint")
+                  .alias("n_shared_terms")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), "candidate_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= RETR_TOP_K)
+            .select("query_id", "candidate_id", "n_shared_terms",
+                    F.col("score").alias("bm25"), "rn"))

@@ -275,3 +275,67 @@ def test_lsh_recall_eval_matches_brute_force(spark):
     if truth:
         assert math.isclose(got["pair_recall"],
                             round(tp / len(truth), 6), abs_tol=1e-9)
+
+
+def test_bm25_retrieval_matches_pandas(spark):
+    """Replay the BM25 pipeline in pure Python (ln-first 6-dp rounding,
+    length normalization, decimal-exact score sums) and require
+    identical rankings and scores."""
+    from decimal import Decimal
+
+    from new_data_pipeline_spark.operators.sparse_retrieval import (
+        BM25_B, BM25_K1, DF_CAP, RETR_QUERIES, RETR_TOP_K, SHINGLE_W)
+
+    got = (engine.QUERIES["text_bm25_retrieval"].fn(spark, SMOKE_DIR)
+           .toPandas())
+    docs = (spark.read.parquet(f"{SMOKE_DIR}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    tf: dict[int, dict[str, int]] = {}
+    for r in docs.itertuples():
+        wsx = r.text.split(" ")
+        if len(wsx) < SHINGLE_W:
+            continue
+        d = tf.setdefault(r.doc_id, {})
+        for i in range(len(wsx) - SHINGLE_W + 1):
+            t = " ".join(wsx[i:i + SHINGLE_W])
+            d[t] = d.get(t, 0) + 1
+    dl = {doc: sum(d.values()) for doc, d in tf.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    df_cnt: dict[str, int] = {}
+    for d in tf.values():
+        for t in d:
+            df_cnt[t] = df_cnt.get(t, 0) + 1
+    weights = {}
+    for doc, d in tf.items():
+        weights[doc] = {}
+        for t, f in d.items():
+            if df_cnt[t] > DF_CAP:
+                continue
+            idf = round(math.log(1.0 + (n - df_cnt[t] + 0.5)
+                                 / (df_cnt[t] + 0.5)), 6)
+            w = round(idf * (f * (BM25_K1 + 1.0))
+                      / (f + BM25_K1 * (1.0 - BM25_B
+                                        + BM25_B * dl[doc] / avgdl)), 6)
+            weights[doc][t] = Decimal(f"{w:.6f}")
+    rows = []
+    for q in range(RETR_QUERIES):
+        qterms = set(tf.get(q, {}))
+        scored = []
+        for c, cw in weights.items():
+            if c == q:
+                continue
+            shared = qterms & set(cw)
+            if not shared:
+                continue
+            score = float(sum(cw[t] for t in shared))
+            scored.append((c, len(shared), score))
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for rn, (c, ns, s) in enumerate(scored[:RETR_TOP_K], 1):
+            rows.append((q, c, ns, s, rn))
+    want = {(r[0], r[1]): r for r in rows}
+    assert len(got) == len(want)
+    for g in got.itertuples():
+        w = want[(g.query_id, g.candidate_id)]
+        assert (g.n_shared_terms, g.rn) == (w[2], w[4])
+        assert math.isclose(g.bm25, w[3], abs_tol=1e-9)
