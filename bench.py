@@ -94,6 +94,16 @@ HEADLINE = (
     # (BASELINE.md) instead.
     "ml_market_basket_lift",
     "store_merge_upsert",
+    # round 11: the sparse-retrieval pair (inverted-index postings
+    # build + broadcast probe — the new text-heavy hot path), the LSH
+    # recall eval (brute-force sample truth + banded candidates), and
+    # conversion attribution (per-user interval join). kcore_auto is
+    # NOT benched (its ~6 s checkpoint-heavy wall lives in the
+    # scale-audit table, the community-LPA precedent).
+    "text_tfidf_retrieval",
+    "text_bm25_retrieval",
+    "dedup_lsh_recall_eval",
+    "events_attribution",
 )
 
 
@@ -101,6 +111,10 @@ def main() -> None:
     from new_data_pipeline_spark.bench_lock import acquire
     _lock = acquire("bench")  # noqa: F841 — held until process exit
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sampled BEFORE any Spark work: the external-contention
+    # indicator (per-query samples below include the bench's own
+    # steady-state load)
+    load_start = round(os.getloadavg()[0], 2)
     engine.load_all()
     spark = get_spark(app_name="bench")
 
@@ -116,7 +130,6 @@ def main() -> None:
     # 5 runs because contention spikes of 2-8s on this VM can span two
     # consecutive runs — a median of 3 still passes one through.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    load_start = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     # per-query minima ride along in the JSON: on this VM, contention
     # inflates medians up to 1.5x run-to-run (BASELINE.md), and
