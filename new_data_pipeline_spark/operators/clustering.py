@@ -188,9 +188,12 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic modulo-seeded centroids: per-cell membership count,
     label diversity, and mean cosine to the centroid.
 
-    This is the gated (bit-checked) half of the k-means surface; the
-    iterative Lloyd loop (``kmeans_fit``) is convergence-gated in unit
-    tests, since T update rounds are not expressible in one SQL oracle.
+    This is the one-pass gate of the k-means surface; the iterative
+    loop is gated too — ``cluster_kmeans_lloyd`` below unrolls two
+    full Lloyd rounds into one oracle (the pagerank/kcore unrolled-CTE
+    device; round 11 retired this docstring's old claim that update
+    rounds were not SQL-expressible), and ``kmeans_fit`` remains the
+    open-round production loop, convergence-gated in unit tests.
     """
     n = normalized(catalog.load(spark, sf_dir, "embeddings"))
     assigned = assign_cells(n, seed_centroids(n))
@@ -287,3 +290,129 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (assigned.repartition(sc.defaultParallelism, "cell")
             .groupBy("cell").applyInPandas(_cell_pairs, out_schema)
             .orderBy("cell"))
+
+
+EMB_DIM = 64  # embeddings table dimension (driver-generated fixture)
+
+
+def _oracle_lloyd() -> str:
+    """Two unrolled Lloyd rounds as one oracle (the pagerank/kcore
+    unrolled-CTE device applied to k-means — this upgrades the old
+    'T update rounds are not expressible in one SQL oracle' claim):
+    round 1 = the seeded assignment chain (_ORACLE_ASSIGN verbatim),
+    then a decimal-exact centroid update and a second assignment."""
+    return f"""
+    WITH {_ORACLE_ASSIGN}, upd AS (
+      SELECT cell, i AS dim,
+             SUM(CAST(ROUND(v[i], 6) AS DECIMAL(12,6))) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned, range(1, {EMB_DIM} + 1) AS r(i)
+      GROUP BY 1, 2
+    ), cents2 AS (
+      SELECT cell,
+             list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cv
+      FROM upd GROUP BY cell
+    ), cents2n AS (
+      SELECT cell, cv, sqrt(list_sum([x * x for x in cv])) AS cn
+      FROM cents2
+    ), sc2 AS (
+      SELECT n.vec_id, cents2n.cell,
+             list_sum([n.v[i] * cents2n.cv[i]
+                       for i in range(1, len(n.v) + 1)])
+               / (n.nrm * cents2n.cn) AS ccos
+      FROM n CROSS JOIN cents2n
+    ), assigned2 AS (
+      SELECT vec_id, cell, ccos
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cell) AS arn
+            FROM sc2)
+      WHERE arn = 1
+    ), moved AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_moved
+      FROM assigned a JOIN assigned2 b USING (vec_id)
+      WHERE a.cell <> b.cell
+    )
+    SELECT 1 AS round,
+           CAST((SELECT COUNT(DISTINCT cell) FROM assigned) AS BIGINT)
+             AS n_cells,
+           CAST(0 AS BIGINT) AS n_moved,
+           ROUND(CAST((SELECT SUM(CAST(ROUND(ccos, 6) AS DECIMAL(18,6)))
+                       FROM assigned) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM assigned), 6) AS mean_cos
+    UNION ALL
+    SELECT 2,
+           CAST((SELECT COUNT(DISTINCT cell) FROM assigned2) AS BIGINT),
+           (SELECT n_moved FROM moved),
+           ROUND(CAST((SELECT SUM(CAST(ROUND(ccos, 6) AS DECIMAL(18,6)))
+                       FROM assigned2) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM assigned2), 6)
+    """
+
+
+@register(
+    "cluster_kmeans_lloyd",
+    oracle=_oracle_lloyd(),
+    tags=("clustering", "kmeans", "iterative"),
+)
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full Lloyd rounds, oracle-gated end to end — seeded
+    assignment, decimal-exact centroid update, re-assignment — emitting
+    the per-round trace (round, n_cells, n_moved, mean_cos):
+    n_moved counts vectors whose cell changed between rounds (the
+    convergence observable), mean_cos is the spherical Lloyd objective.
+
+    Parity devices: the centroid update sums 6-dp-rounded components
+    as DECIMAL(12,6) — order-independent — and divides once into a
+    double, so round-2 centroids are bit-identical across engines;
+    cosines then run on identical operands through the fixed-order
+    fold; the per-round mean objective is a DECIMAL(18,6) sum of
+    6-dp-rounded cosines (never a double AVG, whose reduce order
+    would flip the hash).
+
+    Scale: per round one broadcast assignment (O(N·C), C ≈ sqrt(N)
+    count-derived) + one (cell, dim)-keyed partial-agg update of
+    C·{EMB_DIM} rows; the n_moved join is vec_id-keyed. kmeans_fit
+    remains the open-round production loop; this gate proves two full
+    rounds of it bit-exactly.
+    """
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    n = normalized(emb).persist()
+    n.count()  # consumed by both rounds' assignments
+    a1 = assign_cells(n, seed_centroids(n)).persist()
+    a1.count()  # consumed by update + n_moved + round-1 stats
+    means = (a1.select("cell", F.posexplode("v").alias("pos", "x"))
+             .select("cell", (F.col("pos") + 1).alias("dim"),
+                     F.round("x", 6).cast("decimal(12,6)").alias("x6"))
+             .groupBy("cell", "dim")
+             .agg(F.sum("x6").alias("s"),
+                  F.count(F.lit(1)).cast("bigint").alias("nn"))
+             .groupBy("cell")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     "dim", (F.col("s").cast("double") / F.col("nn"))
+                     .alias("m")))),
+                 lambda st: st["m"]).alias("cv"))
+             .withColumn("cn", F.sqrt(F.expr(
+                 "aggregate(cv, 0D, (acc, x) -> acc + x * x)"))))
+    a2 = assign_cells(n, F.broadcast(means)).persist()
+    a2.count()  # consumed by n_moved + round-2 stats
+
+    def round_stats(a: DataFrame, rnd: int):
+        return a.agg(
+            F.lit(rnd).alias("round"),
+            F.countDistinct("cell").cast("bigint").alias("n_cells"),
+            F.round(F.sum(F.round("ccos", 6).cast("decimal(18,6)"))
+                    .cast("double") / F.count(F.lit(1)), 6)
+            .alias("mean_cos"))
+
+    moved = (a1.select("vec_id", F.col("cell").alias("c1"))
+             .join(a2.select("vec_id", F.col("cell").alias("c2")),
+                   "vec_id")
+             .agg(F.count_if(F.col("c1") != F.col("c2")).cast("bigint")
+                  .alias("n_moved")))
+    r1 = (round_stats(a1, 1)
+          .select("round", "n_cells",
+                  F.lit(0).cast("bigint").alias("n_moved"), "mean_cos"))
+    r2 = (round_stats(a2, 2).crossJoin(moved)
+          .select("round", "n_cells", "n_moved", "mean_cos"))
+    return r1.unionAll(r2)

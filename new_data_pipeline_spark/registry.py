@@ -84,14 +84,15 @@ QUERIES: dict[str, QuerySpec] = {}
 # driver-exposure backlog — 51 queries were last graded in r6 or
 # earlier, computed by tools/exposure_report.py, which replaces the
 # hand-maintained lists this comment used to carry). Composition:
-# - slots 1-9: the queries ADDED in round 11 (new additions MUST take
+# - slots 1-10: the queries ADDED in round 11 (new additions MUST take
 #   their first driver exposure): the size-gated k-core dispatcher
 #   (VERDICT r10 #2), the JL-projection→IVF composed gate
 #   (VERDICT r10 #6), the exact-quota stratified split, the join-key
 #   skew profile, the sparse TF-IDF inverted-index retrieval, the
 #   seasonal decomposition, conversion attribution, the LSH recall
-#   eval, and BM25 retrieval (slots 1-9);
-# - slots 10-15: EVERY query whose code path changed in round 11, per
+#   eval, BM25 retrieval, and the oracle-gated two-round Lloyd
+#   k-means (slots 1-10);
+# - slots 11-16: EVERY query whose code path changed in round 11, per
 #   the every-changed-query rule: the Laplace u=0 clamp (ADVICE r10 —
 #   changed BOTH engines' noise expression), the ACID merge_upsert
 #   file_path suffix match + pid-keyed temp tables (ADVICE r10:
@@ -99,13 +100,14 @@ QUERIES: dict[str, QuerySpec] = {}
 #   the k-core peel body factored into _kcore_trace
 #   (graph_kcore_peeling), and the LPA dst-partitioned persisted edge
 #   frame + frontier-capable sweep (graph_community_lpa);
-# - slots 16-21: the six r5-graded stragglers VERDICT r10 #1 named;
-# - slots 22-50: 29 of the 45 r6-graded queries,
+# - slots 17-22: the six r5-graded stragglers VERDICT r10 #1 named;
+# - slots 23-50: 28 of the 45 r6-graded queries,
 #   regeneration-sensitive first (streaming family, temporal joins,
 #   event analytics, dedup family, array/struct-emitting oracles),
 #   then cube/pivot/flagship.
-# DEFERRED to lead round 12 (16 slots short): agg_grouping_sets
-# (cube + rollup stay as the family's in-window representatives),
+# DEFERRED to lead round 12 (17 slots short): agg_grouping_sets and
+# agg_cube (pivot + rollup stay as the family's in-window
+# representatives),
 # the composite/report pair, plus the full TPC-H r6 block — q4, q5, q6, q7, q8, q13, q14,
 # q15, q17, q18, q19, q22 — pure decimal-aggregate shapes, the least
 # regeneration-sensitive of the backlog; they stay replay-verified
@@ -123,6 +125,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_attribution",
     "dedup_lsh_recall_eval",
     "text_bm25_retrieval",
+    "cluster_kmeans_lloyd",
     # ---- changed in round 11 ----
     "agg_dp_noisy_counts",
     "store_merge_upsert",
@@ -161,15 +164,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     "scalar_array_funcs",
     "struct_funcs",
     "lateral_explode",
-    "agg_cube",
     "agg_pivot",
     "agg_rollup",
     "flagship_revenue_by_nation",
     "pricing_summary",
     "window_topk_per_group",
     # ---- first-50 window boundary: "window_topk_per_group" is
-    # slot 50 (9 added + 6 changed + 6 r5 + 29 r6); everything below
+    # slot 50 (10 added + 6 changed + 6 r5 + 28 r6); everything below
     # is OUTSIDE the graded window this round ----
+    "agg_cube",
     "agg_grouping_sets",
     "composite_returned_items",
     "composite_shipping_priority",

@@ -339,3 +339,65 @@ def test_bm25_retrieval_matches_pandas(spark):
         w = want[(g.query_id, g.candidate_id)]
         assert (g.n_shared_terms, g.rn) == (w[2], w[4])
         assert math.isclose(g.bm25, w[3], abs_tol=1e-9)
+
+
+def test_kmeans_lloyd_matches_numpy_two_rounds(spark):
+    """Replay both Lloyd rounds in numpy — seeded assignment,
+    6-dp-quantized decimal mean update, re-assignment — and require the
+    identical trace; the objective must not decrease (Lloyd's
+    guarantee under the spherical objective)."""
+    from decimal import Decimal
+
+    from new_data_pipeline_spark.operators.clustering import (
+        K_RESIDUE, cells_mod)
+
+    got = (engine.QUERIES["cluster_kmeans_lloyd"].fn(spark, SMOKE_DIR)
+           .toPandas().set_index("round"))
+    emb = (spark.read.parquet(f"{SMOKE_DIR}/embeddings.parquet")
+           .toPandas())
+    V = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+         for r in emb.itertuples()}
+    mod = cells_mod(len(V))
+    res = K_RESIDUE % mod
+    cents = {k: V[k] for k in V if k % mod == res}
+
+    def assign(cts):
+        out = {}
+        for vid, v in V.items():
+            nv = math.sqrt(float((v * v).sum()))
+            best = None
+            for cid in sorted(cts):
+                c = cts[cid]
+                cos = float(v @ c) / (nv * math.sqrt(float((c * c).sum())))
+                if best is None or cos > best[0] or (
+                        cos == best[0] and cid < best[1]):
+                    best = (cos, cid)
+            out[vid] = best
+        return out
+
+    a1 = assign(cents)
+    # decimal-exact quantized mean update
+    members = {}
+    for vid, (_, cid) in a1.items():
+        members.setdefault(cid, []).append(vid)
+    cents2 = {}
+    for cid, vids in members.items():
+        comp = []
+        for d in range(len(next(iter(V.values())))):
+            s = sum(Decimal(f"{round(float(V[m][d]), 6):.6f}")
+                    for m in vids)
+            comp.append(float(s) / len(vids))
+        cents2[cid] = np.asarray(comp)
+    a2 = assign(cents2)
+
+    def mean_cos(a):
+        s = sum(Decimal(f"{round(c, 6):.6f}") for c, _ in a.values())
+        return round(float(s) / len(a), 6)
+
+    assert got.loc[1].n_cells == len({c for _, c in a1.values()})
+    assert got.loc[2].n_cells == len({c for _, c in a2.values()})
+    assert got.loc[2].n_moved == sum(
+        1 for vid in a1 if a1[vid][1] != a2[vid][1])
+    assert math.isclose(got.loc[1].mean_cos, mean_cos(a1), abs_tol=2e-6)
+    assert math.isclose(got.loc[2].mean_cos, mean_cos(a2), abs_tol=2e-6)
+    assert got.loc[2].mean_cos >= got.loc[1].mean_cos - 1e-9
