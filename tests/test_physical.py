@@ -463,3 +463,32 @@ def test_ols_is_a_single_aggregate_pass(spark):
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 2, f"{n_ex} exchanges:\n{plan}"
     assert "HashAggregate" in plan
+
+
+def test_sparse_retrieval_probe_is_broadcast_no_cartesian(spark):
+    """The retrieval pair's docstring claims made plan properties: the
+    query-postings probe must be a BroadcastHashJoin (the |queries|-
+    sized side moves, never the posting lists) and no stage may plan a
+    CartesianProduct — candidates only materialize through the term
+    equi-join."""
+    from new_data_pipeline_spark.operators.sparse_retrieval import (
+        text_bm25_retrieval, text_tfidf_retrieval)
+
+    for fn in (text_tfidf_retrieval, text_bm25_retrieval):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+    spark.catalog.clearCache()
+
+
+def test_kmeans_lloyd_assignments_are_hash_aggregated(spark):
+    """Both Lloyd rounds' argmax must stay the map-side max_by
+    aggregate (never a window over the N·C fan-out), and the update
+    must not introduce a cartesian stage."""
+    from new_data_pipeline_spark.operators.clustering import (
+        cluster_kmeans_lloyd)
+
+    plan = _plan(cluster_kmeans_lloyd(spark, SF_DIR))
+    assert "max_by" in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
