@@ -597,12 +597,36 @@ def _gen_toplimit(seed: int, rng: random.Random) -> SqlPairCase:
                        _build=build)
 
 
+def _gen_grouping(seed: int, rng: random.Random) -> SqlPairCase:
+    """ROLLUP/CUBE case (round 11): 2 bounded-cardinality dims over one
+    base table with 1-3 exact-parity aggregates — the grouping-set
+    family's null-extended rows exercise null-dim stringification and
+    per-grouping partial aggregation, a shape the plain GROUP BY fuzz
+    never reaches. Deterministic by construction: the aggregate menu is
+    the shared exact-parity set and the comparator's sorted-row hash is
+    order-blind."""
+    eligible = [t for t in BASES if len(GROUP_COLS.get(t, [])) >= 2]
+    t = rng.choice(eligible)
+    dims = rng.sample(GROUP_COLS[t], k=2)
+    op = rng.choice(["ROLLUP", "CUBE"])
+    agg_sql, agg_spark = _aggregates(rng, [t])
+    sql = (f"SELECT {', '.join(dims)}, {', '.join(agg_sql)} "
+           f"FROM {t} GROUP BY {op} ({', '.join(dims)})")
+
+    def build(spark, sf_dir):
+        df = catalog.load(spark, sf_dir, t)
+        grouped = (df.rollup(*dims) if op == "ROLLUP" else df.cube(*dims))
+        return grouped.agg(*[a() for a in agg_spark])
+
+    return SqlPairCase(seed=seed, kind="grouping", _sql=sql, _build=build)
+
+
 def generate(seed: int):
-    """Deterministic spec from a seed. Shape mix: ~44% filter/join/agg
+    """Deterministic spec from a seed. Shape mix: ~36% filter/join/agg
     compositions (Case), ~16% window functions, ~8% set operations,
     ~8% global top-N, ~14% outer/semi/anti joins, ~10% row-wise scalar
-    expression compositions — every shape rendered twice
-    (DataFrame + SQL) and compared exactly."""
+    expression compositions, ~8% ROLLUP/CUBE grouping sets — every
+    shape rendered twice (DataFrame + SQL) and compared exactly."""
     rng = random.Random(seed)
     shape = rng.random()
     if shape < 0.16:
@@ -615,6 +639,8 @@ def generate(seed: int):
         return _gen_outerjoin(seed, rng)
     if shape < 0.56:
         return _gen_scalar_exprs(seed, rng)
+    if shape < 0.64:
+        return _gen_grouping(seed, rng)
     return _generate_agg(seed, rng)
 
 
