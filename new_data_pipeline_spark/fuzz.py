@@ -621,12 +621,39 @@ def _gen_grouping(seed: int, rng: random.Random) -> SqlPairCase:
     return SqlPairCase(seed=seed, kind="grouping", _sql=sql, _build=build)
 
 
+def _gen_having(seed: int, rng: random.Random) -> SqlPairCase:
+    """GROUP BY … HAVING case (round 11): post-aggregation filtering on
+    an exact count — Catalyst plans it as a Filter ABOVE the aggregate,
+    a placement the predicate fuzz (always below) never exercises. The
+    count driving the HAVING is also emitted (aliased identically on
+    both sides) so the survivors' threshold is visible in the hash."""
+    eligible = [t for t in BASES if GROUP_COLS.get(t)]
+    t = rng.choice(eligible)
+    dims = rng.sample(GROUP_COLS[t],
+                      k=rng.randint(1, min(2, len(GROUP_COLS[t]))))
+    agg_sql, agg_spark = _aggregates(rng, [t])
+    k = rng.randint(2, 50)
+    sql = (f"SELECT {', '.join(dims)}, {', '.join(agg_sql)}, "
+           f"COUNT(*) AS hn FROM {t} "
+           f"GROUP BY {', '.join(dims)} HAVING COUNT(*) >= {k}")
+
+    def build(spark, sf_dir):
+        df = catalog.load(spark, sf_dir, t)
+        return (df.groupBy(*dims)
+                .agg(*[a() for a in agg_spark],
+                     F.count(F.lit(1)).alias("hn"))
+                .filter(F.col("hn") >= k))
+
+    return SqlPairCase(seed=seed, kind="having", _sql=sql, _build=build)
+
+
 def generate(seed: int):
-    """Deterministic spec from a seed. Shape mix: ~36% filter/join/agg
+    """Deterministic spec from a seed. Shape mix: ~30% filter/join/agg
     compositions (Case), ~16% window functions, ~8% set operations,
     ~8% global top-N, ~14% outer/semi/anti joins, ~10% row-wise scalar
-    expression compositions, ~8% ROLLUP/CUBE grouping sets — every
-    shape rendered twice (DataFrame + SQL) and compared exactly."""
+    expression compositions, ~8% ROLLUP/CUBE grouping sets, ~6%
+    GROUP BY + HAVING — every shape rendered twice (DataFrame + SQL)
+    and compared exactly."""
     rng = random.Random(seed)
     shape = rng.random()
     if shape < 0.16:
@@ -641,6 +668,8 @@ def generate(seed: int):
         return _gen_scalar_exprs(seed, rng)
     if shape < 0.64:
         return _gen_grouping(seed, rng)
+    if shape < 0.70:
+        return _gen_having(seed, rng)
     return _generate_agg(seed, rng)
 
 
