@@ -296,9 +296,18 @@ def _aggregates(rng: random.Random, tables: list[str]
 
 
 # unique row keys per table: the tiebreak that makes window orderings
-# and LIMIT selections total (hence engine-deterministic)
+# and LIMIT selections total (hence engine-deterministic).
+# CAUTION (caught live by the round-12 frame family, seed 180): the
+# synthetic lineitem does NOT honor the TPC-H (l_orderkey,
+# l_linenumber) primary key — l_linenumber is drawn independently, so
+# ~24% of rows collide on the pair at every SF. The tiebreak is the
+# 6-column prefix verified distinct at sf0.001/0.01/0.1; even under a
+# regen that collides it, tied rows would agree on every emitted
+# column (all fuzz window payloads come from INT_COLS ⊆ this set), so
+# the output multiset stays engine-deterministic.
 UNIQUE_KEYS: dict[str, list[str]] = {
-    "lineitem": ["l_orderkey", "l_linenumber"],
+    "lineitem": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_extendedprice"],
     "orders": ["o_orderkey"],
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
@@ -392,6 +401,133 @@ def _gen_window(seed: int, rng: random.Random) -> SqlPairCase:
         return df.select(*keys, F.lag(icol).over(full).alias("w0"))
 
     return SqlPairCase(seed=seed, kind=f"window:{fn}", _sql=sql,
+                       _build=build)
+
+
+def _gen_window_frames(seed: int, rng: random.Random) -> SqlPairCase:
+    """Window FRAME case (round 12, VERDICT r11 #3): the divergence
+    zone the plain window family never reaches — sliding/centered ROWS
+    frames, value-based RANGE frames (peer rows included), NTILE bucket
+    boundaries, LEAD with an explicit default, FIRST/LAST_VALUE over an
+    explicit full frame, and NULL-INJECTED partition keys (both engines
+    must route the NULL group into one partition).
+
+    Determinism rules: every ROWS frame orders by a TOTAL ordering
+    (order col + unique-key tiebreak); RANGE frames order by the value
+    column alone, which is engine-deterministic because RANGE includes
+    ALL peers of the current row regardless of their physical order;
+    integer sums are cast to BIGINT on both sides."""
+    from pyspark.sql import Window
+
+    t = rng.choice(BASES)
+    keys = UNIQUE_KEYS[t]
+    icol = rng.choice(INT_COLS[t])
+    part = rng.choice(GROUP_COLS[t])
+    # NULL partition-key injection: map one domain value to NULL via
+    # CASE on BOTH sides (string group cols only, known domains)
+    null_v = None
+    domain = STR_COLS.get(t, {}).get(part)
+    if domain and rng.random() < 0.4:
+        null_v = rng.choice(domain)
+    if null_v is not None:
+        part_sql = (f"CASE WHEN {part} = '{null_v}' THEN NULL "
+                    f"ELSE {part} END")
+        def part_col():
+            return (F.when(F.col(part) == null_v, F.lit(None))
+                    .otherwise(F.col(part)))
+    else:
+        part_sql = part
+        def part_col():
+            return F.col(part)
+
+    ocol = rng.choice(INT_COLS[t])
+    desc = rng.random() < 0.5
+    dirn = "DESC" if desc else "ASC"
+    total_sql = ", ".join([f"{ocol} {dirn}"] + keys)
+    fn = rng.choice(["rows_slide", "rows_centered", "range_cur",
+                     "range_bounded", "ntile", "lead_default",
+                     "first_value", "last_value"])
+    k = rng.randint(1, 5)
+    buckets = rng.randint(2, 7)
+    off = rng.randint(1, 3)
+    dflt = rng.randint(-9, -1)
+
+    if fn == "rows_slide":
+        w_sql = (f"CAST(SUM({icol}) OVER (PARTITION BY {part_sql} "
+                 f"ORDER BY {total_sql} ROWS BETWEEN {k} PRECEDING "
+                 f"AND CURRENT ROW) AS BIGINT)")
+    elif fn == "rows_centered":
+        w_sql = (f"CAST(SUM({icol}) OVER (PARTITION BY {part_sql} "
+                 f"ORDER BY {total_sql} ROWS BETWEEN {k} PRECEDING "
+                 f"AND {k} FOLLOWING) AS BIGINT)")
+    elif fn == "range_cur":
+        w_sql = (f"CAST(SUM({icol}) OVER (PARTITION BY {part_sql} "
+                 f"ORDER BY {ocol} {dirn} RANGE BETWEEN UNBOUNDED "
+                 f"PRECEDING AND CURRENT ROW) AS BIGINT)")
+    elif fn == "range_bounded":
+        # value-based bounded frame: ASC only (offset direction is
+        # unambiguous on both engines), single numeric order column
+        w_sql = (f"CAST(SUM({icol}) OVER (PARTITION BY {part_sql} "
+                 f"ORDER BY {ocol} ASC RANGE BETWEEN {k} PRECEDING "
+                 f"AND CURRENT ROW) AS BIGINT)")
+    elif fn == "ntile":
+        w_sql = (f"CAST(NTILE({buckets}) OVER (PARTITION BY {part_sql} "
+                 f"ORDER BY {total_sql}) AS BIGINT)")
+    elif fn == "lead_default":
+        w_sql = (f"CAST(LEAD({icol}, {off}, {dflt}) OVER "
+                 f"(PARTITION BY {part_sql} ORDER BY {total_sql}) "
+                 f"AS BIGINT)")
+    elif fn == "first_value":
+        w_sql = (f"CAST(FIRST_VALUE({icol}) OVER (PARTITION BY "
+                 f"{part_sql} ORDER BY {total_sql} ROWS BETWEEN "
+                 f"UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+                 f"AS BIGINT)")
+    else:
+        w_sql = (f"CAST(LAST_VALUE({icol}) OVER (PARTITION BY "
+                 f"{part_sql} ORDER BY {total_sql} ROWS BETWEEN "
+                 f"UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+                 f"AS BIGINT)")
+
+    keys_sql = ", ".join(keys)
+    sql = (f"SELECT {keys_sql}, {part_sql} AS g0, {w_sql} AS w0 "
+           f"FROM {t}")
+
+    def build(spark, sf_dir):
+        df = catalog.load(spark, sf_dir, t)
+        oc = F.col(ocol).desc() if desc else F.col(ocol).asc()
+        total = Window.partitionBy(part_col()).orderBy(
+            oc, *[F.col(kk) for kk in keys])
+        if fn == "rows_slide":
+            w = total.rowsBetween(-k, Window.currentRow)
+            expr = F.sum(icol).over(w).cast("bigint")
+        elif fn == "rows_centered":
+            w = total.rowsBetween(-k, k)
+            expr = F.sum(icol).over(w).cast("bigint")
+        elif fn == "range_cur":
+            w = (Window.partitionBy(part_col()).orderBy(oc)
+                 .rangeBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+            expr = F.sum(icol).over(w).cast("bigint")
+        elif fn == "range_bounded":
+            w = (Window.partitionBy(part_col())
+                 .orderBy(F.col(ocol).asc()).rangeBetween(-k, 0))
+            expr = F.sum(icol).over(w).cast("bigint")
+        elif fn == "ntile":
+            expr = F.ntile(buckets).over(total).cast("bigint")
+        elif fn == "lead_default":
+            expr = F.lead(icol, off, dflt).over(total).cast("bigint")
+        elif fn == "first_value":
+            w = total.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+            expr = F.first(icol).over(w).cast("bigint")
+        else:
+            w = total.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+            expr = F.last(icol).over(w).cast("bigint")
+        return df.select(*keys, part_col().alias("g0"),
+                         expr.alias("w0"))
+
+    return SqlPairCase(seed=seed, kind=f"window_frame:{fn}", _sql=sql,
                        _build=build)
 
 
@@ -648,27 +784,31 @@ def _gen_having(seed: int, rng: random.Random) -> SqlPairCase:
 
 
 def generate(seed: int):
-    """Deterministic spec from a seed. Shape mix: ~30% filter/join/agg
-    compositions (Case), ~16% window functions, ~8% set operations,
-    ~8% global top-N, ~14% outer/semi/anti joins, ~10% row-wise scalar
-    expression compositions, ~8% ROLLUP/CUBE grouping sets, ~6%
-    GROUP BY + HAVING — every shape rendered twice (DataFrame + SQL)
-    and compared exactly."""
+    """Deterministic spec from a seed. Shape mix: ~26% filter/join/agg
+    compositions (Case), ~12% window functions, ~10% window FRAMES
+    (ROWS/RANGE frames, ntile, lead-default, first/last_value, NULL
+    partition keys — round 12), ~7% set operations, ~7% global top-N,
+    ~13% outer/semi/anti joins, ~10% row-wise scalar expression
+    compositions, ~8% ROLLUP/CUBE grouping sets, ~7% GROUP BY + HAVING
+    — every shape rendered twice (DataFrame + SQL) and compared
+    exactly."""
     rng = random.Random(seed)
     shape = rng.random()
-    if shape < 0.16:
+    if shape < 0.12:
         return _gen_window(seed, rng)
-    if shape < 0.24:
+    if shape < 0.22:
+        return _gen_window_frames(seed, rng)
+    if shape < 0.29:
         return _gen_setop(seed, rng)
-    if shape < 0.32:
+    if shape < 0.36:
         return _gen_toplimit(seed, rng)
-    if shape < 0.46:
+    if shape < 0.49:
         return _gen_outerjoin(seed, rng)
-    if shape < 0.56:
+    if shape < 0.59:
         return _gen_scalar_exprs(seed, rng)
-    if shape < 0.64:
+    if shape < 0.67:
         return _gen_grouping(seed, rng)
-    if shape < 0.70:
+    if shape < 0.74:
         return _gen_having(seed, rng)
     return _generate_agg(seed, rng)
 

@@ -1195,6 +1195,16 @@ def dedup_priority_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample, never on the corpus.
 EVAL_SAMPLE_MAX = 200
 
+# Parity pin (ADVICE r11): the Spark side's candidates come from
+# cap_hot_buckets-capped bands while the oracle builds uncapped bands —
+# equivalent ONLY while a band bucket cannot overflow the cap within
+# the sample (a bucket holds at most one row per doc, so bucket size
+# <= EVAL_SAMPLE_MAX). Raising the sample past the cap would silently
+# diverge the two engines.
+assert EVAL_SAMPLE_MAX <= HOT_BUCKET_CAP, (
+    "dedup_lsh_recall_eval parity requires EVAL_SAMPLE_MAX <= "
+    "HOT_BUCKET_CAP (capped Spark bands vs uncapped oracle bands)")
+
 
 @register(
     "dedup_lsh_recall_eval",

@@ -613,41 +613,79 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kcore_trace(_copurchase_edges(spark, sf_dir))
 
 
+# Keep-set broadcast gate for the exact peel: the kept-node frame is
+# bounded by |V| (≤ |part| for the co-purchase graph), so at the exact
+# path's ≤250k-lineitem gate it is a few thousand longs — broadcasting
+# it turns BOTH per-round semi-joins into broadcast joins and the round
+# moves only the |V|-sized node frame (the LPA lesson, VERDICT r11 #4).
+# The sampled path can reach this code at any scale, so the broadcast
+# is size-gated on the measured node count, not assumed.
+KCORE_BROADCAST_NODES_MAX = 5_000_000
+
+
 def _kcore_trace(edges: DataFrame) -> DataFrame:
     """KCORE_ROUNDS Matula-Beck peeling sweeps over an undirected
     (u < v, distinct) edge frame at the count-derived k; returns the
     (round, n_nodes, n_edges) shrink trace. Factored out so the
     size-gated dispatcher can peel the SAME way on either the full or
-    the coin-sampled edge set (the census_auto pattern)."""
+    the coin-sampled edge set (the census_auto pattern).
+
+    Round-12 rewrite of the round body (VERDICT r11 #4 — the exact
+    trace paid full-E localCheckpoints plus TWO degree-shaped shuffles
+    per round):
+    - ONE degree aggregate per round: the (node, d) frame computed
+      after peel r both reports round r's n_nodes (its row count) and
+      drives round r+1's keep-set — the old code aggregated degrees
+      once for the keep and AGAIN (countDistinct over the endpoint
+      union) for the trace row;
+    - the keep-set is broadcast when |V| is measured small (see
+      KCORE_BROADCAST_NODES_MAX), so neither semi-join shuffles the
+      edge frame;
+    - EARLY EXIT at the fixpoint: once a round removes nothing (or the
+      frame empties) every later round replays the same counts, so
+      they are emitted as literals instead of re-running empty joins —
+      the trace semantics (fixed KCORE_ROUNDS rows) are unchanged and
+      the oracle still replays bit-equal.
+    The per-round counts are O(1) driver-side results of distributed
+    aggregates (the bounded-collect budget every iterative operator
+    here runs on); the final trace is a literal 6-row frame."""
+    spark = edges.sparkSession
     cur = edges.localCheckpoint(eager=True)
     n_e = cur.count()
-    n_n = (cur.select(F.col("u").alias("x"))
-           .unionAll(cur.select(F.col("v").alias("x")))
-           .agg(F.countDistinct("x")).first()[0]) or 1
+
+    def degree(df: DataFrame) -> DataFrame:
+        return (df.select(F.col("u").alias("node"))
+                .unionAll(df.select(F.col("v").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+
+    deg = degree(cur).persist()
+    n_n = deg.count() or 1
     k = (14 * n_e + 8 * n_n - 1) // (8 * n_n)  # ceil(7/8·avg), see above
-    rows = []
+    trace: list[tuple[int, int, int]] = []
+    stable = n_e == 0
     for r in range(1, KCORE_ROUNDS + 1):
-        deg = (cur.select(F.col("u").alias("node"))
-               .unionAll(cur.select(F.col("v").alias("node")))
-               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        if stable:
+            trace.append((r, 0 if n_e == 0 else n_n, n_e))
+            continue
         keep = deg.filter(F.col("d") >= k).select("node")
+        if n_n <= KCORE_BROADCAST_NODES_MAX:
+            keep = F.broadcast(keep)
         nxt = (cur.join(keep.withColumnRenamed("node", "u"), "u",
                         "left_semi")
                .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
                .select("u", "v").localCheckpoint(eager=True))
-        nodes = (nxt.select(F.col("u").alias("x"))
-                 .unionAll(nxt.select(F.col("v").alias("x")))
-                 .agg(F.countDistinct("x").alias("n_nodes")))
-        edges_n = nxt.agg(F.count(F.lit(1)).alias("n_edges"))
-        rows.append(edges_n.crossJoin(nodes).select(
-            F.lit(r).alias("round"),
-            F.col("n_nodes").cast("bigint").alias("n_nodes"),
-            F.col("n_edges").cast("bigint").alias("n_edges")))
-        cur = nxt
-    out = rows[0]
-    for fr in rows[1:]:
-        out = out.unionAll(fr)
-    return out
+        n_e_next = nxt.count()
+        deg.unpersist()
+        deg = degree(nxt).persist()
+        n_n_next = deg.count()
+        trace.append((r, n_n_next, n_e_next))
+        # nothing removed -> degrees are unchanged forever; empty ->
+        # trivially stable
+        stable = n_e_next in (n_e, 0)
+        cur, n_e, n_n = nxt, n_e_next, n_n_next
+    deg.unpersist()
+    return spark.createDataFrame(
+        trace, "round int, n_nodes bigint, n_edges bigint")
 
 
 # Size gate for the kcore dispatcher (VERDICT r10 #2): exact peeling is

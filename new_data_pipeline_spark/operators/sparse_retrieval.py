@@ -69,8 +69,12 @@ SHINGLE_W = 3      # words per shingle term
       -- pairs, so the shingle stream is aggregated exactly once
       SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
     ), post AS (
+      -- ln rounded to 6 dp BEFORE the multiply (ADVICE r11: the
+      -- transcendental is the only cross-engine ulp source; the BM25
+      -- twin already did this and the verify recipe mandates it)
       SELECT tf.doc_id, tf.term,
-             CAST(ROUND(tf.tf * ln((n.n + 1.0) / (dft.df + 1.0)), 6)
+             CAST(ROUND(tf.tf * ROUND(ln((n.n + 1.0) / (dft.df + 1.0)),
+                                      6), 6)
                   AS DECIMAL(18,6)) AS w
       FROM tf JOIN dft USING (term) CROSS JOIN n
       WHERE dft.df <= {DF_CAP}
@@ -132,11 +136,14 @@ def text_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dft = (tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
                                   .alias("df"))
            .filter(F.col("df") <= DF_CAP))
+    # ln-first 6-dp rounding (ADVICE r11; the BM25 twin's device): the
+    # transcendental is the only cross-engine ulp source — round it
+    # before the tf multiply so both engines multiply identical doubles
+    idf = F.round(F.log((F.col("__n") + 1) / (F.col("df") + 1)), 6)
     post = (tf.join(dft, "term")
             .crossJoin(F.broadcast(n_tbl))
             .select("doc_id", "term",
-                    F.round(F.col("tf") * F.log((F.col("__n") + 1)
-                                                / (F.col("df") + 1)), 6)
+                    F.round(F.col("tf") * idf, 6)
                     .cast("decimal(18,6)").alias("w")))
     # postings feed three NON-identical consumers (norms, query side,
     # candidate side): persist + eager fill before the fan-out, the
