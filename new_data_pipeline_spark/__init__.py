@@ -45,6 +45,9 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.pq  # noqa: F401
     import new_data_pipeline_spark.operators.clustering  # noqa: F401
     import new_data_pipeline_spark.operators.random_projection  # noqa: F401
+    # ann_eval composes the similarity/pq/random_projection oracles at
+    # import time — it must follow them
+    import new_data_pipeline_spark.operators.ann_eval  # noqa: F401
     import new_data_pipeline_spark.operators.fuzzy_join  # noqa: F401
     import new_data_pipeline_spark.operators.incremental  # noqa: F401
     import new_data_pipeline_spark.operators.text_analysis  # noqa: F401

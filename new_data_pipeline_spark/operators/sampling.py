@@ -229,6 +229,98 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("share")))
 
 
+# The mixture REALIZED (round 12): mix_temperature_weights computes
+# the shares; this draws the actual per-source document sample at the
+# share-derived quota. Budget = documents one mixture epoch draws.
+MIX_BUDGET_DOCS = 200
+_COIN_BITS = 24          # md5-coin resolution (the dedup family's coin)
+_COIN_MOD = 1 << _COIN_BITS
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ), w AS (
+      -- sqrt = temperature 0.5; 6-dp round into integer micro-units
+      -- (exact: a 6-dp decimal times 1e6 is an integer)
+      SELECT source, n_docs,
+             CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) * 1000000
+                  AS BIGINT) AS w_u
+      FROM counts
+    ), tot AS (
+      SELECT CAST(SUM(w_u) AS BIGINT) AS tot_u FROM w
+    ), quota AS (
+      SELECT source, n_docs, w_u,
+             ({MIX_BUDGET_DOCS} * w_u) // (SELECT tot_u FROM tot) AS quota
+      FROM w
+    ), sampled AS (
+      SELECT d.source, COUNT(*) AS n_sampled
+      FROM documents d JOIN quota q ON d.source = q.source
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1,
+                                {_COIN_BITS // 4}) AS BIGINT) * q.n_docs
+            < q.quota * {_COIN_MOD}
+      GROUP BY d.source
+    )
+    SELECT q.source, q.n_docs, q.w_u,
+           CAST((10000 * q.w_u) // (SELECT tot_u FROM tot) AS BIGINT)
+             AS mix_bp,
+           CAST(q.quota AS BIGINT) AS quota,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM quota q LEFT JOIN sampled s ON q.source = s.source
+    """,
+    tags=("sampling", "mixture", "training-prep"),
+)
+def sample_temperature_mixture(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The temperature-0.5 mixture REALIZED: per source the raw count,
+    the sqrt weight in integer micro-units, the normalized mixing
+    share in basis points, the document quota for MIX_BUDGET_DOCS, and
+    how many documents the deterministic md5-coin Bernoulli at rate
+    quota/n actually draws — the step between
+    ``mix_temperature_weights``' share table and a training data
+    loader. Unlike the fixed-rate samplers above, the coin's rate here
+    is DATA-DERIVED (an aggregation result), so the comparison is kept
+    integer (hash·n_docs < quota·2^24): the selected document SET is
+    engine-exact, not just the rates.
+
+    Scale: one map-combinable count per source, a broadcast
+    |sources|-sized quota table joined map-side to the corpus coin
+    scan, one partial count — no corpus-sized shuffle anywhere."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    counts = (docs.groupBy("source")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    w = counts.withColumn(
+        "w_u",
+        (F.round(F.sqrt(F.col("n_docs").cast("double")), 6) * 1000000)
+        .cast("bigint"))
+    tot = w.agg(F.sum("w_u").cast("bigint").alias("tot_u"))
+    quota = (w.crossJoin(F.broadcast(tot))
+             .select("source", "n_docs", "w_u", "tot_u",
+                     F.expr(f"({MIX_BUDGET_DOCS} * w_u) DIV tot_u")
+                     .alias("quota")))
+    coin = F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1,
+        _COIN_BITS // 4), 16, 10).cast("bigint")
+    sampled = (docs.select("source", coin.alias("coin"))
+               .join(F.broadcast(quota.select("source",
+                                              F.col("n_docs").alias("nd"),
+                                              "quota")), "source")
+               .filter(F.col("coin") * F.col("nd")
+                       < F.col("quota") * F.lit(_COIN_MOD))
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled")))
+    return (quota.join(sampled, "source", "left")
+            .select("source", "n_docs", "w_u",
+                    F.expr("CAST((10000 * w_u) DIV tot_u AS BIGINT)")
+                    .alias("mix_bp"),
+                    F.col("quota").cast("bigint").alias("quota"),
+                    F.coalesce(F.col("n_sampled"), F.lit(0))
+                    .cast("bigint").alias("n_sampled")))
+
+
 RESERVOIR_K = 10
 
 

@@ -80,98 +80,40 @@ QUERIES: dict[str, QuerySpec] = {}
 # stream_interval_join, join_asof_event_streams,
 # join_temporal_pointintime, stream_tumbling_window,
 # stream_sliding_window).
-# Round-11 window (re-aimed per VERDICT r10 #1: seat the r5/r6
-# driver-exposure backlog — 51 queries were last graded in r6 or
-# earlier, computed by tools/exposure_report.py, which replaces the
-# hand-maintained lists this comment used to carry). Composition:
-# - slots 1-10: the queries ADDED in round 11 (new additions MUST take
-#   their first driver exposure): the size-gated k-core dispatcher
-#   (VERDICT r10 #2), the JL-projection→IVF composed gate
-#   (VERDICT r10 #6), the exact-quota stratified split, the join-key
-#   skew profile, the sparse TF-IDF inverted-index retrieval, the
-#   seasonal decomposition, conversion attribution, the LSH recall
-#   eval, BM25 retrieval, and the oracle-gated two-round Lloyd
-#   k-means (slots 1-10);
-# - slots 11-16: EVERY query whose code path changed in round 11, per
-#   the every-changed-query rule: the Laplace u=0 clamp (ADVICE r10 —
-#   changed BOTH engines' noise expression), the ACID merge_upsert
-#   file_path suffix match + pid-keyed temp tables (ADVICE r10:
-#   store_merge_upsert, stream_merge_apply, acid_change_data_feed),
-#   the k-core peel body factored into _kcore_trace
-#   (graph_kcore_peeling), and the LPA dst-partitioned persisted edge
-#   frame + frontier-capable sweep (graph_community_lpa);
-# - slots 17-22: the six r5-graded stragglers VERDICT r10 #1 named;
-# - slots 23-50: 28 of the 45 r6-graded queries,
-#   regeneration-sensitive first (streaming family, temporal joins,
-#   event analytics, dedup family, array/struct-emitting oracles),
-#   then cube/pivot/flagship.
-# DEFERRED to lead round 12 (17 slots short): agg_grouping_sets and
-# agg_cube (pivot + rollup stay as the family's in-window
-# representatives),
-# the composite/report pair, plus the full TPC-H r6 block — q4, q5, q6, q7, q8, q13, q14,
-# q15, q17, q18, q19, q22 — pure decimal-aggregate shapes, the least
-# regeneration-sensitive of the backlog; they stay replay-verified
-# every run by the local full-registry mirror
+# Round-12 window (re-aimed per VERDICT r11 #2: seat the 17 age-5
+# r6-era queries FIRST, then round-12 adds and changed queries, then
+# as much of the 35-query r7 block as fits; exposure ages come from
+# tools/exposure_report.py). Composition:
+# - slots 1-2: the queries ADDED in round 12 (new additions take
+#   their first driver exposure): the ANN recall eval
+#   (VERDICT r11 #7) and the realized temperature mixture;
+# - slots 3-5: EVERY query whose code path changed in round 12, per
+#   the every-changed-query rule: text_tfidf_retrieval (ADVICE r11 —
+#   the ln term is now pre-rounded to 6 dp in BOTH engines) and the
+#   k-core pair (the peel round body was rewritten: fused degree
+#   aggregate, broadcast keep-set, fixpoint early-exit —
+#   VERDICT r11 #4);
+# - slots 6-22: the 17 age-5 r6-era stragglers (the full TPC-H dozen,
+#   cube/grouping-sets, the composite pair, report_revenue_share);
+# - slots 23-50: 28 of the 35 r7-graded queries, sketch/HLL rollups
+#   first (the most regeneration-sensitive of that block, VERDICT
+#   r11 #8), then streaming/timeseries/SCD2, dedup, text, ML
+#   encodings, kmeans assign, pagerank.
+# DEFERRED to lead round 13 (7 slots short): join_set_similarity,
+# sim_lsh_topk, and the r7 TPC-H block (q9, q11, q12, q16, q21) —
+# the least regeneration-sensitive of the remainder; they stay
+# replay-verified every run by the local full-registry mirror
 # (tests/test_oracle_parity.py), as does everything outside the
 # window.
 GATE_PRIORITY: tuple[str, ...] = (
-    # ---- added in round 11 ----
-    "graph_kcore_auto",
-    "sim_rp_ivf_topk",
-    "split_stratified",
-    "profile_join_key_skew",
+    # ---- added in round 12 ----
+    "sim_ann_recall_eval",
+    "sample_temperature_mixture",
+    # ---- changed in round 12 ----
     "text_tfidf_retrieval",
-    "timeseries_seasonal_decompose",
-    "events_attribution",
-    "dedup_lsh_recall_eval",
-    "text_bm25_retrieval",
-    "cluster_kmeans_lloyd",
-    # ---- changed in round 11 ----
-    "agg_dp_noisy_counts",
-    "store_merge_upsert",
-    "stream_merge_apply",
-    "acid_change_data_feed",
     "graph_kcore_peeling",
-    "graph_community_lpa",
-    # ---- rotation: the six r5-graded stragglers ----
-    "multimodal_thumbnail_stats",
-    "profile_benford_deviation",
-    "profile_source_drift",
-    "sample_reservoir_pergroup",
-    "text_hashing_vectorize",
-    "text_model_quality_filter",
-    # ---- rotation: round-6 block, regeneration-sensitive first ----
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_interval_join",
-    "stream_dedup_keep_first",
-    "join_asof_event_streams",
-    "join_temporal_pointintime",
-    "events_pattern_skip_match",
-    "sessionize_lag",
-    "event_path_trigrams",
-    "retention_cohorts",
-    "active_users_rolling",
-    "anomaly_event_rate",
-    "text_contamination_ngrams",
-    "dedup_apply_minhash",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_exact_substrings",
-    "sim_bruteforce_topk",
-    "agg_collect_sorted",
-    "array_higher_order",
-    "scalar_array_funcs",
-    "struct_funcs",
-    "lateral_explode",
-    "agg_pivot",
-    "agg_rollup",
-    "flagship_revenue_by_nation",
-    "pricing_summary",
-    "window_topk_per_group",
-    # ---- first-50 window boundary: "window_topk_per_group" is
-    # slot 50 (10 added + 6 changed + 6 r5 + 28 r6); everything below
-    # is OUTSIDE the graded window this round ----
+    "graph_kcore_auto",
+    # ---- rotation: the seventeen age-5 r6-era queries ----
     "agg_cube",
     "agg_grouping_sets",
     "composite_returned_items",
@@ -189,6 +131,45 @@ GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_predicate",
     "tpch_q22_idle_customers",
+    # ---- rotation: round-7 block, sketches first ----
+    "agg_hll_sketch",
+    "agg_hll_mergeable_rollup",
+    "agg_kll_quantile_rollup",
+    "agg_theta_intersection",
+    "agg_bloom_membership",
+    "stream_acid_ingest",
+    "stream_interval_join_outer",
+    "stream_running_totals",
+    "stream_session_window",
+    "stream_static_dim_join",
+    "timeseries_ewma",
+    "timeseries_gapfill",
+    "timeseries_ohlc_bars",
+    "scd2_user_state",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_priority_keeper",
+    "dedup_semdedup_cells",
+    "dedup_simhash64_hamming",
+    "text_boilerplate_strip",
+    "text_bpe_token_counts",
+    "text_chunk_overlap",
+    "text_lm_perplexity",
+    "text_repetition_ratio",
+    "ml_quantile_binning",
+    "ml_target_encoding",
+    "cluster_kmeans_assign",
+    "graph_pagerank",
+    # ---- first-50 window boundary: "graph_pagerank" is slot 50
+    # (2 added + 3 changed + 17 r6 + 28 r7); everything below is
+    # OUTSIDE the graded window this round ----
+    "join_set_similarity",
+    "sim_lsh_topk",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_part_count",
+    "tpch_q21_waiting_supplier",
     # earlier-verified families follow in registration order via
     # gate_ordered(); nothing below needs an explicit slot.
 )

@@ -264,3 +264,37 @@ def test_append_merges_manifest(spark, tmp_path):
     on_disk = {f for f in _os.listdir(out) if f.endswith(".datum")}
     assert {e["file"] for e in man["files"]} == on_disk
     assert sum(e["rows"] for e in man["files"]) == 80
+
+
+def test_multi_task_write_commits_complete_manifest(spark, tmp_path):
+    """W1 at scale (VERDICT r11 #6): a 32-way parallel write must land
+    one file per task, and the driver-side manifest commit must index
+    every one of them — complete entries, correct per-file row counts
+    and key ranges, and a block-parallel readback equal to the input."""
+    import json
+    import os
+
+    out = str(tmp_path / "mt")
+    n = 32_000
+    df = spark.range(n).select(
+        F.col("id").alias("key"),
+        F.col("id").cast("string").cast("binary").alias("datum"))
+    df.repartition(32).write.format("ndpdatum").mode("append").save(out)
+
+    files = {f for f in os.listdir(out) if f.endswith(".datum")}
+    assert len(files) == 32
+    with open(os.path.join(out, MANIFEST)) as f:
+        man = json.load(f)
+    entries = man["files"]
+    assert {e["file"] for e in entries} == files
+    assert sum(e["rows"] for e in entries) == n
+    for e in entries:
+        assert 0 <= e["min_key"] <= e["max_key"] < n
+        assert e["blocks"], "v2 manifest entries must carry block meta"
+
+    back = spark.read.format("ndpdatum").load(out)
+    assert back.count() == n
+    assert back.select(F.min("key"), F.max("key")).first() == (0, n - 1)
+    # key-range pushdown still prunes against the merged 32-file index
+    one = back.filter(F.col("key") == 12_345).collect()
+    assert len(one) == 1 and bytes(one[0].datum) == b"12345"
