@@ -12,13 +12,20 @@ pure-Python stack can genuinely implement. Other compressed fourccs
 fallback engages rather than mis-decoding.
 
 This closes the last modality stub: image (PNG/JPEG codecs), audio
-(WAV), video (raw AVI + MJPEG) all REALLY parse their formats; only
-inter-frame codecs stay behind the documented fallback until a codec
-library lands.
+(WAV), video (raw AVI + MJPEG + MSRLE) all REALLY parse their formats.
 
-Format reference: the public RIFF/AVI and BITMAPINFOHEADER layouts
-(Microsoft Windows multimedia documentation), re-implemented from the
-spec, not from any codebase.
+Round 12 adds MSRLE (BI_RLE8, biCompression=1) — a genuine INTER-FRAME
+codec: frames are 8-bit palettized RLE streams whose skip/delta escapes
+mean "unchanged from the previous frame", so the decoder carries a
+framebuffer across frames and the encoder emits deltas against the
+prior frame. That retires the "inter-frame codecs stay behind the
+fallback" caveat for the one inter-frame format a pure-Python stack can
+really implement; H.264/VP9-class codecs still raise ValueError so the
+operator's metadata-driven fallback engages rather than mis-decoding.
+
+Format reference: the public RIFF/AVI, BITMAPINFOHEADER, and BMP RLE8
+layouts (Microsoft Windows multimedia documentation), re-implemented
+from the spec, not from any codebase.
 """
 
 from __future__ import annotations
@@ -42,6 +49,10 @@ def is_avi(b: bytes) -> bool:
 # compressed-video codec a pure-Python stack can REALLY decode, because
 # every frame is a standalone baseline JPEG (functions/jpeg_codec.py).
 MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+# BITMAPINFOHEADER biCompression for 8-bit run-length encoding — the
+# Microsoft RLE8 video codec ('MRLE'/'RLE ' fourccs map to it).
+BI_RLE8 = 1
 
 
 def _mjpeg_frame(raw: bytes, width: int, height: int) -> bytes:
@@ -89,11 +100,12 @@ def decode_avi(b: bytes) -> AviData:
     usec_per_frame = 0
     compression = None
     bi_width = bi_height = None
+    palette = b""
     frames: list[bytes] = []
 
     def scan(pos: int, end: int) -> None:
         nonlocal width, height, usec_per_frame, compression
-        nonlocal bi_width, bi_height
+        nonlocal bi_width, bi_height, palette
         for cc, start, size in _walk(b, pos, end):
             if cc in (b"hdrl", b"strl", b"movi"):
                 scan(start, start + size)
@@ -104,17 +116,19 @@ def decode_avi(b: bytes) -> AviData:
             elif cc == b"strf" and compression is None:
                 # BITMAPINFOHEADER: biWidth/biHeight SIGNED at offsets
                 # 4/8 (negative biHeight = top-down DIB), biCompression
-                # at offset 16.
+                # at offset 16; palettized formats append RGBQUAD
+                # (B,G,R,0) entries after the 40-byte header.
                 bi_width, bi_height = struct.unpack_from("<ii", b,
                                                          start + 4)
                 compression = struct.unpack_from("<I", b, start + 16)[0]
+                palette = b[start + 40:start + size]
             elif cc[2:4] in (b"db", b"dc"):  # video frame chunk
                 frames.append(b[start:start + size])
 
     scan(12, len(b))
     if width is None or height is None:
         raise ValueError("missing avih header")
-    if compression not in (0, None, MJPG_FOURCC):
+    if compression not in (0, None, MJPG_FOURCC, BI_RLE8):
         raise ValueError(f"compressed AVI (biCompression={compression})")
     # Row order comes from strf's biHeight sign (negative = top-down);
     # cross-check strf geometry against avih so a disagreeing header
@@ -130,6 +144,12 @@ def decode_avi(b: bytes) -> AviData:
         fps_ = 1e6 / usec_per_frame if usec_per_frame else 0.0
         return AviData(width, height, fps_,
                        [_mjpeg_frame(raw, width, height) for raw in frames])
+
+    if compression == BI_RLE8:
+        fps_ = 1e6 / usec_per_frame if usec_per_frame else 0.0
+        return AviData(width, height, fps_,
+                       _rle8_decode_stream(frames, width, height,
+                                           palette))
 
     stride = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
     rgb_frames = []
@@ -151,6 +171,141 @@ def decode_avi(b: bytes) -> AviData:
     return AviData(width, height, fps, rgb_frames)
 
 
+# ------------------------------------------------------- MSRLE (RLE8)
+
+def _rle8_apply(raw: bytes, fb: bytearray, w: int, h: int) -> None:
+    """Apply ONE RLE8 frame chunk to the bottom-up index framebuffer
+    ``fb`` in place. Escapes: 00 00 = end of line, 00 01 = end of
+    bitmap, 00 02 dx dy = move right dx / UP dy leaving pixels
+    unchanged (the inter-frame device), 00 n(≥3) = n literal bytes
+    (word-aligned). Out-of-bounds writes raise (reject, never
+    mis-decode)."""
+    pos, x, y = 0, 0, 0
+    n = len(raw)
+    while pos + 2 <= n:
+        b0, b1 = raw[pos], raw[pos + 1]
+        pos += 2
+        if b0:                                   # encoded run
+            if y >= h or x + b0 > w:
+                raise ValueError("RLE8 run overflows frame")
+            off = y * w + x
+            fb[off:off + b0] = bytes([b1]) * b0
+            x += b0
+        elif b1 == 0:                            # end of line
+            x, y = 0, y + 1
+        elif b1 == 1:                            # end of bitmap
+            return
+        elif b1 == 2:                            # delta/skip
+            if pos + 2 > n:
+                raise ValueError("truncated RLE8 delta")
+            x += raw[pos]
+            y += raw[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("RLE8 delta overflows frame")
+        else:                                    # absolute mode
+            if y >= h or x + b1 > w or pos + b1 > n:
+                raise ValueError("RLE8 absolute run overflows frame")
+            off = y * w + x
+            fb[off:off + b1] = raw[pos:pos + b1]
+            x += b1
+            pos += b1 + (b1 & 1)                 # word-align
+    raise ValueError("RLE8 stream missing end-of-bitmap")
+
+
+def _rle8_decode_stream(frames: list[bytes], w: int, h: int,
+                        palette: bytes) -> list[bytes]:
+    """Decode an MSRLE frame sequence → RGB24 top-down frames. The
+    index framebuffer PERSISTS across frames (pixels a frame never
+    writes keep their previous content — inter-frame semantics)."""
+    if len(palette) < 4:
+        raise ValueError("RLE8 stream without a palette")
+    # RGBQUAD entries are (B, G, R, reserved)
+    pal = [(palette[i + 2], palette[i + 1], palette[i])
+           for i in range(0, len(palette) - 3, 4)]
+    lut = bytes(c for rgb in pal for c in rgb) + bytes(
+        3 * (256 - len(pal)))
+    fb = bytearray(w * h)                         # bottom-up indices
+    out: list[bytes] = []
+    for raw in frames:
+        _rle8_apply(raw, fb, w, h)
+        rgb = bytearray(w * h * 3)
+        o = 0
+        for y in range(h - 1, -1, -1):            # bottom-up → top-down
+            row = fb[y * w:(y + 1) * w]
+            for i, v in enumerate(row):
+                rgb[o + 3 * i:o + 3 * i + 3] = lut[3 * v:3 * v + 3]
+            o += w * 3
+        out.append(bytes(rgb))
+    return out
+
+
+def _rle8_encode_frame(row_src, prev, w: int, h: int) -> bytes:
+    """Encode one frame (bottom-up index rows via ``row_src(y)``)
+    against ``prev`` (same accessor shape or None). Unchanged spans
+    become delta skips; changed spans become value runs. The first
+    frame (prev=None) is encoded in full — a self-contained keyframe."""
+    out = bytearray()
+    for y in range(h):
+        row = row_src(y)
+        prow = prev(y) if prev is not None else None
+        x = 0
+        while x < w:
+            if prow is not None and row[x] == prow[x]:
+                s = x
+                while x < w and row[x] == prow[x]:
+                    x += 1
+                if x == w:
+                    break                         # EOL implies the rest
+                gap = x - s
+                while gap > 255:
+                    out += b"\x00\x02\xff\x00"
+                    gap -= 255
+                out += bytes((0, 2, gap, 0))
+            else:
+                v = row[x]
+                run = 1
+                while (x + run < w and row[x + run] == v
+                       and run < 255):
+                    run += 1
+                out += bytes((run, v))
+                x += run
+        out += b"\x00\x00"                        # end of line
+    out += b"\x00\x01"                            # end of bitmap
+    return bytes(out)
+
+
+def encode_avi_msrle(frames: list[bytes], width: int, height: int,
+                     palette: list[tuple[int, int, int]],
+                     fps: float = 10.0) -> bytes:
+    """MSRLE AVI writer: 8-bit palette-index frames (top-down bytes,
+    one byte per pixel) in, BI_RLE8 RIFF out. Frame 0 is a full
+    keyframe; every later frame is DELTA-encoded against its
+    predecessor (skip escapes for unchanged pixels) — the genuine
+    inter-frame compressed-video path."""
+    if not palette or len(palette) > 256:
+        raise ValueError("palette must have 1..256 entries")
+    payloads = []
+    prev_frame = None
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("index frame size != width*height")
+
+        def row_src(y, _f=f):                    # bottom-up accessor
+            t = height - 1 - y
+            return _f[t * width:(t + 1) * width]
+
+        prev = (None if prev_frame is None else
+                (lambda y, _p=prev_frame:
+                 _p[(height - 1 - y) * width:(height - y) * width]))
+        payloads.append(_rle8_encode_frame(row_src, prev, width, height))
+        prev_frame = f
+    pal = b"".join(bytes((b_, g, r, 0)) for r, g, b_ in palette)
+    buf = max(len(p) for p in payloads) if payloads else 0
+    return _container(payloads, width, height, fps, b"MRLE", BI_RLE8,
+                      buf, b"00dc", bitcount=8, palette=pal)
+
+
 def _chunk(cc: bytes, body: bytes) -> bytes:
     return (cc + struct.pack("<I", len(body)) + body
             + (b"\x00" if len(body) & 1 else b""))
@@ -162,8 +317,9 @@ def _lst(cc: bytes, body: bytes) -> bytes:
 
 def _container(payloads: list[bytes], width: int, height: int,
                fps: float, handler: bytes, compression: int,
-               buf_size: int, frame_cc: bytes) -> bytes:
-    """Shared RIFF/AVI assembly for the DIB and MJPG writers."""
+               buf_size: int, frame_cc: bytes, bitcount: int = 24,
+               palette: bytes = b"") -> bytes:
+    """Shared RIFF/AVI assembly for the DIB, MJPG, and MRLE writers."""
     usec = int(1e6 / fps) if fps else 0
     avih = struct.pack("<14I", usec, 0, 0, 0, len(payloads), 0, 1,
                        buf_size, width, height, 0, 0, 0, 0)
@@ -172,8 +328,9 @@ def _container(payloads: list[bytes], width: int, height: int,
                                             len(payloads), buf_size,
                                             0, 0)
             + struct.pack("<4H", 0, 0, width & 0xFFFF, height & 0xFFFF))
-    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
-                       compression, buf_size, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bitcount,
+                       compression, buf_size, 0, 0,
+                       len(palette) // 4, 0) + palette
     hdrl = _lst(b"hdrl", _chunk(b"avih", avih)
                 + _lst(b"strl", _chunk(b"strh", strh)
                        + _chunk(b"strf", strf)))

@@ -647,3 +647,99 @@ def multimodal_audio_resample(spark: SparkSession,
     decimation geometry."""
     docs = catalog.load(spark, sf_dir, "documents")
     return resample_audio(synthesize_audio_column(docs))
+
+
+# ------------------------------------------------ MSRLE video (round 12)
+
+# Geometry and update schedule for the synthetic MSRLE videos: 4 frames
+# of 16x8 8-bit grayscale-palette indices. Pixel p's value starts at
+# (doc_id + p) % 256 and is rewritten ONCE at frame j = p % 17 (for
+# 1 <= j <= 3) to (doc_id + p + 31*j) % 256 — so each delta frame k
+# changes exactly the pixels with p % 17 == k, a closed-form the oracle
+# replays symbolically while Spark measures it from DECODED bytes.
+VID_W, VID_H, VID_FRAMES = 16, 8, 4
+_VID_PX = VID_W * VID_H
+
+
+@register(
+    "multimodal_video_framediff",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, {VID_FRAMES})) AS frame_idx
+      FROM documents
+    ), vals AS (
+      SELECT doc_id, frame_idx,
+             [ (doc_id + p + CASE WHEN (p % 17) BETWEEN 1 AND frame_idx
+                                  THEN 31 * (p % 17) ELSE 0 END) % 256
+               for p in range(0, {_VID_PX}) ] AS v
+      FROM f
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST({VID_W} AS INTEGER) AS width,
+           CAST({VID_H} AS INTEGER) AS height,
+           CAST(list_sum(v) AS DOUBLE) / {_VID_PX} AS mean_pixel,
+           CAST(CASE WHEN frame_idx = 0 THEN -1
+                     ELSE len(list_filter(range(0, {_VID_PX}),
+                                          p -> p % 17 = frame_idx))
+                END AS BIGINT) AS n_changed_px
+    FROM vals
+    """,
+    tags=("multimodal", "video", "msrle", "interframe", "arrow"),
+)
+def multimodal_video_framediff(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """REAL inter-frame video decode under the VALUE gate: synthesize a
+    4-frame MSRLE (BI_RLE8) video per document — frame 0 a keyframe,
+    frames 1-3 genuine delta frames whose skip escapes leave unchanged
+    pixels to the decoder's persistent framebuffer — round-trip it
+    through the pure-Python codec (functions/avi_codec.py), and emit
+    per-frame mean pixel plus the count of pixels that CHANGED vs the
+    previous decoded frame. The oracle replays the generation formula
+    symbolically, so a hash match proves the encode→container→decode
+    chain reconstructed every framebuffer state exactly — corruption of
+    any delta would flip n_changed_px or a mean.
+
+    Scale: one Arrow batch pass, each input row fanning out to
+    {VID_FRAMES} rows inside its task — decode parallelism IS scan
+    parallelism, no shuffle (the decode_video_frames contract).
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from new_data_pipeline_spark.functions.avi_codec import (
+            decode_avi, encode_avi_msrle)
+
+        pal = [(i, i, i) for i in range(256)]
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "width": [],
+                   "height": [], "mean_pixel": [], "n_changed_px": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = []
+                for k in range(VID_FRAMES):
+                    frames.append(bytes(
+                        (doc_id + p + (31 * (p % 17)
+                                       if 1 <= (p % 17) <= k else 0))
+                        % 256 for p in range(_VID_PX)))
+                vid = decode_avi(encode_avi_msrle(
+                    frames, VID_W, VID_H, pal, fps=4.0))
+                prev = None
+                for k, rgb in enumerate(vid.frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["width"].append(vid.width)
+                    out["height"].append(vid.height)
+                    out["mean_pixel"].append(sum(rgb) / len(rgb))
+                    if prev is None:
+                        out["n_changed_px"].append(-1)
+                    else:
+                        out["n_changed_px"].append(sum(
+                            1 for p in range(_VID_PX)
+                            if rgb[3 * p] != prev[3 * p]))
+                    prev = rgb
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        batches,
+        schema=("doc_id bigint, frame_idx int, width int, height int, "
+                "mean_pixel double, n_changed_px bigint"))

@@ -154,3 +154,83 @@ def test_decode_video_frames_spark_stage(spark):
     assert [r.mean_pixel for r in vid] == [0.0, 30.0, 60.0]
     [fb] = [r for r in got if r.doc_id == 2]
     assert fb.frame_idx == -1 and fb.width == 0
+
+
+def test_msrle_roundtrip_exact_and_interframe():
+    """MSRLE (BI_RLE8): palette-index frames must roundtrip to exact
+    RGB, the framebuffer must persist across frames (pixels a delta
+    frame never writes keep prior content), and delta frames must be
+    materially smaller than the keyframe — proof the encoder really
+    emits inter-frame skips, not re-keyframes."""
+    from new_data_pipeline_spark.functions.avi_codec import (
+        _rle8_encode_frame, encode_avi_msrle)
+
+    w, h = 13, 9                                   # odd width: no pad luck
+    f0 = RNG.integers(0, 16, size=h * w, dtype=np.uint8)
+    f1 = f0.copy()
+    f1[[3, 50, 51, 100]] = [15, 1, 1, 7]
+    f2 = f1.copy()
+    f2[0:13] = 5
+    frames = [f.tobytes() for f in (f0, f1, f2)]
+    pal = [(i * 16 % 256, (i * 7 + 3) % 256, (255 - i * 13) % 256)
+           for i in range(16)]
+    b = encode_avi_msrle(frames, w, h, pal, fps=5.0)
+    assert is_avi(b)
+    d = decode_avi(b)
+    assert (d.width, d.height, len(d.frames)) == (w, h, 3)
+    for i, f in enumerate(frames):
+        want = bytes(c for v in np.frombuffer(f, np.uint8)
+                     for c in pal[v])
+        assert d.frames[i] == want, f"frame {i}"
+
+    def acc(fr):
+        return lambda y: fr[(h - 1 - y) * w:(h - y) * w]
+
+    key = _rle8_encode_frame(acc(frames[0]), None, w, h)
+    delta = _rle8_encode_frame(acc(frames[1]), acc(frames[0]), w, h)
+    assert len(delta) < len(key) / 2, (len(key), len(delta))
+    assert b"\x00\x02" in delta                    # a real skip escape
+
+
+def test_msrle_rejects_overflow_and_missing_palette():
+    from new_data_pipeline_spark.functions.avi_codec import (
+        _rle8_apply, _rle8_decode_stream)
+
+    fb = bytearray(4 * 2)
+    with pytest.raises(ValueError):
+        _rle8_apply(bytes((5, 1, 0, 1)), fb, 4, 2)   # run overflows row
+    with pytest.raises(ValueError):
+        _rle8_apply(bytes((2, 1)), fb, 4, 2)         # no end-of-bitmap
+    with pytest.raises(ValueError):
+        _rle8_decode_stream([bytes((1, 0, 0, 1))], 4, 2, b"")
+
+
+def test_msrle_spark_stage_decodes_via_generic_path(spark):
+    """decode_video_frames must handle MSRLE payloads with no special
+    casing — decode_avi returns the same AviData contract."""
+    from new_data_pipeline_spark.functions.avi_codec import (
+        encode_avi_msrle)
+    from new_data_pipeline_spark.operators.multimodal import (
+        decode_video_frames)
+
+    w, h = 8, 6
+    pal = [(i, i, i) for i in range(256)]
+    rows = []
+    for doc in range(3):
+        f0 = bytes((doc * 40 + i) % 256 for i in range(h * w))
+        f1 = bytes((doc * 40 + i + 1) % 256 for i in range(h * w))
+        rows.append((doc, bytearray(encode_avi_msrle([f0, f1], w, h,
+                                                     pal, fps=4.0))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sorted(((r["doc_id"], r["frame_idx"], r["width"], r["height"],
+                   r["mean_pixel"])
+                  for r in decode_video_frames(df, every_n=1).collect()))
+    assert len(got) == 6                           # 3 docs × 2 frames
+    for doc in range(3):
+        f0 = bytes((doc * 40 + i) % 256 for i in range(h * w))
+        f1 = bytes((doc * 40 + i + 1) % 256 for i in range(h * w))
+        for fi, f in ((0, f0), (1, f1)):
+            r = got[doc * 2 + fi]
+            # grayscale palette: mean over RGB equals mean over indices
+            want_mean = sum(f) * 3 / (len(f) * 3)
+            assert r == (doc, fi, w, h, pytest.approx(want_mean)), r

@@ -492,3 +492,19 @@ def test_kmeans_lloyd_assignments_are_hash_aggregated(spark):
     assert "max_by" in plan
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_temperature_mixture_coin_scan_is_broadcast(spark):
+    """The docstring's scale claim made a plan property: the corpus
+    coin scan joins the |sources|-sized quota table via
+    BroadcastHashJoin (the corpus side never shuffles for the join) and
+    nothing plans a CartesianProduct. The |sources|-sized quota
+    cross-join against the single-row total IS allowed to broadcast-
+    nest (it is O(sources))."""
+    import new_data_pipeline_spark as engine
+    engine.load_all()
+    plan = _plan(engine.QUERIES["sample_temperature_mixture"]
+                 .fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
