@@ -531,6 +531,69 @@ def _gen_window_frames(seed: int, rng: random.Random) -> SqlPairCase:
                        _build=build)
 
 
+def _gen_window_join(seed: int, rng: random.Random) -> SqlPairCase:
+    """Window-over-join case (round 12): a window function evaluated on
+    an N:1 fact→dim joined frame — the partition key can come from the
+    DIM side, so Catalyst must place the window above the join (and may
+    reorder the join below the sort). Single-table window families
+    never reach this planner path.
+
+    Determinism: the join is fact→dim on an FK edge, so fact-row
+    multiplicity is preserved and the fact table's unique key remains a
+    total tiebreak for ROWS-frame functions."""
+    from pyspark.sql import Window
+
+    lt, lc, rt, rc = rng.choice(EDGES)
+    keys = UNIQUE_KEYS[lt]
+    icol = rng.choice(INT_COLS[lt])
+    # partition column from EITHER side (dim side is the novel path)
+    part_pool = GROUP_COLS.get(rt, []) + GROUP_COLS.get(lt, [])
+    part = rng.choice(part_pool)
+    ocol = rng.choice(INT_COLS[lt] + NUM_COLS.get(lt, []))
+    desc = rng.random() < 0.5
+    dirn = "DESC" if desc else "ASC"
+    total_sql = ", ".join([f"{ocol} {dirn}"] + keys)
+    fn = rng.choice(["row_number", "rank", "run_sum", "part_sum"])
+    if fn == "row_number":
+        w_sql = (f"ROW_NUMBER() OVER (PARTITION BY {part} "
+                 f"ORDER BY {total_sql})")
+    elif fn == "rank":
+        w_sql = f"RANK() OVER (PARTITION BY {part} ORDER BY {ocol} {dirn})"
+    elif fn == "run_sum":
+        w_sql = (f"CAST(SUM({icol}) OVER (PARTITION BY {part} "
+                 f"ORDER BY {total_sql} ROWS BETWEEN UNBOUNDED "
+                 f"PRECEDING AND CURRENT ROW) AS BIGINT)")
+    else:
+        w_sql = f"CAST(SUM({icol}) OVER (PARTITION BY {part}) AS BIGINT)"
+    keys_sql = ", ".join(keys)
+    sql = (f"SELECT {keys_sql}, {part} AS g0, {w_sql} AS w0 "
+           f"FROM {lt} JOIN {rt} ON {lt}.{lc} = {rt}.{rc}")
+
+    def build(spark, sf_dir):
+        left = catalog.load(spark, sf_dir, lt)
+        right = catalog.load(spark, sf_dir, rt)
+        df = left.join(right, F.col(lc) == F.col(rc), "inner")
+        oc = F.col(ocol).desc() if desc else F.col(ocol).asc()
+        total = Window.partitionBy(part).orderBy(
+            oc, *[F.col(k) for k in keys])
+        if fn == "row_number":
+            expr = F.row_number().over(total)
+        elif fn == "rank":
+            expr = F.rank().over(Window.partitionBy(part).orderBy(oc))
+        elif fn == "run_sum":
+            w = total.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+            expr = F.sum(icol).over(w).cast("bigint")
+        else:
+            expr = (F.sum(icol).over(Window.partitionBy(part))
+                    .cast("bigint"))
+        return df.select(*keys, F.col(part).alias("g0"),
+                         expr.alias("w0"))
+
+    return SqlPairCase(seed=seed, kind=f"window_join:{fn}", _sql=sql,
+                       _build=build)
+
+
 def _gen_setop(seed: int, rng: random.Random) -> SqlPairCase:
     """Set-operation case: two filtered projections of one table under
     UNION / UNION ALL / INTERSECT / EXCEPT (+ ALL variants)."""
@@ -784,31 +847,33 @@ def _gen_having(seed: int, rng: random.Random) -> SqlPairCase:
 
 
 def generate(seed: int):
-    """Deterministic spec from a seed. Shape mix: ~26% filter/join/agg
+    """Deterministic spec from a seed. Shape mix: ~21% filter/join/agg
     compositions (Case), ~12% window functions, ~10% window FRAMES
     (ROWS/RANGE frames, ntile, lead-default, first/last_value, NULL
-    partition keys — round 12), ~7% set operations, ~7% global top-N,
-    ~13% outer/semi/anti joins, ~10% row-wise scalar expression
-    compositions, ~8% ROLLUP/CUBE grouping sets, ~7% GROUP BY + HAVING
-    — every shape rendered twice (DataFrame + SQL) and compared
-    exactly."""
+    partition keys — round 12), ~5% window-over-join (round 12), ~7%
+    set operations, ~7% global top-N, ~13% outer/semi/anti joins, ~10%
+    row-wise scalar expression compositions, ~8% ROLLUP/CUBE grouping
+    sets, ~7% GROUP BY + HAVING — every shape rendered twice
+    (DataFrame + SQL) and compared exactly."""
     rng = random.Random(seed)
     shape = rng.random()
     if shape < 0.12:
         return _gen_window(seed, rng)
     if shape < 0.22:
         return _gen_window_frames(seed, rng)
-    if shape < 0.29:
+    if shape < 0.27:
+        return _gen_window_join(seed, rng)
+    if shape < 0.34:
         return _gen_setop(seed, rng)
-    if shape < 0.36:
+    if shape < 0.41:
         return _gen_toplimit(seed, rng)
-    if shape < 0.49:
+    if shape < 0.54:
         return _gen_outerjoin(seed, rng)
-    if shape < 0.59:
+    if shape < 0.64:
         return _gen_scalar_exprs(seed, rng)
-    if shape < 0.67:
+    if shape < 0.72:
         return _gen_grouping(seed, rng)
-    if shape < 0.74:
+    if shape < 0.79:
         return _gen_having(seed, rng)
     return _generate_agg(seed, rng)
 
