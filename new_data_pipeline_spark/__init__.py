@@ -59,6 +59,7 @@ def load_all() -> None:
     import new_data_pipeline_spark.operators.nb_classifier  # noqa: F401
     import new_data_pipeline_spark.operators.source_rules  # noqa: F401
     import new_data_pipeline_spark.operators.graph  # noqa: F401
+    import new_data_pipeline_spark.operators.hierarchy  # noqa: F401
     import new_data_pipeline_spark.operators.lm_score  # noqa: F401
     import new_data_pipeline_spark.operators.kmv_sketch  # noqa: F401
     import new_data_pipeline_spark.operators.setsim_join  # noqa: F401

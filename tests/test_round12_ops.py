@@ -80,3 +80,36 @@ def test_ann_recall_eval_counts_match_direct_set_intersection(spark):
         assert row["recall_bp"] == (10000 * tp) // len(fam_truth), fam
         assert 0 <= row["recall_bp"] <= 10000, fam
     spark.catalog.clearCache()
+
+
+def test_hierarchy_doubling_matches_recursive_python_walk(spark):
+    """Pointer doubling must resolve the same (root, depth) per node as
+    a plain recursive walk, and the rollups must equal the per-root
+    recomputation — including the decimal-exact retail sums."""
+    from decimal import Decimal
+
+    from new_data_pipeline_spark.operators.hierarchy import HIER_FANOUT
+
+    got = {r["root"]: r for r in
+           engine.QUERIES["hierarchy_rollup_doubling"]
+           .fn(spark, SMOKE_DIR).collect()}
+    parts = (spark.read.parquet(f"{SMOKE_DIR}/part.parquet")
+             .select("p_partkey", "p_retailprice").collect())
+    want: dict[int, dict] = {}
+    for r in parts:
+        k, price = r["p_partkey"], r["p_retailprice"]
+        depth, node = 0, k
+        while node >= HIER_FANOUT:
+            node //= HIER_FANOUT
+            depth += 1
+        agg = want.setdefault(node, {"n": 0, "d": 0, "s": Decimal(0)})
+        agg["n"] += 1
+        agg["d"] = max(agg["d"], depth)
+        agg["s"] += Decimal(str(price)).quantize(Decimal("0.01"))
+    assert set(got) == set(want)
+    for root, w in want.items():
+        g = got[root]
+        assert g["n_nodes"] == w["n"], root
+        assert g["max_depth"] == w["d"], root
+        assert g["subtree_retail"] == float(w["s"]), root
+    spark.catalog.clearCache()
