@@ -969,3 +969,87 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("top_rows").cast("double")
                             / F.col("n_rows"), 6)
                     .alias(f"top{SKEW_TOP_KEYS}_share")))
+
+
+@register(
+    "profile_mutual_information",
+    oracle="""
+    WITH cl AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ), nx AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS nx FROM cl GROUP BY 1
+    ), ny AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS ny FROM cl GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells FROM cl
+    )
+    SELECT tot.n AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nx) AS n_langs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ny) AS n_sources,
+           tot.n_cells,
+           CAST(SUM(CAST(ROUND(
+             (CAST(cl.c AS DOUBLE) / tot.n)
+               * ROUND(ln((CAST(tot.n AS DOUBLE) * cl.c)
+                          / (CAST(nx.nx AS DOUBLE) * ny.ny)), 6),
+             9) AS DECIMAL(18,9))) AS DOUBLE) AS mi_nats,
+           CAST(SUM(CAST(ROUND(
+             (cl.c - (CAST(nx.nx AS DOUBLE) * ny.ny) / tot.n)
+               * (cl.c - (CAST(nx.nx AS DOUBLE) * ny.ny) / tot.n)
+               / ((CAST(nx.nx AS DOUBLE) * ny.ny) / tot.n),
+             9) AS DECIMAL(18,9))) AS DOUBLE) AS chi2
+    FROM cl
+    JOIN nx USING (lang)
+    JOIN ny USING (source)
+    CROSS JOIN tot
+    GROUP BY tot.n, tot.n_cells
+    """,
+    tags=("profile", "association", "mutual-information"),
+)
+def profile_mutual_information(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Mutual information AND chi-square between the lang and source
+    columns — the categorical-association screen a curation pipeline
+    runs before trusting a per-source language mix (high MI = language
+    is predictable from source = the mixture is segregated; near-zero
+    MI = languages spread evenly). Complements
+    profile_shannon_diversity (per-source entropy) with the
+    cross-column dependence number.
+
+    Parity device (the shannon/source_drift term monoid): each
+    p·ln(N·c/(nx·ny)) and (c−e)²/e term computes in doubles on
+    identical bigint-derived operands with the ln rounded 6 dp, is
+    rounded 9 dp into DECIMAL(18,9), and the sums run over exact
+    decimals — associative, order-proof; the final scalars are emitted
+    as the unrounded doubles of those decimal sums (no re-round edge).
+
+    Scale: one (lang × source) aggregate, two marginal aggregates, a
+    broadcast scalar total — nothing beyond the contingency-table
+    cardinality ever shuffles."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    cl = (docs.groupBy("lang", "source")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    nx = cl.groupBy("lang").agg(F.sum("c").cast("bigint").alias("nx"))
+    ny = cl.groupBy("source").agg(F.sum("c").cast("bigint").alias("ny"))
+    tot = cl.agg(F.sum("c").cast("bigint").alias("n"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                 F.countDistinct("source").cast("bigint")
+                 .alias("n_sources"))
+    j = (cl.join(nx, "lang").join(ny, "source")
+         .crossJoin(F.broadcast(tot)))
+    ratio = ((F.col("n").cast("double") * F.col("c"))
+             / (F.col("nx").cast("double") * F.col("ny")))
+    mi_term = (F.round((F.col("c").cast("double") / F.col("n"))
+                       * F.round(F.log(ratio), 6), 9)
+               .cast("decimal(18,9)"))
+    e = (F.col("nx").cast("double") * F.col("ny")) / F.col("n")
+    chi_term = (F.round((F.col("c") - e) * (F.col("c") - e) / e, 9)
+                .cast("decimal(18,9)"))
+    return (j.groupBy(F.col("n").alias("n_docs"), "n_langs",
+                      "n_sources", "n_cells")
+            .agg(F.sum(mi_term).cast("double").alias("mi_nats"),
+                 F.sum(chi_term).cast("double").alias("chi2"))
+            .select("n_docs", "n_langs", "n_sources", "n_cells",
+                    "mi_nats", "chi2"))

@@ -84,26 +84,27 @@ QUERIES: dict[str, QuerySpec] = {}
 # r6-era queries FIRST, then round-12 adds and changed queries, then
 # as much of the 35-query r7 block as fits; exposure ages come from
 # tools/exposure_report.py). Composition:
-# - slots 1-4: the queries ADDED in round 12 (new additions take
+# - slots 1-5: the queries ADDED in round 12 (new additions take
 #   their first driver exposure): the ANN recall eval
 #   (VERDICT r11 #7), the realized temperature mixture, the MSRLE
-#   inter-frame video gate, and the pointer-doubling hierarchy rollup;
-# - slots 5-7: EVERY query whose code path changed in round 12, per
+#   inter-frame video gate, the pointer-doubling hierarchy rollup,
+#   and the lang×source mutual-information screen;
+# - slots 6-8: EVERY query whose code path changed in round 12, per
 #   the every-changed-query rule: text_tfidf_retrieval (ADVICE r11 —
 #   the ln term is now pre-rounded to 6 dp in BOTH engines) and the
 #   k-core pair (the peel round body was rewritten: fused degree
 #   aggregate, broadcast keep-set, fixpoint early-exit —
 #   VERDICT r11 #4);
-# - slots 8-24: the 17 age-5 r6-era stragglers (the full TPC-H dozen,
+# - slots 9-25: the 17 age-5 r6-era stragglers (the full TPC-H dozen,
 #   cube/grouping-sets, the composite pair, report_revenue_share);
-# - slots 25-50: 26 of the 35 r7-graded queries, sketch/HLL rollups
+# - slots 26-50: 25 of the 35 r7-graded queries, sketch/HLL rollups
 #   first (the most regeneration-sensitive of that block, VERDICT
-#   r11 #8), then streaming/timeseries/SCD2, dedup, text, ML
-#   encodings.
-# DEFERRED to lead round 13 (9 slots short): cluster_kmeans_assign,
-# graph_pagerank, join_set_similarity, sim_lsh_topk, and the r7 TPC-H
-# block (q9, q11, q12, q16, q21) — the least regeneration-sensitive
-# remainder; they stay
+#   r11 #8), then streaming/timeseries/SCD2, dedup, text, quantile
+#   binning.
+# DEFERRED to lead round 13 (10 slots short): ml_target_encoding,
+# cluster_kmeans_assign, graph_pagerank, join_set_similarity,
+# sim_lsh_topk, and the r7 TPC-H block (q9, q11, q12, q16, q21) — the
+# least regeneration-sensitive remainder; they stay
 # replay-verified every run by the local full-registry mirror
 # (tests/test_oracle_parity.py), as does everything outside the
 # window.
@@ -113,6 +114,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "sample_temperature_mixture",
     "multimodal_video_framediff",
     "hierarchy_rollup_doubling",
+    "profile_mutual_information",
     # ---- changed in round 12 ----
     "text_tfidf_retrieval",
     "graph_kcore_peeling",
@@ -161,10 +163,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_lm_perplexity",
     "text_repetition_ratio",
     "ml_quantile_binning",
-    "ml_target_encoding",
-    # ---- first-50 window boundary: "ml_target_encoding" is slot
-    # 50 (4 added + 3 changed + 17 r6 + 26 r7); everything below is
+    # ---- first-50 window boundary: "ml_quantile_binning" is slot
+    # 50 (5 added + 3 changed + 17 r6 + 25 r7); everything below is
     # OUTSIDE the graded window this round ----
+    "ml_target_encoding",
     "cluster_kmeans_assign",
     "graph_pagerank",
     "join_set_similarity",

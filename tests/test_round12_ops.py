@@ -113,3 +113,38 @@ def test_hierarchy_doubling_matches_recursive_python_walk(spark):
         assert g["max_depth"] == w["d"], root
         assert g["subtree_retail"] == float(w["s"]), root
     spark.catalog.clearCache()
+
+
+def test_mutual_information_matches_pure_python(spark):
+    """MI and chi-square must equal a contingency-table recomputation
+    following the exact term spec (ln 6dp -> term 9dp -> decimal
+    sum)."""
+    from decimal import Decimal
+
+    got = (engine.QUERIES["profile_mutual_information"]
+           .fn(spark, SMOKE_DIR).collect())
+    assert len(got) == 1
+    row = got[0]
+    docs = (spark.read.parquet(f"{SMOKE_DIR}/documents.parquet")
+            .select("lang", "source").collect())
+    from collections import Counter
+    cxy = Counter((r["lang"], r["source"]) for r in docs)
+    nx = Counter(r["lang"] for r in docs)
+    ny = Counter(r["source"] for r in docs)
+    n = len(docs)
+    mi = Decimal(0)
+    chi = Decimal(0)
+    for (x, y), c in cxy.items():
+        ratio = (float(n) * c) / (float(nx[x]) * ny[y])
+        mi += Decimal(str(round((c / float(n))
+                                * round(math.log(ratio), 6), 9)))
+        e = (float(nx[x]) * ny[y]) / n
+        chi += Decimal(str(round((c - e) * (c - e) / e, 9)))
+    assert row["n_docs"] == n
+    assert row["n_langs"] == len(nx)
+    assert row["n_sources"] == len(ny)
+    assert row["n_cells"] == len(cxy)
+    assert row["mi_nats"] == float(mi)
+    assert row["chi2"] == float(chi)
+    assert row["mi_nats"] >= -1e-9   # MI is non-negative up to rounding
+    spark.catalog.clearCache()
