@@ -60,3 +60,53 @@ def test_streamed_queries_union_to_batch_ivf_answer(spark, tmp_path):
     # the serving path really ran incrementally, not as one batch
     assert len(batches) >= 2, batches
     spark.catalog.clearCache()
+
+
+def test_serve_from_bucketed_catalog_index_is_shuffle_free(spark):
+    """The serve builder must answer identically from the PERSISTED
+    bucketed index (the production layout), and the index side of the
+    per-batch plan must carry no Exchange — the pay-the-shuffle-once
+    property the bucketed-probe family gates, now pinned on the
+    serving path."""
+    import hashlib
+
+    from new_data_pipeline_spark.plans import physical
+    from new_data_pipeline_spark.plans.layout_queries import (
+        _sweep_stale_bucketed)
+
+    n = _normalized(catalog.load(spark, SMOKE_DIR, "embeddings"))
+    mod = ivf_mod(catalog.load(spark, SMOKE_DIR, "embeddings").count())
+    res = IVF_CENT_RESIDUE % mod
+    cents = (n.filter(F.col("vec_id") % mod == res)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("v").alias("cent_v"),
+                     F.col("nrm").alias("cent_n")))
+    assigned = _ivf_assign_and_probes(spark, SMOKE_DIR)[0]
+    tbl = ("ndp_b_annsrv_"
+           + hashlib.md5(SMOKE_DIR.encode()).hexdigest()[:8])
+    _sweep_stale_bucketed(spark, keep={tbl}, prefixes=("ndp_b_annsrv_",))
+    physical.write_bucketed(assigned, tbl, "cell")
+    idx = spark.table(tbl)
+    queries = (n.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+
+    served = ivf_serve_batch(queries, cents, idx)
+    want = sorted(tuple(r) for r in
+                  ivf_serve_batch(queries, cents, assigned).collect())
+    assert sorted(tuple(r) for r in served.collect()) == want
+
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    assert tbl in plan
+    # only the probe side and the rank window may exchange; the
+    # bucketed index scan satisfies the cell join's distribution
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 3, f"{n_ex} exchanges:\n{plan}"
+    spark.catalog.clearCache()
