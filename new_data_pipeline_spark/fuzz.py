@@ -531,6 +531,62 @@ def _gen_window_frames(seed: int, rng: random.Random) -> SqlPairCase:
                        _build=build)
 
 
+def _gen_window_multi(seed: int, rng: random.Random) -> SqlPairCase:
+    """Multi-window case (round 12): TWO window functions with
+    DIFFERENT partition keys in one SELECT — Catalyst plans stacked
+    Window operators with an exchange+sort between them (and reuses
+    the exchange when the specs happen to agree); single-window
+    families never exercise the stacking or the inter-window sort."""
+    from pyspark.sql import Window
+
+    t = rng.choice(BASES)
+    keys = UNIQUE_KEYS[t]
+    icol = rng.choice(INT_COLS[t])
+    parts = GROUP_COLS[t]
+    p1 = rng.choice(parts)
+    p2 = rng.choice(parts)      # may equal p1: the exchange-reuse case
+    ocol = rng.choice(INT_COLS[t])
+    desc = rng.random() < 0.5
+    dirn = "DESC" if desc else "ASC"
+    total_sql = ", ".join([f"{ocol} {dirn}"] + keys)
+    w0_sql = (f"CAST(SUM({icol}) OVER (PARTITION BY {p1} "
+              f"ORDER BY {total_sql} ROWS BETWEEN UNBOUNDED PRECEDING "
+              f"AND CURRENT ROW) AS BIGINT)")
+    fn2 = rng.choice(["part_sum", "rank", "count"])
+    if fn2 == "part_sum":
+        w1_sql = f"CAST(SUM({icol}) OVER (PARTITION BY {p2}) AS BIGINT)"
+    elif fn2 == "rank":
+        w1_sql = (f"CAST(RANK() OVER (PARTITION BY {p2} "
+                  f"ORDER BY {ocol} {dirn}) AS BIGINT)")
+    else:
+        w1_sql = f"CAST(COUNT(*) OVER (PARTITION BY {p2}) AS BIGINT)"
+    keys_sql = ", ".join(keys)
+    sql = (f"SELECT {keys_sql}, {w0_sql} AS w0, {w1_sql} AS w1 "
+           f"FROM {t}")
+
+    def build(spark, sf_dir):
+        df = catalog.load(spark, sf_dir, t)
+        oc = F.col(ocol).desc() if desc else F.col(ocol).asc()
+        total = Window.partitionBy(p1).orderBy(
+            oc, *[F.col(k) for k in keys])
+        w0 = (F.sum(icol)
+              .over(total.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow))
+              .cast("bigint"))
+        if fn2 == "part_sum":
+            w1 = F.sum(icol).over(Window.partitionBy(p2)).cast("bigint")
+        elif fn2 == "rank":
+            w1 = (F.rank().over(Window.partitionBy(p2).orderBy(oc))
+                  .cast("bigint"))
+        else:
+            w1 = (F.count(F.lit(1)).over(Window.partitionBy(p2))
+                  .cast("bigint"))
+        return df.select(*keys, w0.alias("w0"), w1.alias("w1"))
+
+    return SqlPairCase(seed=seed, kind=f"window_multi:{fn2}", _sql=sql,
+                       _build=build)
+
+
 def _gen_window_join(seed: int, rng: random.Random) -> SqlPairCase:
     """Window-over-join case (round 12): a window function evaluated on
     an N:1 fact→dim joined frame — the partition key can come from the
@@ -850,11 +906,12 @@ def generate(seed: int):
     """Deterministic spec from a seed. Shape mix: ~21% filter/join/agg
     compositions (Case), ~12% window functions, ~10% window FRAMES
     (ROWS/RANGE frames, ntile, lead-default, first/last_value, NULL
-    partition keys — round 12), ~5% window-over-join (round 12), ~7%
-    set operations, ~7% global top-N, ~13% outer/semi/anti joins, ~10%
-    row-wise scalar expression compositions, ~8% ROLLUP/CUBE grouping
-    sets, ~7% GROUP BY + HAVING — every shape rendered twice
-    (DataFrame + SQL) and compared exactly."""
+    partition keys — round 12), ~5% window-over-join (round 12), ~4%
+    stacked multi-window (round 12), ~7% set operations, ~7% global
+    top-N, ~13% outer/semi/anti joins, ~10% row-wise scalar expression
+    compositions, ~8% ROLLUP/CUBE grouping sets, ~7% GROUP BY + HAVING
+    — every shape rendered twice (DataFrame + SQL) and compared
+    exactly."""
     rng = random.Random(seed)
     shape = rng.random()
     if shape < 0.12:
@@ -863,17 +920,19 @@ def generate(seed: int):
         return _gen_window_frames(seed, rng)
     if shape < 0.27:
         return _gen_window_join(seed, rng)
-    if shape < 0.34:
+    if shape < 0.31:
+        return _gen_window_multi(seed, rng)
+    if shape < 0.38:
         return _gen_setop(seed, rng)
-    if shape < 0.41:
+    if shape < 0.45:
         return _gen_toplimit(seed, rng)
-    if shape < 0.54:
+    if shape < 0.57:
         return _gen_outerjoin(seed, rng)
-    if shape < 0.64:
+    if shape < 0.66:
         return _gen_scalar_exprs(seed, rng)
-    if shape < 0.72:
+    if shape < 0.74:
         return _gen_grouping(seed, rng)
-    if shape < 0.79:
+    if shape < 0.81:
         return _gen_having(seed, rng)
     return _generate_agg(seed, rng)
 
