@@ -56,3 +56,12 @@ def test_headline_line_is_parseable_json_after_tail_truncation():
     captured = ("x" * 5000 + "\n" + line)[-DRIVER_TAIL_CAPTURE:]
     last = captured.splitlines()[-1]
     assert json.loads(last)["metric"] == "headline_queries_total_wall"
+
+
+def test_headline_names_are_registered_queries():
+    """A typo in a reseated HEADLINE tuple would crash the driver's
+    bench run at warm-up; catch it at test time instead."""
+    import new_data_pipeline_spark as engine
+    engine.load_all()
+    missing = [n for n in bench.HEADLINE if n not in engine.QUERIES]
+    assert not missing, missing
