@@ -209,6 +209,10 @@ def main() -> None:
         "load_verdict": verdicts,
         "load_quiet_max": LOAD_QUIET_MAX,
         "persisted_blocks_final": persisted_final,
+        # per-query regression self-report (VERDICT r12 #2): ratios vs
+        # the best-demonstrated driver median, fired above 1.5x
+        "flagged": regression_flags(timings),
+        "flag_ratio": QUERY_FLAG_RATIO,
     }))
     print(headline_line(timings, sf))
     spark.stop()
@@ -219,6 +223,66 @@ def main() -> None:
 # headline line so a >2x draw is self-flagging in BENCH_r{N}.json even
 # if BASELINE.md drifts (VERDICT r11 #5).
 BASELINE_TOTAL_SEC = 62.12
+
+# Per-query regression flags (VERDICT r12 #2): BENCH_r12's
+# graph_triangle_doulion drew 12.51 s against a ~4.9-5.4 s quiet record
+# — a 2.4x single-query outlier — and nothing in the artifact flagged
+# it, because the only gated number was the TOTAL ratio. Each query's
+# median-of-5 now compares against its best previously-demonstrated
+# driver median (the per-query min over the parsed BENCH_r09/r10/r12
+# records — each value there is itself a median of 5, so this is the
+# best median the driver environment has produced, not a lucky run);
+# ratios above QUERY_FLAG_RATIO ride in the diagnostics line as
+# {"flagged": {name: ratio}}. Queries without a recorded baseline
+# (newly added to HEADLINE) are skipped until a driver record exists.
+QUERY_FLAG_RATIO = 1.5
+BASELINE_QUERY_SEC: dict[str, float] = {
+    "agg_rollup": 0.467,
+    "cep_stream_funnel": 0.5,
+    "corpus_e2e_curation": 0.717,
+    "dedup_cluster_components": 3.021,
+    "dedup_lsh_recall_eval": 1.192,
+    "dedup_minhash_lsh": 2.337,
+    "dedup_semdedup_cells": 1.371,
+    "dedup_simhash64_hamming": 2.979,
+    "events_attribution": 0.796,
+    "flagship_revenue_by_nation": 1.279,
+    "graph_pagerank": 1.82,
+    "graph_triangle_doulion": 5.385,
+    "join_asof_event_streams": 0.313,
+    "join_left_outer": 0.471,
+    "join_set_similarity": 1.994,
+    "ml_market_basket_lift": 2.276,
+    "pricing_summary": 0.834,
+    "sim_bruteforce_topk": 0.433,
+    "sim_ivf_bucketed_probe": 2.207,
+    "sim_ivfpq_topk": 3.284,
+    "store_merge_upsert": 1.407,
+    "stream_neardup_filter": 3.18,
+    "stream_session_window": 0.422,
+    "text_bm25_retrieval": 2.794,
+    "text_boilerplate_strip": 0.386,
+    "text_bow_vectorize": 0.793,
+    "text_bpe_token_counts": 0.328,
+    "text_contamination_ngrams": 1.1,
+    "text_heavy_hitters": 0.537,
+    "text_nb_source_classifier": 5.712,
+    "text_term_stats": 0.328,
+    "text_tfidf_retrieval": 3.064,
+    "window_running_sum": 0.284,
+    "window_topk_per_group": 0.313,
+}
+
+
+def regression_flags(timings: dict[str, float],
+                     ratio: float = QUERY_FLAG_RATIO) -> dict[str, float]:
+    """{name: measured/baseline} for every query whose median exceeds
+    ``ratio`` x its per-query baseline; queries without a baseline
+    entry are skipped (no KeyError when HEADLINE grows)."""
+    return {n: round(t / BASELINE_QUERY_SEC[n], 2)
+            for n, t in timings.items()
+            if n in BASELINE_QUERY_SEC
+            and t > ratio * BASELINE_QUERY_SEC[n]}
 
 
 def headline_line(timings: dict[str, float], sf: float | None) -> str:

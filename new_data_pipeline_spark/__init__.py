@@ -73,4 +73,5 @@ def load_all() -> None:
     import new_data_pipeline_spark.sources.acid_queries  # noqa: F401
     import new_data_pipeline_spark.streaming.event_queries  # noqa: F401
     import new_data_pipeline_spark.streaming.acid_sink  # noqa: F401
+    import new_data_pipeline_spark.streaming.ann_serve  # noqa: F401
     import new_data_pipeline_spark.plans.layout_queries  # noqa: F401

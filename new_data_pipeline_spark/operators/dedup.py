@@ -1201,9 +1201,10 @@ EVAL_SAMPLE_MAX = 200
 # the sample (a bucket holds at most one row per doc, so bucket size
 # <= EVAL_SAMPLE_MAX). Raising the sample past the cap would silently
 # diverge the two engines.
-assert EVAL_SAMPLE_MAX <= HOT_BUCKET_CAP, (
-    "dedup_lsh_recall_eval parity requires EVAL_SAMPLE_MAX <= "
-    "HOT_BUCKET_CAP (capped Spark bands vs uncapped oracle bands)")
+if EVAL_SAMPLE_MAX > HOT_BUCKET_CAP:  # not assert: survives python -O
+    raise RuntimeError(
+        "dedup_lsh_recall_eval parity requires EVAL_SAMPLE_MAX <= "
+        "HOT_BUCKET_CAP (capped Spark bands vs uncapped oracle bands)")
 
 
 @register(

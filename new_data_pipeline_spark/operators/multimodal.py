@@ -743,3 +743,127 @@ def multimodal_video_framediff(spark: SparkSession,
         batches,
         schema=("doc_id bigint, frame_idx int, width int, height int, "
                 "mean_pixel double, n_changed_px bigint"))
+
+
+# ------------------------------------------------ I420 video (round 13)
+
+# Geometry for the synthetic planar-YUV videos: 3 frames of 8x4 —
+# small enough that the oracle's symbolic replay of the BT.601 matrix
+# over every pixel stays cheap, big enough that the 4:2:0 chroma cell
+# mapping (x//2, y//2) is exercised at odd AND even coordinates. The
+# luma plane advances 11 gray levels per frame; chroma is static —
+# the classic moving-luma/static-chroma decomposition.
+I420_W, I420_H, I420_FRAMES = 8, 4, 3
+_I420_PX = I420_W * I420_H
+_I420_CW = I420_W // 2
+_I420_CPX = _I420_CW * (I420_H // 2)
+# chroma index of luma pixel p, as both engines spell it
+_I420_Q = f"(p // {I420_W}) // 2 * {_I420_CW} + (p % {I420_W}) // 2"
+
+
+@register(
+    "multimodal_video_i420",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, {I420_FRAMES})) AS frame_idx
+      FROM documents
+    ), planes AS (
+      SELECT doc_id, frame_idx,
+             -- 298 * (Y - 16); Y_p = 16 + (doc_id + p + 11*frame) % 220
+             [ 298 * ((doc_id + p + 11 * frame_idx) % 220)
+               for p in range(0, {_I420_PX}) ] AS c298,
+             -- D = U - 128; U_q = 16 + (3*doc_id + q) % 225
+             [ (16 + (3 * doc_id + q) % 225) - 128
+               for q in range(0, {_I420_CPX}) ] AS d,
+             -- E = V - 128; V_q = 16 + (7*doc_id + 2*q) % 225
+             [ (16 + (7 * doc_id + 2 * q) % 225) - 128
+               for q in range(0, {_I420_CPX}) ] AS e
+      FROM f
+    ), rgb AS (
+      -- integer BT.601: clip((298C + coef·chroma + 128) // 256);
+      -- floor-vs-trunc of the division is erased by the clip (every
+      -- negative pre-shift value clips to 0 under both semantics)
+      SELECT doc_id, frame_idx,
+             [ GREATEST(0, LEAST(255,
+                 (c298[p + 1] + 409 * e[{_I420_Q} + 1] + 128) // 256))
+               for p in range(0, {_I420_PX}) ] AS r,
+             [ GREATEST(0, LEAST(255,
+                 (c298[p + 1] - 100 * d[{_I420_Q} + 1]
+                  - 208 * e[{_I420_Q} + 1] + 128) // 256))
+               for p in range(0, {_I420_PX}) ] AS g,
+             [ GREATEST(0, LEAST(255,
+                 (c298[p + 1] + 516 * d[{_I420_Q} + 1] + 128) // 256))
+               for p in range(0, {_I420_PX}) ] AS b
+      FROM planes
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST({I420_W} AS INTEGER) AS width,
+           CAST({I420_H} AS INTEGER) AS height,
+           CAST(list_sum(r) AS BIGINT) AS sum_r,
+           CAST(list_sum(g) AS BIGINT) AS sum_g,
+           CAST(list_sum(b) AS BIGINT) AS sum_b,
+           CAST(list_sum(r) + list_sum(g) + list_sum(b) AS DOUBLE)
+             / {3 * _I420_PX} AS mean_pixel,
+           CAST(r[1] AS INTEGER) AS r00,
+           CAST(b[{_I420_PX}] AS INTEGER) AS b_last
+    FROM rgb
+    """,
+    tags=("multimodal", "video", "i420", "yuv", "arrow"),
+)
+def multimodal_video_i420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raw planar-YUV video decode under the VALUE gate (VERDICT
+    r12 #5): synthesize a 3-frame I420 AVI per document from closed-form
+    Y/U/V planes, round-trip it through the pure-Python container +
+    BT.601 integer conversion (functions/avi_codec.py), and emit exact
+    per-channel pixel sums plus corner witnesses. The oracle replays
+    the plane formulas AND the fixed-point matrix symbolically — a
+    wrong plane offset, chroma stride, 4:2:0 cell mapping, coefficient,
+    or clip flips a sum or a witness byte. The witnesses pin geometry:
+    r00 is pixel (0,0) (chroma cell 0), b_last is pixel (7,3) (both
+    coordinates odd — the subsampled corner).
+
+    Scale: one Arrow batch pass, each input row fanning out to
+    {I420_FRAMES} rows inside its task — decode parallelism IS scan
+    parallelism, no shuffle (the decode_video_frames contract).
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from new_data_pipeline_spark.functions.avi_codec import (
+            decode_avi, encode_avi_i420)
+
+        cols = ("doc_id", "frame_idx", "width", "height", "sum_r",
+                "sum_g", "sum_b", "mean_pixel", "r00", "b_last")
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                u = bytes(16 + (3 * doc_id + q) % 225
+                          for q in range(_I420_CPX))
+                v = bytes(16 + (7 * doc_id + 2 * q) % 225
+                          for q in range(_I420_CPX))
+                frames = [(bytes(16 + (doc_id + p + 11 * k) % 220
+                                 for p in range(_I420_PX)), u, v)
+                          for k in range(I420_FRAMES)]
+                vid = decode_avi(encode_avi_i420(
+                    frames, I420_W, I420_H, fps=6.0))
+                for k, rgb in enumerate(vid.frames):
+                    sr, sg, sb = (sum(rgb[c::3]) for c in range(3))
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["width"].append(vid.width)
+                    out["height"].append(vid.height)
+                    out["sum_r"].append(sr)
+                    out["sum_g"].append(sg)
+                    out["sum_b"].append(sb)
+                    out["mean_pixel"].append(
+                        (sr + sg + sb) / (3 * _I420_PX))
+                    out["r00"].append(rgb[0])
+                    out["b_last"].append(rgb[3 * _I420_PX - 1])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        batches,
+        schema=("doc_id bigint, frame_idx int, width int, height int, "
+                "sum_r bigint, sum_g bigint, sum_b bigint, "
+                "mean_pixel double, r00 int, b_last int"))

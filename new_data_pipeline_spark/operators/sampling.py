@@ -244,11 +244,18 @@ _COIN_MOD = 1 << _COIN_BITS
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
       GROUP BY source
     ), w AS (
-      -- sqrt = temperature 0.5; 6-dp round into integer micro-units
-      -- (exact: a 6-dp decimal times 1e6 is an integer)
+      -- sqrt = temperature 0.5; 6-dp round into integer micro-units.
+      -- The double is first pinned to DECIMAL(20,6) (both engines
+      -- round-to-nearest on that cast), THEN multiplied by 1e6 in
+      -- exact decimal arithmetic before the BIGINT cast. Multiplying
+      -- the raw double by 1e6 is NOT engine-exact: round(sqrt(67),6)
+      -- * 1e6 lands just below the integer in binary, and Spark's
+      -- double->bigint cast truncates while DuckDB's rounds (ADVICE
+      -- r12) — the decimal pin is the same device
+      -- mix_temperature_weights uses.
       SELECT source, n_docs,
-             CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) * 1000000
-                  AS BIGINT) AS w_u
+             CAST(CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6)
+                       AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS w_u
       FROM counts
     ), tot AS (
       SELECT CAST(SUM(w_u) AS BIGINT) AS tot_u FROM w
@@ -292,9 +299,15 @@ def sample_temperature_mixture(spark: SparkSession,
     docs = catalog.load(spark, sf_dir, "documents")
     counts = (docs.groupBy("source")
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    # Decimal-pin BEFORE the 1e6 scale-up (see the oracle comment):
+    # double->decimal(20,6) rounds to nearest in both engines, and the
+    # decimal * 1000000 product is exact, so the BIGINT is engine-exact
+    # for every count — the raw double product truncates differently
+    # (Spark floors, DuckDB rounds) for ~2% of counts (67, 69, 258, ...).
     w = counts.withColumn(
         "w_u",
-        (F.round(F.sqrt(F.col("n_docs").cast("double")), 6) * 1000000)
+        (F.round(F.sqrt(F.col("n_docs").cast("double")), 6)
+         .cast("decimal(20,6)") * F.lit(1000000))
         .cast("bigint"))
     tot = w.agg(F.sum("w_u").cast("bigint").alias("tot_u"))
     quota = (w.crossJoin(F.broadcast(tot))

@@ -58,6 +58,34 @@ def test_headline_line_is_parseable_json_after_tail_truncation():
     assert json.loads(last)["metric"] == "headline_queries_total_wall"
 
 
+def test_regression_flags_fire_on_synthetic_regression():
+    """VERDICT r12 #2: a 2.4x outlier like BENCH_r12's
+    graph_triangle_doulion draw must self-report; at-baseline and
+    barely-above draws must not; HEADLINE entries without a baseline
+    record yet must be skipped, not KeyError."""
+    base = bench.BASELINE_QUERY_SEC["graph_triangle_doulion"]
+    timings = {
+        "graph_triangle_doulion": round(base * 2.4, 3),   # the r12 case
+        "agg_rollup": bench.BASELINE_QUERY_SEC["agg_rollup"],   # quiet
+        "pricing_summary": round(                          # under 1.5x
+            bench.BASELINE_QUERY_SEC["pricing_summary"] * 1.49, 3),
+        "some_brand_new_headline_query": 99.0,             # no baseline
+    }
+    flags = bench.regression_flags(timings)
+    assert set(flags) == {"graph_triangle_doulion"}
+    assert flags["graph_triangle_doulion"] == 2.4
+
+
+def test_regression_flags_baseline_covers_headline():
+    """Every current HEADLINE query has a per-query baseline (all 34
+    appeared in a parsed driver BENCH record); a future HEADLINE
+    addition may lag one round, but a DROPPED baseline entry for an
+    existing query would silently disable its flag — pin coverage."""
+    missing = [n for n in bench.HEADLINE
+               if n not in bench.BASELINE_QUERY_SEC]
+    assert not missing, missing
+
+
 def test_headline_names_are_registered_queries():
     """A typo in a reseated HEADLINE tuple would crash the driver's
     bench run at warm-up; catch it at test time instead."""

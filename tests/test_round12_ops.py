@@ -72,6 +72,13 @@ def test_ann_recall_eval_counts_match_direct_set_intersection(spark):
                  .select("query_id", "candidate_id").collect()]
         qids = {q for q, _ in pairs}
         fam_truth = {t for t in truth if t[0] in qids}
+        # ADVICE r12: recall_bp divides by n_truth — a family with an
+        # empty truth set would be an asymmetric failure (DuckDB's //
+        # errors, Spark's DIV NULLs). The query itself drops such a
+        # family symmetrically (COUNT GROUP BY emits no row, the inner
+        # join removes it on both engines), but the eval is only
+        # meaningful when every family HAS truth — pin that here.
+        assert fam_truth, f"family {fam} has an empty truth set"
         tp = len(set(pairs) & fam_truth)
         row = got[fam]
         assert row["n_retrieved"] == len(pairs), fam

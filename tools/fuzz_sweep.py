@@ -57,7 +57,11 @@ def main() -> None:
                 print(f"FAIL seed={seed} kind={kind}\n  {sql}")
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             failures += 1
-            print(f"ERROR seed={seed} kind={kind}: {exc}\n  {case.sql()}")
+            try:  # sql() itself may be what failed — never abort the sweep
+                shown = case.sql()
+            except Exception:  # noqa: BLE001
+                shown = "<sql unavailable>"
+            print(f"ERROR seed={seed} kind={kind}: {exc}\n  {shown}")
         if (seed - start + 1) % 100 == 0:
             print(f"... {seed - start + 1}/{end - start} swept, "
                   f"{failures} failures", flush=True)

@@ -19,6 +19,19 @@ making ACROSS-copy content (shingles, signatures) disjoint:
 - events: disjoint user populations per copy (user_id offset) — group
   counts scale 10x, per-group sizes stay constant.
 - dims nation/region stay verbatim (fixed-cardinality dimensions).
+- part keys (p_partkey + lineitem.l_partkey): a FOREST-PRESERVING
+  digit-prefix graft instead of the additive offset (VERDICT r12 #4 —
+  the i*10^12 offset orphaned every copy-i>=1 node out of the
+  hierarchy family's DIV-10 forest after round 1, so the 10x audit
+  measured a 1x surviving forest). Copy i maps k -> S_i*10^ndigits(k)+k
+  where S_i is an EXISTING copy-0 key (the i-th largest, all the same
+  digit length): DIV 10 strips k's digits one at a time exactly as in
+  the base forest, the copy's local roots (k in 1..9) resolve to
+  parent S_i, and S_i's own chain descends through copy-0 to a real
+  root — ten-times the nodes, full depth, one valid forest. Equi-join
+  structure is untouched (the map is injective and applied to both
+  FK sides); images carry more digits than any copy-0 key, so key
+  spaces stay disjoint.
 
 Output: /tmp/ndp_scale10/<table>.parquet (overwritten). Run:
     python tools/make_scale_data.py [factor]
@@ -99,6 +112,30 @@ def main(factor: int = 10) -> None:
     for name in ("nation", "region"):
         save(load(name), name, parts=1)
 
+    # Forest-preserving graft anchors for the part-key family (see
+    # module docstring): the factor-1 largest copy-0 part keys. They
+    # must all exist and share a digit length for the digit-prefix map
+    # to stay injective and forest-preserving.
+    part0 = load("part")
+    max_pk = part0.agg(F.max("p_partkey")).first()[0]
+    graft = {i: max_pk - (factor - 1) + i for i in range(1, factor)}
+    assert len({len(str(s)) for s in graft.values()}) == 1, graft
+    n_anchor = part0.filter(
+        F.col("p_partkey").isin(list(graft.values()))).count()
+    assert n_anchor == factor - 1, (
+        f"graft anchors missing: {n_anchor}/{factor - 1} of "
+        f"{sorted(graft.values())} exist — part keys not contiguous?")
+
+    def _graft_part_key(name: str, i: int):
+        """Copy-i image of a part key: S_i * 10^ndigits(k) + k —
+        appends k's digits after anchor S_i's, so DIV 10 walks the
+        same chain as in the base forest."""
+        if i == 0:
+            return F.col(name)
+        return F.expr(
+            f"CAST({graft[i]} AS BIGINT) * CAST(power(10, "
+            f"length(CAST({name} AS STRING))) AS BIGINT) + {name}")
+
     key_offsets = {
         "customer": ["c_custkey"],
         "supplier": ["s_suppkey"],
@@ -107,12 +144,16 @@ def main(factor: int = 10) -> None:
         "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
         "events": ["event_id", "user_id"],
     }
+    PART_KEYS = {"p_partkey", "l_partkey"}
     for name, keys in key_offsets.items():
         df = load(name)
 
         def build(d, i, keys=keys):
             for k in keys:
-                d = d.withColumn(k, F.col(k) + F.lit(i * OFF))
+                if k in PART_KEYS:
+                    d = d.withColumn(k, _graft_part_key(k, i))
+                else:
+                    d = d.withColumn(k, F.col(k) + F.lit(i * OFF))
             return d
 
         save(_copies(df, factor, build), name)
