@@ -827,6 +827,178 @@ def _gen_outerjoin(seed: int, rng: random.Random) -> SqlPairCase:
                        _build=build)
 
 
+def _gen_joinshape(seed: int, rng: random.Random) -> SqlPairCase:
+    """Row-level join-shape case (round 13, VERDICT r12 #7): emits the
+    JOINED ROWS themselves — so outer-join NULL extension, RIGHT joins,
+    semi/anti dedup semantics, and NULL join keys are all visible per
+    row, where the aggregated outerjoin family collapses them into
+    null-skipping aggregates.
+
+    Divergence nests this reaches:
+    - NULL-extended int columns (Spark toPandas and DuckDB .df() must
+      both widen to float64 + NaN — the canonicalizer tags NaN);
+    - join-key NULLs: with probability ~1/2 each side's key is wrapped
+      in the SAME NULLIF(key, v) on both engines — SQL NULL = NULL
+      never matches, so a dedup bug on either side flips row counts;
+    - semi/anti as EXISTS vs Spark left_semi/left_anti: the output is
+      the LEFT rows un-amplified, so a duplicate-emitting rewrite is
+      caught row-for-row (the aggregated family could mask it in a
+      SUM);
+    - partial overlap: each side is independently sliced by a modulus
+      predicate on its join key, so fact rows genuinely lose their dim
+      match (an unsliced FK edge never exercises the padding path).
+
+    Determinism: output columns are the sides' UNIQUE_KEYS plus the
+    raw join keys — a total key for every surviving row, so the
+    multiset comparator needs no ordering assumptions."""
+    kind = rng.choice(["inner", "left", "right", "full", "semi", "anti"])
+    edge = rng.choice(EDGES)
+    if rng.random() < 0.5:
+        lt, lc, rt, rc = edge[2], edge[3], edge[0], edge[1]   # dim left
+    else:
+        lt, lc, rt, rc = edge
+
+    # Column construction is DEFERRED into thunks (the family's SQL
+    # must render with no active SparkSession — the generator contract
+    # every other family honors).
+    def _slice(t: str, c: str) -> tuple[str, object] | None:
+        # modulus slice on the join key: keeps ~1/m of the side at any
+        # SF, and guarantees matchless rows on the other side
+        if rng.random() < 0.7:
+            m = rng.randint(2, 7)
+            r = rng.randrange(m)
+            return (f"{t}.{c} % {m} = {r}",
+                    lambda c=c, m=m, r=r:
+                    F.col(c) % F.lit(m) == F.lit(r))
+        return None
+
+    def _key(t: str, c: str) -> tuple[str, object]:
+        # NULLIF-wrapped join key (~1/2 per side), identical on both
+        # engines; v sits in the key's observed low range so NULLs
+        # really occur at every SF
+        if rng.random() < 0.5:
+            lo, hi = INT_RANGE[c]
+            v = rng.randint(lo, min(hi, lo + 40))
+            return (f"NULLIF({t}.{c}, {v})",
+                    lambda c=c, v=v: F.expr(f"nullif({c}, {v})"))
+        return f"{t}.{c}", (lambda c=c: F.col(c))
+
+    lpred, rpred = _slice(lt, lc), _slice(rt, rc)
+    lkey_sql, lkey_spark = _key(lt, lc)
+    rkey_sql, rkey_spark = _key(rt, rc)
+
+    def _dedup(cols: list[str]) -> list[str]:
+        seen: list[str] = []
+        for c in cols:
+            if c not in seen:
+                seen.append(c)
+        return seen
+
+    if kind in ("semi", "anti"):
+        out_cols = _dedup(UNIQUE_KEYS[lt] + [lc])
+        qual = [f"{lt}.{c}" for c in out_cols]
+        where = [p[0] for p in (lpred,) if p is not None]
+        sub_where = [f"{lkey_sql} = {rkey_sql}"]
+        if rpred is not None:
+            sub_where.append(rpred[0])
+        op = "EXISTS" if kind == "semi" else "NOT EXISTS"
+        where.append(f"{op} (SELECT 1 FROM {rt} "
+                     f"WHERE {' AND '.join(sub_where)})")
+        sql = (f"SELECT {', '.join(qual)} FROM {lt} "
+               f"WHERE {' AND '.join(where)}")
+    else:
+        out_cols = _dedup(UNIQUE_KEYS[lt] + [lc]
+                          + UNIQUE_KEYS[rt] + [rc])
+        # qualification by ownership (names are table-prefixed, so a
+        # column belongs to exactly one side)
+        lcols = set(UNIQUE_KEYS[lt] + [lc])
+        qual = [f"{lt}.{c}" if c in lcols else f"{rt}.{c}"
+                for c in out_cols]
+        jk = {"inner": "JOIN", "left": "LEFT JOIN",
+              "right": "RIGHT JOIN", "full": "FULL JOIN"}[kind]
+        lsub = (f"(SELECT * FROM {lt} WHERE {lpred[0]}) {lt}"
+                if lpred is not None else lt)
+        rsub = (f"(SELECT * FROM {rt} WHERE {rpred[0]}) {rt}"
+                if rpred is not None else rt)
+        sql = (f"SELECT {', '.join(qual)} FROM {lsub} {jk} {rsub} "
+               f"ON {lkey_sql} = {rkey_sql}")
+
+    how = {"inner": "inner", "left": "left", "right": "right",
+           "full": "full", "semi": "left_semi", "anti": "left_anti"}[kind]
+
+    def build(spark, sf_dir):
+        left = catalog.load(spark, sf_dir, lt)
+        right = catalog.load(spark, sf_dir, rt)
+        if lpred is not None:
+            left = left.filter(lpred[1]())
+        if rpred is not None:
+            right = right.filter(rpred[1]())
+        df = left.join(right, lkey_spark() == rkey_spark(), how)
+        return df.select(*out_cols)
+
+    return SqlPairCase(seed=seed, kind=f"joinshape:{kind}", _sql=sql,
+                       _build=build)
+
+
+def _gen_scalarsubq(seed: int, rng: random.Random) -> SqlPairCase:
+    """Correlated scalar-subquery case (round 13): per parent row, 1-2
+    aggregates of its children as (SELECT agg FROM fact WHERE fk = pk)
+    columns — DuckDB executes the correlation, Spark's twin is the
+    MANUAL decorrelation (left join against the pre-aggregated child
+    frame), so the case gates exactly the rewrite Catalyst performs
+    under the hood. Empty-children semantics ride in the result:
+    COUNT -> 0, SUM/MIN/MAX -> NULL, identical in both engines."""
+    # child->parent FK edges with usable child aggregates
+    edge = rng.choice([e for e in EDGES
+                       if e[0] in ("lineitem", "orders", "customer")])
+    ft, fk, pt, pk = edge
+    keys = UNIQUE_KEYS[pt]
+    slice_m = rng.randint(2, 6)
+    slice_r = rng.randrange(slice_m)
+    # (kind, inner SQL agg, alias, Spark thunk); SUMs get the BIGINT
+    # pin outside the subquery (the _aggregates HUGEINT device)
+    agg_pool = [("count", "COUNT(*)", "cnt",
+                 lambda: F.count(F.lit(1))),
+                *[("sum", f"SUM({c})", f"s_{c}",
+                   (lambda c=c: F.sum(F.col(c))))
+                  for c in INT_COLS.get(ft, [])[:2]],
+                *[("minmax", f"MIN({c})", f"mn_{c}",
+                   (lambda c=c: F.min(F.col(c))))
+                  for c in INT_COLS.get(ft, [])[:2]],
+                ("minmax", f"MAX({fk})", "mx_fk",
+                 lambda: F.max(F.col(fk)))]
+    picks = rng.sample(agg_pool, k=rng.randint(1, 2))
+
+    def _sub(kind: str, sql_agg: str, alias: str) -> str:
+        sub = f"(SELECT {sql_agg} FROM {ft} WHERE {ft}.{fk} = {pt}.{pk})"
+        if kind == "sum":
+            sub = f"CAST({sub} AS BIGINT)"
+        return f"{sub} AS {alias}"
+
+    sub_cols = ", ".join(_sub(k, s, a) for k, s, a, _ in picks)
+    sql = (f"SELECT {', '.join(keys)}, {sub_cols} FROM {pt} "
+           f"WHERE {pk} % {slice_m} = {slice_r}")
+
+    def build(spark, sf_dir):
+        parent = (catalog.load(spark, sf_dir, pt)
+                  .filter(F.col(pk) % slice_m == slice_r))
+        child = (catalog.load(spark, sf_dir, ft)
+                 .groupBy(fk)
+                 .agg(*[fn().alias(alias) for _, _, alias, fn in picks]))
+        joined = parent.join(child, F.col(pk) == F.col(fk), "left")
+        out = [F.col(k) for k in keys]
+        for kind, _, alias, _fn in picks:
+            col = F.col(alias)
+            if kind == "count":
+                # a correlated COUNT over no rows is 0, not NULL
+                col = F.coalesce(col, F.lit(0))
+            out.append(col.alias(alias))
+        return joined.select(*out)
+
+    return SqlPairCase(seed=seed, kind="scalarsubq", _sql=sql,
+                       _build=build)
+
+
 def _gen_toplimit(seed: int, rng: random.Random) -> SqlPairCase:
     """Global ORDER BY ... LIMIT under a total ordering: the selected
     SET is deterministic (the comparator is order-insensitive)."""
@@ -903,14 +1075,18 @@ def _gen_having(seed: int, rng: random.Random) -> SqlPairCase:
 
 
 def generate(seed: int):
-    """Deterministic spec from a seed. Shape mix: ~21% filter/join/agg
+    """Deterministic spec from a seed. Shape mix: ~19% filter/join/agg
     compositions (Case), ~12% window functions, ~10% window FRAMES
     (ROWS/RANGE frames, ntile, lead-default, first/last_value, NULL
     partition keys — round 12), ~5% window-over-join (round 12), ~4%
-    stacked multi-window (round 12), ~7% set operations, ~7% global
-    top-N, ~13% outer/semi/anti joins, ~10% row-wise scalar expression
-    compositions, ~8% ROLLUP/CUBE grouping sets, ~7% GROUP BY + HAVING
-    — every shape rendered twice (DataFrame + SQL) and compared
+    stacked multi-window (round 12), ~6% set operations, ~6% global
+    top-N, ~10% aggregated outer/semi/anti joins, ~8% ROW-LEVEL join
+    shapes (NULL extension, right joins, NULL join keys, semi/anti
+    dedup — round 13), ~8% row-wise scalar expression compositions,
+    ~7% ROLLUP/CUBE grouping sets, ~5% GROUP BY + HAVING, ~5%
+    correlated scalar subqueries vs manual decorrelation (round 13;
+    carved from the agg tail so earlier seeds keep their shapes) —
+    every shape rendered twice (DataFrame + SQL) and compared
     exactly."""
     rng = random.Random(seed)
     shape = rng.random()
@@ -922,18 +1098,22 @@ def generate(seed: int):
         return _gen_window_join(seed, rng)
     if shape < 0.31:
         return _gen_window_multi(seed, rng)
-    if shape < 0.38:
+    if shape < 0.37:
         return _gen_setop(seed, rng)
-    if shape < 0.45:
+    if shape < 0.43:
         return _gen_toplimit(seed, rng)
-    if shape < 0.57:
+    if shape < 0.53:
         return _gen_outerjoin(seed, rng)
-    if shape < 0.66:
+    if shape < 0.61:
+        return _gen_joinshape(seed, rng)
+    if shape < 0.69:
         return _gen_scalar_exprs(seed, rng)
-    if shape < 0.74:
+    if shape < 0.76:
         return _gen_grouping(seed, rng)
     if shape < 0.81:
         return _gen_having(seed, rng)
+    if shape < 0.86:
+        return _gen_scalarsubq(seed, rng)
     return _generate_agg(seed, rng)
 
 

@@ -100,6 +100,14 @@ QUERIES: dict[str, QuerySpec] = {}
 # they stay replay-verified every run by the local full-registry
 # mirror (tests/test_oracle_parity.py), as does everything outside
 # the window.
+# Round-14 aim (write it down while the arithmetic is fresh): lead
+# with the two deferred r8 queries (projection_filter, distinct_rows),
+# then the 45-query r9 block (the next-oldest exposure, age 5 by r14)
+# — 47 slots, leaving exactly 3 for round-14 additions/changes; if
+# r14 adds more than 3, defer the least regeneration-sensitive r9
+# relational scans the same way. If sim_rp_ivf_topk is ever promoted
+# back from its COVERAGE.md demotion, adopt RP_DIM=32 (tools/rp_tune
+# sweep) and seat BOTH it and sim_ann_recall_eval in that window.
 # NOT re-seated (non-result changes only, reasoned per the rule's
 # intent — a slot is owed when a change can alter the gate fixture's
 # computed values): dedup family (an import-time assert became an

@@ -78,6 +78,18 @@ def _perturb_text(col, i: int):
     return F.translate(col, src, dst)
 
 
+def graft_expr(col: str, anchor: int) -> str:
+    """Forest-preserving copy image of part key ``col``:
+    anchor * 10^ndigits(k) + k — appends k's digits after the anchor's,
+    so DIV 10 strips them one at a time exactly as in the base forest
+    and the copy's local roots resolve to parent ``anchor`` (an
+    existing copy-0 key). SQL, so the same string documents the
+    transform for both engines; tests/test_scale_fixture.py pins the
+    no-orphan property."""
+    return (f"CAST({anchor} AS BIGINT) * CAST(power(10, "
+            f"length(CAST({col} AS STRING))) AS BIGINT) + {col}")
+
+
 def _copies(df: DataFrame, factor: int, build) -> DataFrame:
     out = None
     for i in range(factor):
@@ -127,14 +139,9 @@ def main(factor: int = 10) -> None:
         f"{sorted(graft.values())} exist — part keys not contiguous?")
 
     def _graft_part_key(name: str, i: int):
-        """Copy-i image of a part key: S_i * 10^ndigits(k) + k —
-        appends k's digits after anchor S_i's, so DIV 10 walks the
-        same chain as in the base forest."""
         if i == 0:
             return F.col(name)
-        return F.expr(
-            f"CAST({graft[i]} AS BIGINT) * CAST(power(10, "
-            f"length(CAST({name} AS STRING))) AS BIGINT) + {name}")
+        return F.expr(graft_expr(name, graft[i]))
 
     key_offsets = {
         "customer": ["c_custkey"],
