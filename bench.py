@@ -104,6 +104,13 @@ HEADLINE = (
     "text_bm25_retrieval",
     "dedup_lsh_recall_eval",
     "events_attribution",
+    # round 13: DELIBERATELY unchanged. The two additions are tracked
+    # elsewhere — sim_ivf_serve_batches carries its own BASELINE.md
+    # audit rows (scale_audit alpha 0.01; tools/serve_audit.py probe
+    # alpha 0.16 — the community-LPA precedent for audit-table-tracked
+    # queries), and multimodal_video_i420 is a shuffle-free
+    # scan→mapInPandas pass (plan: 0 exchanges). Keeping the 34-query
+    # set fixed keeps vs_baseline comparable round over round.
 )
 
 
