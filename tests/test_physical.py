@@ -508,3 +508,36 @@ def test_temperature_mixture_coin_scan_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_video_i420_is_single_pass_no_shuffle(spark):
+    """The i420 gate's scale contract as a plan property: one parquet
+    scan pruned to doc_id feeding MapInPandas — zero Exchanges, so
+    decode parallelism IS scan parallelism (round 13)."""
+    import re
+
+    import new_data_pipeline_spark as engine
+    engine.load_all()
+    plan = _plan(engine.QUERIES["multimodal_video_i420"]
+                 .fn(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, (
+        "payload-free scan lost its column pruning")
+    spark.catalog.clearCache()
+
+
+def test_serve_batches_broadcasts_index_sides(spark):
+    """The serving gate's per-batch plan: centroid scoring broadcasts
+    the C-row centroid frame (never shuffles the batch against it) and
+    nothing plans a CartesianProduct; the 4 batch subtrees read the
+    eager-filled persisted index (InMemoryTableScan), not 4 rebuilds
+    (round 13)."""
+    import new_data_pipeline_spark as engine
+    engine.load_all()
+    plan = _plan(engine.QUERIES["sim_ivf_serve_batches"]
+                 .fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
