@@ -100,6 +100,10 @@ QUERIES: dict[str, QuerySpec] = {}
 # they stay replay-verified every run by the local full-registry
 # mirror (tests/test_oracle_parity.py), as does everything outside
 # the window.
+# Round-14 re-aim mechanics: run `python tools/window_plan.py
+# <changed-or-new names>` and paste its 50-slot proposal here, then
+# update tests/test_window_plan.py's head list — the test pins the
+# committed window to the mechanized oldest-first ordering.
 # Round-14 aim (write it down while the arithmetic is fresh): lead
 # with the two deferred r8 queries (projection_filter, distinct_rows),
 # then the 45-query r9 block (the next-oldest exposure, age 5 by r14)
