@@ -20,7 +20,10 @@ R13_HEAD = [
 
 
 def test_committed_window_matches_mechanized_plan():
-    proposed, _deferred = plan(R13_HEAD)
+    # max_round pins the exposure snapshot to what the r13 aim was
+    # computed FROM (rounds <= 12), so the pin survives the driver
+    # recording CORRECTNESS_r13 at the end of this round
+    proposed, _deferred = plan(R13_HEAD, max_round=12)
     committed = list(entry.queries())[:WINDOW]
     assert proposed == committed, (
         "committed GATE_PRIORITY window diverges from the oldest-first "

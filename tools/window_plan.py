@@ -28,10 +28,29 @@ from tools.exposure_report import exposure  # noqa: E402
 WINDOW = 50
 
 
-def plan(changed: list[str]) -> tuple[list[str], list[tuple[str, int]]]:
+def plan(changed: list[str], max_round: int | None = None
+         ) -> tuple[list[str], list[tuple[str, int]]]:
+    """``max_round`` pins the exposure snapshot to CORRECTNESS files
+    <= that round — what the aim was computed FROM. The per-round test
+    passes the aim round minus one, so the pin stays true after the
+    driver records the new round's own file."""
     import __spark_entry__ as entry
 
     last, newest = exposure()
+    if max_round is not None:
+        filtered: dict[str, int] = {}
+        import glob
+        import json
+        for f in sorted(glob.glob(os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "CORRECTNESS_r*.json"))):
+            rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+            if rnd > max_round:
+                continue
+            with open(f) as fh:
+                for name in json.load(fh):
+                    filtered[name] = rnd
+        last, newest = filtered, max_round
     names = list(entry.queries())
     reg_order = {n: i for i, n in enumerate(names)}
     unknown = [c for c in changed if c not in reg_order]
