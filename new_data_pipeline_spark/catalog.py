@@ -68,6 +68,31 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load(spark, sf_dir, n) for n in names)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before
+    compute-heavy map work (optimization guide §2.5 "input skew": a
+    single unsplittable input file serializes every pre-shuffle map
+    stage — explode, md5 shingling, partial aggregation — on ONE core).
+
+    Scale-adaptive, not a local-mode constant: the target is the
+    session's ``defaultParallelism`` and the repartition only fires
+    when the plan's current partitioning carries FEWER splits than
+    that — a 100 TB table whose scan already yields thousands of tasks
+    passes through untouched, while the one-row-group-per-table test
+    layout (and any small-file tail at scale) gets its downstream map
+    work parallelized for the price of shuffling the narrow projected
+    input once. Row-to-partition assignment is deterministic under
+    retry (sortBeforeRepartition, SPARK-23207), and every gated
+    consumer is order-insensitive by construction (the repo's
+    decimal/fixed-order parity rules), so results are bit-identical.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for the SQL surface)."""
     for name in TABLES:

@@ -156,7 +156,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on the fingerprint; at 100 TB group on the md5
     (16 bytes) rather than the text itself.
     """
-    docs = catalog.load(spark, sf_dir, "documents")
+    docs = catalog.spread(catalog.load(spark, sf_dir, "documents"))  # r14: guide §2.5
     fp = docs.select(
         "doc_id", "source",
         F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
@@ -224,7 +224,10 @@ def _shingle_bands(spark: SparkSession,
     the anti-join and both sides of the candidate join all reuse the
     cache instead of recomputing the subtree per consumer."""
     s, bands, _ = _shingle_bands_from(
-        catalog.load(spark, sf_dir, "documents"))
+        catalog.spread(catalog.load(spark, sf_dir, "documents")))
+    # r14: spread parallelizes the 1-file scan's shingle+minhash map
+    # work (guide §2.5); applied at the batch entry only — streaming
+    # microbatches arrive pre-partitioned by the source
     return s, bands
 
 
@@ -826,7 +829,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the 16 positions re-evaluated the md5 transform, measured 30 s
     vs 2 s at sf0.1. Clustering is one groupBy on the 16-bit key.
     """
-    docs = catalog.load(spark, sf_dir, "documents")
+    docs = catalog.spread(catalog.load(spark, sf_dir, "documents"))  # r14: guide §2.5
     toks = (docs
             .select("doc_id",
                     F.explode(F.array_distinct(F.split("text", " ")))
@@ -904,7 +907,7 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 16-bit ``dedup_simhash`` variant above is its didactic little
     sibling.
     """
-    docs = catalog.load(spark, sf_dir, "documents")
+    docs = catalog.spread(catalog.load(spark, sf_dir, "documents"))  # r14: guide §2.5
     # Signature fully JVM-side and RELATIONAL: explode distinct tokens
     # to rows, one md5 per token, 64 map-combinable CASE sums per doc.
     # Not a SQL higher-order aggregate — HOF lambdas don't codegen, and
@@ -1010,7 +1013,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (shared prefixes) makes one block quadratic — same hot-bucket
     cap as the LSH joins.
     """
-    docs = catalog.load(spark, sf_dir, "documents")
+    docs = catalog.spread(catalog.load(spark, sf_dir, "documents"))  # r14: guide §2.5
     # repartition BEFORE the gram build: a single-file documents table
     # scans as ONE partition, and the per-row gram expression (~len·W
     # bytes of substrings per doc) is the dominant CPU — left on the

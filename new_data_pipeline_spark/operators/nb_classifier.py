@@ -94,6 +94,10 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = catalog.load(spark, sf_dir, "documents")
     n_total = docs.count()
+    # r14: fan the one-file scan out before the explode — the tokenize
+    # + score map work otherwise serializes on a single core (guide
+    # §2.5; catalog.spread docstring)
+    docs = catalog.spread(docs)
     tok = docs.select("doc_id", F.col("source").alias("actual"),
                       F.explode(F.split("text", " ")).alias("w"))
     # sufficient statistics: the (source, token) count table is THE
@@ -109,7 +113,17 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.round(F.log(F.count(F.lit(1)).cast("double")
                               / F.lit(float(n_total))), 6)
                 .cast("decimal(18,6)").alias("plp")))
-    scored = (tok.crossJoin(F.broadcast(ns))
+    # r14: collapse repeated tokens per doc BEFORE the ×S fan-out —
+    # sum(lp) over m identical tokens equals lp·m EXACTLY in decimal
+    # arithmetic (integer m scales the scale-6 decimal losslessly), so
+    # the scoring join and the per-doc aggregate process one row per
+    # DISTINCT (doc, token) instead of one per token instance. The
+    # partial aggregate collapses in the same task the explode runs in
+    # (doc rows never split across partitions), so the shuffle moves
+    # fewer rows too (guide §2.3 "aggregate before you shuffle").
+    dtok = (tok.groupBy("doc_id", "actual", "w")
+            .agg(F.count(F.lit(1)).alias("m")))
+    scored = (dtok.crossJoin(F.broadcast(ns))
               .join(F.broadcast(cnt), ["s", "w"], "left")
               .withColumn(
                   "lp",
@@ -118,7 +132,7 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 / (F.col("n") + F.lit(v))), 6)
                   .cast("decimal(18,6)")))
     agg = (scored.groupBy("doc_id", "actual", "s")
-           .agg(F.sum("lp").alias("tok_lp")))
+           .agg(F.sum(F.col("lp") * F.col("m")).alias("tok_lp")))
     fullsc = (agg.join(F.broadcast(pri), agg["s"] == pri["ps"])
               .withColumn("score", F.col("tok_lp") + F.col("plp")))
     # argmax by (score DESC, s ASC) as a map-side min_by over the

@@ -118,6 +118,8 @@ def text_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound."""
     docs = catalog.load(spark, sf_dir, "documents")
     n_tbl = docs.agg(F.count(F.lit(1)).alias("__n"))
+    # r14: parallelize the 1-file scan's shingle explode (guide §2.5)
+    docs = catalog.spread(docs)
     ws = F.split("text", " ")
     toks = (docs.select("doc_id", ws.alias("ws"))
             .filter(F.size("ws") >= SHINGLE_W)
@@ -271,6 +273,8 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast |queries|-sized probe of the df-capped posting lists,
     map-side partial sums per (query, candidate)."""
     docs = catalog.load(spark, sf_dir, "documents")
+    # r14: parallelize the 1-file scan's shingle explode (guide §2.5)
+    docs = catalog.spread(docs)
     ws = F.split("text", " ")
     toks = (docs.select("doc_id", ws.alias("ws"))
             .filter(F.size("ws") >= SHINGLE_W)
