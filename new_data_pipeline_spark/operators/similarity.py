@@ -302,10 +302,15 @@ def ivf_mod(n_rows: int) -> int:
     return max(1, (n_rows + IVF_C_TARGET - 1) // IVF_C_TARGET)
 
 
-def _ivf_assign_and_probes(
-        spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """IVF index build shared by the in-memory and bucketed-probe
-    gates: (assigned, probes).
+def _ivf_index_parts(
+        spark: SparkSession,
+        sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(cents, assigned, probes) — the full IVF build with the centroid
+    frame exposed, so consumers that need the coarse quantizer itself
+    (the serving gate) reuse THE definition the index was built from
+    instead of re-deriving it (ADVICE r13: an inline rebuild in
+    ann_serve could silently diverge if centroid selection ever changes
+    here only — and it re-loaded + re-counted embeddings for nothing).
 
     ``assigned`` (candidate_id, label, cell, cv, cn) — every corpus
     vector joined to its single best cell by a map-side-combinable
@@ -350,6 +355,13 @@ def _ivf_assign_and_probes(
               .select(F.col("vec_id").alias("query_id"),
                       F.col("cent_id").alias("cell"),
                       F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    return cents, assigned, probes
+
+
+def _ivf_assign_and_probes(
+        spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(assigned, probes) — see _ivf_index_parts."""
+    _cents, assigned, probes = _ivf_index_parts(spark, sf_dir)
     return assigned, probes
 
 

@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 
 from new_data_pipeline_spark import catalog
 from new_data_pipeline_spark.operators.similarity import (
-    _IVF_ORACLE, IVF_CENT_RESIDUE, IVF_NPROBE, N_QUERIES, TOP_K, _DOT,
-    _ivf_assign_and_probes, _normalized, ivf_mod)
+    _IVF_ORACLE, IVF_NPROBE, N_QUERIES, TOP_K, _DOT,
+    _ivf_index_parts, _normalized)
 from new_data_pipeline_spark.registry import register
 
 
@@ -101,14 +101,14 @@ def sim_ivf_serve_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, exactly the deployed request path.
     """
     n = _normalized(catalog.load(spark, sf_dir, "embeddings"))
-    mod = ivf_mod(catalog.load(spark, sf_dir, "embeddings").count())
-    res = IVF_CENT_RESIDUE % mod
-    cents = (n.filter(F.col("vec_id") % mod == res)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("v").alias("cent_v"),
-                     F.col("nrm").alias("cent_n")).persist())
+    # centroid selection has exactly ONE definition (_ivf_index_parts;
+    # ADVICE r13): the serving gate probes the same cents frame the
+    # index was assigned from, and the second embeddings load + count
+    # the inline rebuild paid is gone.
+    cents, assigned, _probes = _ivf_index_parts(spark, sf_dir)
+    cents = cents.persist()
     cents.count()  # eager fill before the 4-way fan-out
-    assigned = _ivf_assign_and_probes(spark, sf_dir)[0].persist()
+    assigned = assigned.persist()
     assigned.count()  # eager fill before the 4-way fan-out
     queries = (n.filter(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),

@@ -22,6 +22,42 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _ancestors_of_scan(df, token: str) -> list[str]:
+    """nodeNames from the parquet scan whose description contains
+    ``token`` up to the plan root (leaf first, scan itself excluded),
+    walked on the REAL JVM plan tree. The former text walk parsed
+    ``explain`` indentation, which breaks when a cached subtree embeds
+    its own nested AQE plan dump (``== Initial Plan ==`` blocks inside
+    ``InMemoryRelation`` re-start indentation mid-listing); here cached
+    relations are leaves and cannot mislead the ancestry."""
+
+    def unwrap(node):
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            return unwrap(node.initialPlan())
+        return node
+
+    def find(node, path):
+        node = unwrap(node)
+        kids = node.children()
+        n = kids.length()
+        if n == 0:
+            # match file scans only: InMemoryTableScan leaves print their
+            # whole cached plan via innerChildren and could false-match
+            if (node.getClass().getSimpleName() == "FileSourceScanExec"
+                    and token in node.toString()):
+                return path
+            return None
+        for i in range(n):
+            r = find(kids.apply(i), path + [node])
+            if r is not None:
+                return r
+        return None
+
+    path = find(df._jdf.queryExecution().executedPlan(), [])
+    assert path is not None, f"no parquet scan containing {token!r} in plan"
+    return [n.nodeName() for n in reversed(path)]
+
+
 def test_bucketed_join_has_no_exchange(spark):
     orders = catalog.load(spark, SF_DIR, "orders")
     lineitem = catalog.load(spark, SF_DIR, "lineitem") \
@@ -270,24 +306,13 @@ def test_lsh_index_probe_scans_shuffle_free(spark):
         plan = _plan(df)
         assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan, \
             "index scan must be bucket-aware"
-        # tree walk: from the index-scan line upward, every ancestor
-        # (strictly-smaller indent) until the first SortMergeJoin must
-        # not be an Exchange
-        tree = plan.split("\n\n", 1)[0].splitlines()
-        idx = next(i for i, l in enumerate(tree) if "ndp_b_lshidx" in l)
-
-        def indent(line):
-            return len(line) - len(line.lstrip(" :+-"))
-
-        cur = indent(tree[idx])
-        for j in range(idx - 1, -1, -1):
-            ind = indent(tree[j])
-            if ind < cur:
-                cur = ind
-                assert "Exchange" not in tree[j], \
-                    f"exchange above the bucketed index scan: {tree[j]}"
-                if "SortMergeJoin" in tree[j]:
-                    break
+        # JVM-tree walk: every ancestor of the index scan up to its first
+        # SortMergeJoin must not be an Exchange
+        for name in _ancestors_of_scan(df, "ndp_b_lshidx"):
+            assert "Exchange" not in name, \
+                f"exchange above the bucketed index scan: {name}"
+            if "SortMergeJoin" in name:
+                break
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
@@ -307,21 +332,11 @@ def test_ivf_index_probe_scans_shuffle_free(spark):
         plan = _plan(df)
         assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan, \
             "IVF index scan must be bucket-aware"
-        tree = plan.split("\n\n", 1)[0].splitlines()
-        idx = next(i for i, l in enumerate(tree) if "ndp_b_ivfidx" in l)
-
-        def indent(line):
-            return len(line) - len(line.lstrip(" :+-"))
-
-        cur = indent(tree[idx])
-        for j in range(idx - 1, -1, -1):
-            ind = indent(tree[j])
-            if ind < cur:
-                cur = ind
-                assert "Exchange" not in tree[j], \
-                    f"exchange above the bucketed IVF index scan: {tree[j]}"
-                if "SortMergeJoin" in tree[j]:
-                    break
+        for name in _ancestors_of_scan(df, "ndp_b_ivfidx"):
+            assert "Exchange" not in name, \
+                f"exchange above the bucketed IVF index scan: {name}"
+            if "SortMergeJoin" in name:
+                break
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
@@ -339,21 +354,11 @@ def test_ivfpq_index_probe_scans_shuffle_free(spark):
         plan = _plan(df)
         assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan, \
             "IVF-PQ index scan must be bucket-aware"
-        tree = plan.split("\n\n", 1)[0].splitlines()
-        idx = next(i for i, l in enumerate(tree) if "ndp_b_ivfpqidx" in l)
-
-        def indent(line):
-            return len(line) - len(line.lstrip(" :+-"))
-
-        cur = indent(tree[idx])
-        for j in range(idx - 1, -1, -1):
-            ind = indent(tree[j])
-            if ind < cur:
-                cur = ind
-                assert "Exchange" not in tree[j], \
-                    f"exchange above the bucketed IVF-PQ index scan: {tree[j]}"
-                if "SortMergeJoin" in tree[j]:
-                    break
+        for name in _ancestors_of_scan(df, "ndp_b_ivfpqidx"):
+            assert "Exchange" not in name, \
+                f"exchange above the bucketed IVF-PQ index scan: {name}"
+            if "SortMergeJoin" in name:
+                break
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
@@ -406,24 +411,14 @@ def test_pq_index_probe_aggregates_shuffle_free(spark):
         plan = _plan(df)
         assert "Bucketed: true" in plan, \
             "PQ code-table scan must be bucket-aware"
-        tree = plan.split("\n\n", 1)[0].splitlines()
-        idx = next(i for i, l in enumerate(tree) if "ndp_b_pqidx" in l)
-
-        def indent(line):
-            return len(line) - len(line.lstrip(" :+-"))
-
-        cur = indent(tree[idx])
         aggs_seen = 0
-        for j in range(idx - 1, -1, -1):
-            ind = indent(tree[j])
-            if ind < cur:
-                cur = ind
-                assert "Exchange" not in tree[j], \
-                    f"exchange below the per-candidate aggregate: {tree[j]}"
-                if "HashAggregate" in tree[j]:
-                    aggs_seen += 1
-                    if aggs_seen == 2:  # partial + final — stop here
-                        break
+        for name in _ancestors_of_scan(df, "ndp_b_pqidx"):
+            assert "Exchange" not in name, \
+                f"exchange below the per-candidate aggregate: {name}"
+            if "HashAggregate" in name:
+                aggs_seen += 1
+                if aggs_seen == 2:  # partial + final — stop here
+                    break
         assert aggs_seen == 2, \
             "expected partial+final HashAggregate above the index scan"
     finally:

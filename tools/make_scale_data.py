@@ -131,12 +131,17 @@ def main(factor: int = 10) -> None:
     part0 = load("part")
     max_pk = part0.agg(F.max("p_partkey")).first()[0]
     graft = {i: max_pk - (factor - 1) + i for i in range(1, factor)}
-    assert len({len(str(s)) for s in graft.values()}) == 1, graft
+    # RuntimeError, not assert (ADVICE r13): assert is stripped under
+    # python -O, and a silent pass here would regenerate the exact
+    # orphaned-forest fixture these checks exist to prevent.
+    if len({len(str(s)) for s in graft.values()}) != 1:
+        raise RuntimeError(f"graft anchors span digit lengths: {graft}")
     n_anchor = part0.filter(
         F.col("p_partkey").isin(list(graft.values()))).count()
-    assert n_anchor == factor - 1, (
-        f"graft anchors missing: {n_anchor}/{factor - 1} of "
-        f"{sorted(graft.values())} exist — part keys not contiguous?")
+    if n_anchor != factor - 1:
+        raise RuntimeError(
+            f"graft anchors missing: {n_anchor}/{factor - 1} of "
+            f"{sorted(graft.values())} exist — part keys not contiguous?")
 
     def _graft_part_key(name: str, i: int):
         if i == 0:
