@@ -87,8 +87,11 @@ _ORACLE_ASSIGN = f"""
 
 def normalized(emb: DataFrame) -> DataFrame:
     """float64 vectors + L2 norm (cast first: both engines upcast the
-    float32 storage column before any arithmetic)."""
-    return (emb
+    float32 storage column before any arithmetic).
+
+    r14: spread the single-file scan before the N·C assign dots
+    serialize on one core (guide §2.5; catalog.spread docstring)."""
+    return (catalog.spread(emb)
             .select("vec_id", "label",
                     F.col("embedding").cast("array<double>").alias("v"))
             .withColumn("nrm", F.sqrt(

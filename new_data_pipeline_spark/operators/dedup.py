@@ -1073,7 +1073,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     All math in float64 (both engines upcast the float32 column first);
     cosine rounded to 4 dp for cross-engine summation-order safety.
     """
-    emb = catalog.load(spark, sf_dir, "embeddings")
+    emb = catalog.spread(  # r14: parallelize the 1-file scan (guide §2.5)
+        catalog.load(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", "label",
                    F.col("embedding").cast("array<double>").alias("v"))
     n = e.withColumn(

@@ -89,8 +89,12 @@ def _subspaces(df: DataFrame, id_col: str) -> DataFrame:
     nrm = F.expr("sqrt(aggregate(transform(embedding, "
                  "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
                  "0D, (acc, x) -> acc + x))")
-    base = df.select(F.col("vec_id").alias(id_col), "label",
-                     raw.alias("v0"), nrm.alias("n0"))
+    # r14: spread the single-file scan before the explode — the
+    # N·M·K scoring join's map side (the d2 compute over every
+    # (subspace, codeword) pair) otherwise serializes on ONE core
+    # (guide §2.5; catalog.spread docstring)
+    base = catalog.spread(df).select(F.col("vec_id").alias(id_col), "label",
+                                     raw.alias("v0"), nrm.alias("n0"))
     pieces = F.array(*[
         F.struct(F.lit(s).alias("s"),
                  F.slice(F.expr("transform(v0, x -> x / n0)"),

@@ -119,7 +119,9 @@ def sim_random_projection_topk(spark: SparkSession,
     projection's role at scale."""
     from pyspark.sql.window import Window
 
-    emb = (catalog.load(spark, sf_dir, "embeddings")
+    emb = (catalog.spread(  # r14: parallelize the md5 sign-matrix
+                            # projection (guide §2.5)
+            catalog.load(spark, sf_dir, "embeddings"))
            .select("vec_id", "label",
                    F.col("embedding").cast("array<double>").alias("v")))
     proj = emb.select(
@@ -255,7 +257,9 @@ def sim_rp_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from new_data_pipeline_spark.operators.similarity import (
         IVF_CENT_RESIDUE, IVF_NPROBE, ivf_mod)
 
-    emb = (catalog.load(spark, sf_dir, "embeddings")
+    emb = (catalog.spread(  # r14: parallelize the md5 sign-matrix
+                            # projection (guide §2.5)
+            catalog.load(spark, sf_dir, "embeddings"))
            .select("vec_id", "label",
                    F.col("embedding").cast("array<double>").alias("v")))
     proj = emb.select(

@@ -41,8 +41,15 @@ _DOT = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 def _normalized(emb: DataFrame) -> DataFrame:
     """float64 vectors + L2 norm (sqrt is IEEE-correctly-rounded, so it
-    is parity-safe; only summation order needs the rounding guard)."""
-    return (emb
+    is parity-safe; only summation order needs the rounding guard).
+
+    r14: the scan is spread to the session's parallelism first (guide
+    §2.5 — a single-file embeddings scan otherwise serializes every
+    downstream vector op: the N·C cell-assign dots, the LSH plane dots,
+    the scoring joins' map sides, all on ONE core). Row order never
+    matters downstream — every consumer aggregates, joins, or ranks
+    with deterministic tiebreaks."""
+    return (catalog.spread(emb)
             .select("vec_id", "label",
                     F.col("embedding").cast("array<double>").alias("v"))
             .withColumn("nrm", F.sqrt(

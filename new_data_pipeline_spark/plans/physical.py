@@ -44,7 +44,14 @@ def write_bucketed(df: DataFrame, table_name: str, key: str,
         import shutil
         shutil.rmtree(os.path.join(wh, table_name.lower()),
                       ignore_errors=True)
-    (df.write.mode("overwrite")
+    # r14: cluster rows by the bucket key before the write — a bucketBy
+    # write emits one file per (task, bucket) pair, so an upstream plan
+    # at session parallelism would scatter each bucket across ~32 tiny
+    # files and the probe side would pay the per-file open cost forever
+    # (guide §6 "small files hurt twice"). One narrow shuffle at write
+    # time pins the layout to exactly one file per bucket.
+    (df.repartition(n_buckets, key, *more_keys)
+       .write.mode("overwrite")
        .bucketBy(n_buckets, key, *more_keys).sortBy(key, *more_keys)
        .format("parquet")
        .saveAsTable(table_name))
