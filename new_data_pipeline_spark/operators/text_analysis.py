@@ -57,7 +57,6 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-style subword estimate (ceil(len/4) per word — the common
     chars-per-token rule of thumb)."""
     docs = catalog.load(spark, sf_dir, "documents")
-    docs = catalog.spread(docs)  # r14: parallelize the 1-file scan's explode (guide §2.5)
     return docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_actual"),
@@ -247,7 +246,6 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     count() job per invocation.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    docs = catalog.spread(docs)  # r14: parallelize the 1-file scan's explode (guide §2.5)
     n_tbl = docs.agg(F.count(F.lit(1)).alias("__n"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     df_tbl = (toks.select("doc_id", "term").distinct()
@@ -312,7 +310,6 @@ def text_bow_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from new_data_pipeline_spark.sources.tensorize import global_row_number
     docs = catalog.load(spark, sf_dir, "documents")
-    docs = catalog.spread(docs)  # r14: parallelize the 1-file scan's explode (guide §2.5)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     top = counts.orderBy(F.col("tf").desc(), "term").limit(BOW_VOCAB)
@@ -358,7 +355,6 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting is a log() away — kept out of the oracle gate (libm).
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    docs = catalog.spread(docs)  # r14: parallelize the 1-file scan's explode (guide §2.5)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     return (toks.groupBy("term")
             .agg(F.count(F.lit(1)).alias("tf"),
@@ -467,7 +463,6 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     global top-20 is a TakeOrdered merge, not a sort.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    docs = catalog.spread(docs)  # r14: parallelize the 1-file scan's explode (guide §2.5)
     toks = F.filter(F.split(F.lower("text"), "\\W+"), lambda x: x != "")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("t") - 1),
@@ -549,7 +544,6 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    docs = catalog.spread(docs)  # r14: parallelize the 1-file scan's explode (guide §2.5)
     toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
     cands = (toks.mapInPandas(_misra_gries_fn(HH_CAPACITY), "w string")
              .distinct())
@@ -600,7 +594,6 @@ def text_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable; nothing vocabulary-sized exists anywhere.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    docs = catalog.spread(docs)  # r14: parallelize the 1-file scan's explode (guide §2.5)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     bucketed = (toks.select(
         "doc_id",
