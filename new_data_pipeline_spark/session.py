@@ -40,6 +40,14 @@ def get_spark(app_name: str = "new_data_pipeline_spark",
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by BYTES (minPartitionSize, default 1m), but
+        # several pipelines shuffle small-byte/high-CPU rows (decimal
+        # scoring sums, per-group numpy) that 1m would serialize onto
+        # 1-2 cores (guide §2.5 — the cost is CPU per row, not bytes).
+        # Parameterized: on a real cluster post-shuffle partitions carry
+        # MBs and this floor never binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
