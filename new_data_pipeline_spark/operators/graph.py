@@ -214,7 +214,11 @@ def _count_triangles(e: DataFrame, deg: DataFrame,
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"))
     oe = oe.persist()
-    oe.count()  # eager fill BEFORE the o1/o2/closing fan-out
+    # the wedge-count aggregate doubles as the eager cache fill: it is
+    # a SINGLE consumer that materializes every partition before the
+    # o1/o2/closing fan-out below, so the separate count() job the
+    # cold-cache-race rule used to demand here was a redundant full
+    # pass (r14: one fewer sequential job)
     n_wedges_out = int(
         oe.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
         .agg(F.sum(F.expr("od * (od - 1) DIV 2")).alias("w"))

@@ -97,9 +97,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = catalog.load(spark, sf_dir, "lineitem")
     disc_price = money("l_extendedprice") * (1 - money("l_discount"))
     charge = disc_price * (1 + money("l_tax"))
+    # spread AFTER the filter+6-column projection: the single-file scan
+    # otherwise runs the 8-aggregate decimal partial agg on one core,
+    # and the shuffle moves only the narrow projected rows
     return (
-        lineitem
-        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        catalog.spread(
+            lineitem
+            .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .select("l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(dsum("l_quantity", "sum_qty"),
              dsum("l_extendedprice", "sum_base_price"),

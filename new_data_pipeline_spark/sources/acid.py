@@ -364,6 +364,13 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
                                   merge=False, txn=txn)
     all_paths = [os.path.join(table, f) for f in snap["files"]]
     cur = spark.read.parquet(*all_paths)
+    # r14: the update batch feeds THREE consumers (the matched-file
+    # probe's semi-join keys, the survivor anti-join keys, and the
+    # rewrite union) — without a persist each one re-runs the caller's
+    # full update derivation (for the gate: an orders scan + aggregate
+    # + join). The probe collect below is the eager fill; unpersisted
+    # after the rewrite files are written.
+    updates = updates.persist()
     keys = updates.select(*key_cols).distinct()
     # the _metadata.file_name hidden column, NOT input_file_name():
     # the expression form rejects multi-source plans, and the matched-
@@ -389,7 +396,10 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, table: str,
             *[os.path.join(table, f) for f in rewrite_files])
             .join(keys, key_cols, "left_anti"))
         fresh = survivors.select(*cur.columns).unionByName(fresh)
-    new_files = _write_data_files(fresh, table)
+    try:
+        new_files = _write_data_files(fresh, table)
+    finally:
+        updates.unpersist()
     return _commit_with_retry(table, "merge", keep_files + new_files,
                               snap["schema"], parent=parent, merge=False,
                               txn=txn)
