@@ -41,9 +41,14 @@ def plan(changed: list[str], max_round: int | None = None
         filtered: dict[str, int] = {}
         import glob
         import json
-        for f in sorted(glob.glob(os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "CORRECTNESS_r*.json"))):
+        # iterate by PARSED round number, not filename order: the
+        # lexicographic glob sort diverges at r100 (ADVICE r13), where
+        # "_r100" sorts before "_r14" and stale grades would win
+        files = glob.glob(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_r*.json"))
+        for f in sorted(files,
+                        key=lambda p: int(p.rsplit("_r", 1)[1].split(".")[0])):
             rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
             if rnd > max_round:
                 continue
