@@ -255,8 +255,13 @@ def _shingle_bands_from(docs: DataFrame) -> tuple[
                          for r in range(MINHASH_R)]).alias("band_key"))
             for b in range(MINHASH_BANDS)])).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key").persist()
-    bands = cap_hot_buckets(bands_raw, ["band_id", "band_key"])
-    return s, bands, [s, bands_raw]
+    # r14: persist the CAPPED band table too — every probe/self-join
+    # consumer used to re-run the cap's count-shuffle + anti-join from
+    # the bands_raw cache (profiled at 5 near-identical stages in
+    # stream_neardup_filter alone); bands_raw stays persisted for the
+    # cap's own two internal consumers (bucket counts, anti-join left)
+    bands = cap_hot_buckets(bands_raw, ["band_id", "band_key"]).persist()
+    return s, bands, [s, bands_raw, bands]
 
 
 def _incremental_candidates(base_bands: DataFrame,

@@ -223,25 +223,36 @@ def _count_triangles(e: DataFrame, deg: DataFrame,
         oe.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
         .agg(F.sum(F.expr("od * (od - 1) DIV 2")).alias("w"))
         .first()["w"] or 0)
-    # size the wedge join by its KNOWN output (the session default is
+    # size the wedge stage by its KNOWN output (the session default is
     # sized for the input tables, and a 10×-denser graph quadruples
-    # the wedge stream: 32 partitions over 370M wedge rows spills)
+    # the wedge stream: 32 partitions over 370M wedge rows spills).
+    # The explicit repartition also pins the partition count against
+    # AQE's byte-based coalescing, which cannot see the explode blowup.
     default_p = int(
         e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     wp = min(WEDGE_MAX_PARTS,
              max(default_p, n_wedges_out // WEDGE_ROWS_PER_PART + 1))
-    o1 = (oe.select(F.col("s").alias("s1"), F.col("t").alias("t1"),
-                    F.col("dt").alias("dt1"))
-          .repartition(wp, "s1"))
-    o2 = (oe.select(F.col("s").alias("s2"), F.col("t").alias("t2"),
-                    F.col("dt").alias("dt2"))
-          .repartition(wp, "s2"))
-    # ordered out-wedge (t1 before t2 in rank) at the anchor s
-    two_hop = (o1.join(o2, (F.col("s1") == F.col("s2"))
-                       & ((F.col("dt1") < F.col("dt2"))
-                          | ((F.col("dt1") == F.col("dt2"))
-                             & (F.col("t1") < F.col("t2")))))
-               .select("t1", "t2"))
+    # Ordered out-wedges by groupBy + in-task combination explode (the
+    # Suri–Vassilvitskii MR shape, the same device as
+    # _copurchase_pairs): ONE shuffle of the oriented edge list instead
+    # of the former o1/o2 self-join's two repartitions plus both
+    # sort-merge legs (guide §2.4 "remove shuffles outright"; r14 A/B
+    # at sf0.1 is wall-neutral — 3.75 vs 3.94 s medians, 18 vs 20 jobs
+    # — and the shuffle-byte halving is the 100 TB claim). Sorting
+    # neighbors by (dt, t) and pairing i < j reproduces the former
+    # join's rank condition exactly; (dt, t) is unique within a group
+    # because oe is distinct per (s, t). Per-group array size is the
+    # out-degree, bounded O(sqrt E) by the degree-ordered orientation.
+    nbrs = (oe.repartition(wp, "s").groupBy("s")
+            .agg(F.sort_array(F.collect_list(F.struct("dt", "t")))
+                 .alias("nbrs")))
+    combos = F.expr(
+        "flatten(transform(nbrs, (x, i) -> "
+        "transform(slice(nbrs, i + 2, size(nbrs)), "
+        "y -> struct(x.t AS t1, y.t AS t2))))")
+    two_hop = (nbrs.select(F.explode(combos).alias("p"))
+               .select(F.col("p.t1").alias("t1"),
+                       F.col("p.t2").alias("t2")))
     closing = oe.select(F.col("s").alias("c1"), F.col("t").alias("c2"))
     if (n_edges <= BCAST_EDGE_CAP
             and n_wedges_out >= WEDGE_BCAST_RATIO * max(n_edges, 1)):
