@@ -98,9 +98,13 @@ def ml_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (pairs.groupBy("u", "v")
           .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
           .filter(F.col("pair_n") >= MIN_JOINT))
+    # r14: persist — ia and ib are two non-identical consumers and each
+    # re-ran the item-frequency aggregate from the baskets cache
+    # (profiled as two near-identical 7-exec-s stages); |parts|-sized
     ic = (baskets.select(F.explode("ps").alias("item"))
           .groupBy("item")
-          .agg(F.count(F.lit(1)).cast("bigint").alias("item_n")))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("item_n"))
+          .persist())
     nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ia = ic.withColumnsRenamed({"item": "item_a", "item_n": "n_a"})
     ib = ic.withColumnsRenamed({"item": "item_b", "item_n": "n_b"})

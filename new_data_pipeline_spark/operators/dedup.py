@@ -962,7 +962,11 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *[f"c{c}" for c in range(SIMHASH64_CHUNKS)],
         F.posexplode(F.array(*[f"c{c}" for c in range(SIMHASH64_CHUNKS)]))
          .alias("chunk_id", "chunk_val"))
-    hc = cap_hot_buckets(hc, ["chunk_id", "chunk_val"])
+    # r14: persist the CAPPED chunk table — both sides of the chunk
+    # join otherwise re-run the posexplode + cap count-shuffle +
+    # anti-join from the h cache (the band-table lesson; profiled as
+    # two near-identical 32-task stages)
+    hc = cap_hot_buckets(hc, ["chunk_id", "chunk_val"]).persist()
     a = hc.select(F.col("doc_id").alias("doc_a"),
                   *[F.col(f"c{c}").alias(f"a{c}")
                     for c in range(SIMHASH64_CHUNKS)],

@@ -68,11 +68,38 @@ def build_nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(f"(w * {PROB_SCALE}) DIV wout").alias("p")))
 
 
+DRIVER_PR_MAX_EDGES = 1_000_000  # below this the rank loop runs on the
+# driver over the collected edge list — the _driver_union_find device:
+# each distributed iteration costs 3 shuffle stages of pure scheduling
+# overhead (measured: 36 jobs / 2.8 s wall for 3.5 s TOTAL executor
+# time on the 25-node nation graph), while 1M (src, dst, p) rows are
+# ~24 MB of longs on the driver. The arithmetic is the same scaled
+# integer DIV on both paths, so the result is bit-identical and the
+# shared SQL oracle replays either.
+
+
 def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
              iterations: int = ITERATIONS) -> DataFrame:
     """Scaled-integer damped PageRank; ``nodes`` has column ``node``,
     ``edges`` has (src, dst, p) with p at PROB_SCALE."""
     base = (15 * RANK_SCALE) // (100 * n_nodes)
+    erows = edges.select("src", "dst", "p") \
+        .limit(DRIVER_PR_MAX_EDGES + 1).collect()
+    if len(erows) <= DRIVER_PR_MAX_EDGES:
+        nrows = [r["node"] for r in nodes.select("node").collect()]
+        rank = {n: RANK_SCALE // n_nodes for n in nrows}
+        for _ in range(iterations):
+            contrib: dict = {}
+            for r in erows:
+                rk = rank.get(r["src"])
+                if rk is not None:  # inner-join semantics of the loop
+                    contrib[r["dst"]] = contrib.get(r["dst"], 0) \
+                        + (rk * r["p"]) // PROB_SCALE
+            rank = {n: base + (85 * contrib.get(n, 0)) // 100
+                    for n in nrows}
+        id_type = nodes.schema["node"].dataType.simpleString()
+        return nodes.sparkSession.createDataFrame(
+            [(n, rank[n]) for n in nrows], f"node {id_type}, rank long")
     ranks = nodes.select(
         "node", F.lit(RANK_SCALE // n_nodes).cast("long").alias("rank"))
     for _ in range(iterations):

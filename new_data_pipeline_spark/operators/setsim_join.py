@@ -107,7 +107,9 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap-counting strategy: shingle equi-join with map-side
     partial per-pair counts; nothing but (pair, count) rows cross the
     shuffle — no record payloads."""
-    docs = catalog.load(spark, sf_dir, "documents")
+    # r14: spread the 1-file scan before the md5-per-trigram shingle
+    # build (guide §2.5; the hashing-heavy rule from the tokenizer A/B)
+    docs = catalog.spread(catalog.load(spark, sf_dir, "documents"))
     sh = shingle_sets(docs).persist()
     # eager cache fill: the consumers below are NON-IDENTICAL
     # projections, so a cold cache gets raced by independent stages,
@@ -194,7 +196,9 @@ def join_set_similarity_prefix(spark: SparkSession,
     prunes them, exact intersection verifies survivors; identical
     results to the counting strategy, proven by the shared UNBLOCKED
     oracle."""
-    docs = catalog.load(spark, sf_dir, "documents")
+    # r14: spread the 1-file scan before the md5-per-trigram shingle
+    # build (guide §2.5; the hashing-heavy rule from the tokenizer A/B)
+    docs = catalog.spread(catalog.load(spark, sf_dir, "documents"))
     # persist: the shingle subtree feeds frequency counts, prefix
     # explosion, AND both verification sides (the minhash-persist
     # rationale, dedup.py:196)
@@ -275,7 +279,9 @@ def join_set_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     falls to the same MinHash/prefix alternatives as Jaccard; at this
     threshold no length filter applies (containment is intentionally
     size-asymmetric)."""
-    docs = catalog.load(spark, sf_dir, "documents")
+    # r14: spread the 1-file scan before the md5-per-trigram shingle
+    # build (guide §2.5; the hashing-heavy rule from the tokenizer A/B)
+    docs = catalog.spread(catalog.load(spark, sf_dir, "documents"))
     sh = shingle_sets(docs).persist()
     sh.count()  # eager fill: tok + both size projections (3 consumers)
     tok = sh.select("doc_id", F.explode("hs").alias("h"))
