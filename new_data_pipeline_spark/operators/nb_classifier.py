@@ -121,16 +121,36 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial aggregate collapses in the same task the explode runs in
     # (doc rows never split across partitions), so the shuffle moves
     # fewer rows too (guide §2.3 "aggregate before you shuffle").
+    # r14: re-cluster the collapsed rows by doc_id — the groupBy above
+    # hash-partitions by (doc_id, actual, w), scattering each doc's
+    # tokens across every partition, so the ×S scoring aggregate's
+    # partial agg could not collapse (profiled: a 46.6 MB exchange for
+    # a |docs|·S-row result). HashPartitioning(doc_id) satisfies the
+    # clustered distribution of BOTH downstream groupBys (doc_id is a
+    # prefix subset), so the score aggregate and the argmax run with
+    # zero further exchanges and full map-side collapse; the
+    # repartition moves only the 2.6 MB distinct-token rows.
     dtok = (tok.groupBy("doc_id", "actual", "w")
-            .agg(F.count(F.lit(1)).alias("m")))
-    scored = (dtok.crossJoin(F.broadcast(ns))
-              .join(F.broadcast(cnt), ["s", "w"], "left")
-              .withColumn(
-                  "lp",
-                  F.round(F.log((F.coalesce(F.col("c"), F.lit(0)) + 1)
-                                .cast("double")
-                                / (F.col("n") + F.lit(v))), 6)
-                  .cast("decimal(18,6)")))
+            .agg(F.count(F.lit(1)).alias("m"))
+            .repartition("doc_id"))
+    # r14: lp depends only on (s, w) — evaluate the log/round/decimal
+    # chain once per MODEL cell (vocab×S rows) and once per source for
+    # the unseen-token default, not once per scored row (was |dtok|·S
+    # evaluations inside the scoring stage). The operands are the
+    # identical doubles, so the rounded decimals are bit-equal.
+    model = (cnt.join(F.broadcast(ns), "s")
+             .select("s", "w",
+                     F.round(F.log((F.col("c") + 1).cast("double")
+                                   / (F.col("n") + F.lit(v))), 6)
+                     .cast("decimal(18,6)").alias("mlp")))
+    defaults = ns.select(
+        "s",
+        F.round(F.log(F.lit(1).cast("double")
+                      / (F.col("n") + F.lit(v))), 6)
+        .cast("decimal(18,6)").alias("lp0"))
+    scored = (dtok.crossJoin(F.broadcast(defaults))
+              .join(F.broadcast(model), ["s", "w"], "left")
+              .withColumn("lp", F.coalesce(F.col("mlp"), F.col("lp0"))))
     agg = (scored.groupBy("doc_id", "actual", "s")
            .agg(F.sum(F.col("lp") * F.col("m")).alias("tok_lp")))
     fullsc = (agg.join(F.broadcast(pri), agg["s"] == pri["ps"])
