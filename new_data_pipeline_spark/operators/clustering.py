@@ -290,9 +290,15 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numpy work (the cost is CPU per cell, not bytes — same trap as
     # the CEP batch twin, streaming/cep.py)
     sc = assigned.sparkSession.sparkContext
+    # r14: single-partition sort instead of orderBy — rangepartitioning
+    # SAMPLES its child, and here the child is the pandas stage itself
+    # (no shuffle boundary between them), so orderBy ran the whole
+    # per-cell numpy pass TWICE (profiled as two 7.5 exec-s stage
+    # twins). One row per cell comes out, so one sorted partition is
+    # the right shape at any scale; the global order is identical.
     return (assigned.repartition(sc.defaultParallelism, "cell")
             .groupBy("cell").applyInPandas(_cell_pairs, out_schema)
-            .orderBy("cell"))
+            .repartition(1).sortWithinPartitions("cell"))
 
 
 EMB_DIM = 64  # embeddings table dimension (driver-generated fixture)
