@@ -106,15 +106,24 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     okey = F.concat(
         F.lpad(F.unix_micros("tts").cast("string"), 20, "0"),
         F.lpad(F.col("tid").cast("string"), 12, "0"))
+    # r14: persist the attributed-touch rows and the per-conversion
+    # aggregate — j feeds pc and cc (two non-identical consumers) and
+    # pc feeds lin/fst/lst (three), so the interval join otherwise
+    # re-executes per consumer (only its input shuffles are reused).
+    # Both are narrow projections (|attributed touches| and
+    # |conversions| rows); one final action, so the fill races at most
+    # once and converges into the cache.
     j = (conv.join(touch, "user_id")
          .filter((F.col("tts") < F.col("cts"))
                  & (F.col("tts") >= F.col("cts")
                     - F.expr(f"INTERVAL {LOOKBACK_HOURS} HOURS")))
-         .select("cid", "channel", okey.alias("okey")))
+         .select("cid", "channel", okey.alias("okey"))
+         .persist())
     pc = (j.groupBy("cid")
           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                F.expr("min_by(channel, okey)").alias("first_ch"),
-               F.expr("max_by(channel, okey)").alias("last_ch")))
+               F.expr("max_by(channel, okey)").alias("last_ch"))
+          .persist())
     cc = (j.groupBy("cid", "channel")
           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
     lin = (cc.join(pc.select("cid", "n"), "cid")

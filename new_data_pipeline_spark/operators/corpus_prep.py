@@ -373,7 +373,10 @@ def text_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash; the eval side is typically tiny, so Spark broadcasts it —
     either orientation stays a single equi-join.
     """
-    docs = catalog.load(spark, sf_dir, "documents")
+    # r14: spread the 1-file scan before the md5-per-gram build (guide
+    # §2.5; the hashing-heavy rule) — both the train and probe branches
+    # inherit the parallelized exchange, which Spark reuses across them
+    docs = catalog.spread(catalog.load(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     grams = F.expr(f"""
         array_distinct(transform(
