@@ -223,10 +223,15 @@ def test_ivf_assignment_is_mapside_argmax(spark):
         f"expected <=2 Window ops (x2 for formatted-plan echo), saw {n_windows}"
 
 
-def test_pagerank_partial_aggregates_and_caches_edges(spark):
-    """Each power iteration must combine contributions map-side
-    (partial_sum before the shuffle on dst) and reuse the persisted
-    edge table instead of re-joining the 4-table star per round."""
+def test_pagerank_partial_aggregates_and_caches_edges(spark, monkeypatch):
+    """Each DISTRIBUTED power iteration must combine contributions
+    map-side (partial_sum before the shuffle on dst) and reuse the
+    persisted edge table instead of re-joining the 4-table star per
+    round. The gate itself takes the driver loop below
+    DRIVER_PR_MAX_EDGES (r14), so force the distributed path here."""
+    from new_data_pipeline_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "DRIVER_PR_MAX_EDGES", 0)
     p = plan_text(spark, "graph_pagerank")
     assert "partial_sum" in p, "contribution aggregate must combine map-side"
     assert "InMemoryTableScan" in p, \
