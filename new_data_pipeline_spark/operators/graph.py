@@ -376,8 +376,10 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the independent stages (the incremental-LSH lesson, BASELINE.md
     # round 8). The count is O(1) driver metadata, no extra job.
     n_e = e.count()
-    deg = (e.select(F.col("u").alias("node"))
-           .unionAll(e.select(F.col("v").alias("node")))
+    # r14: explode instead of union — ONE pass over the cached edge
+    # list per degree build instead of two (the du/dv broadcast builds
+    # each execute this subtree)
+    deg = (e.select(F.explode(F.array("u", "v")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
            .persist())
     wedges = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
@@ -455,8 +457,8 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(coin < F.lit(DOULION_HEX_LIMIT))
          .distinct().persist())
     n_s = s.count()  # cache fill + O(1) result metadata
-    deg = (s.select(F.col("u").alias("node"))
-           .unionAll(s.select(F.col("v").alias("node")))
+    # r14: explode instead of union — one cache pass per degree build
+    deg = (s.select(F.explode(F.array("u", "v")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
     tri = _count_triangles(s, deg, n_s)
     return tri.select(
