@@ -122,67 +122,67 @@ QUERIES: dict[str, QuerySpec] = {}
 # BI_RLE8 fixture, so its gate values cannot move; the MSRLE decode
 # body is byte-unchanged).
 GATE_PRIORITY: tuple[str, ...] = (
-    # ---- changed in round 13 (ADVICE r12 high fix) ----
-    "sample_temperature_mixture",
-    # ---- added in round 13 ----
-    "sim_ivf_serve_batches",
-    "multimodal_video_i420",
-    # ---- rotation: the ten age-5 r7-era queries ----
-    "ml_target_encoding",
-    "cluster_kmeans_assign",
-    "graph_pagerank",
-    "join_set_similarity",
+    # ---- round-14 window: 44 optimization-changed queries (the
+    # every-changed-query rule; r14 touched the spread/persist/
+    # join-shape paths of the dedup, similarity, clustering,
+    # retrieval, graph, setsim, basket, attribution, NB, ACID-merge
+    # and bucketed-layout families) ----
+    "pricing_summary",
+    "store_merge_upsert",
+    "stream_merge_apply",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
+    "dedup_lsh_bucketed_probe",
+    "stream_neardup_filter",
+    "dedup_cluster_components",
+    "dedup_simhash",
+    "dedup_simhash64_hamming",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_apply_minhash",
+    "dedup_lsh_recall_eval",
+    "sim_bruteforce_topk",
     "sim_lsh_topk",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q16_supplier_part_count",
-    "tpch_q21_waiting_supplier",
-    # ---- rotation: round-8 block (37 of 39) ----
-    "agg_argmin_argmax",
-    "agg_count_distinct",
-    "agg_minmax_percentile",
-    "agg_stats_moments",
-    "cep_branching_funnel",
-    "cep_stream_funnel",
-    "funnel_conversion",
-    "ingest_flatten_cast",
-    "ingest_mimo_zip",
-    "join_anti",
-    "join_broadcast_dim",
+    "sim_ivf_topk",
+    "sim_ivf_bucketed_probe",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_bucketed_probe",
+    "sim_pq_bucketed_probe",
+    "sim_random_projection_topk",
+    "sim_rp_ivf_topk",
+    "sim_ann_recall_eval",
+    "sim_ivf_serve_batches",
+    "cluster_kmeans_assign",
+    "cluster_kmeans_lloyd",
+    "dedup_semdedup_cells",
+    "text_tfidf_retrieval",
+    "text_bm25_retrieval",
+    "events_attribution",
+    "text_nb_source_classifier",
+    "graph_pagerank",
+    "graph_triangle_stats",
+    "graph_triangle_doulion",
+    "graph_triangle_census_auto",
+    "join_set_similarity",
+    "join_set_similarity_prefix",
+    "join_set_containment",
+    "ml_market_basket_lift",
+    "text_contamination_ngrams",
     "join_bucketed_colocated",
-    "join_full_outer",
-    "join_left_outer",
-    "join_range_bands",
-    "join_semi",
-    "join_theta_self",
-    "layout_zorder_scan",
-    "map_funcs",
-    "scalar_date_funcs",
-    "scalar_json_funcs",
-    "scalar_math_conditional",
-    "setop_except",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all_counts",
-    "setop_union_distinct",
-    "sort_limit_global",
-    "store_compaction_scan",
-    "store_delete_rows",
-    "tpch_q20_promotion_stock",
-    "tpch_q2_min_cost_supplier",
-    "window_first_last",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_running_sum",
-    "window_sliding_frame",
-    # ---- first-50 window boundary: "window_sliding_frame" is slot
-    # 50 (1 changed + 2 added + 10 r7 + 37 r8); everything below is
-    # OUTSIDE the graded window this round ----
+    # ---- remaining slots: oldest exposure first — the two age-6
+    # r8 leftovers (VERDICT r13 #1), then the r9 block head ----
     "projection_filter",
     "distinct_rows",
-    # earlier-verified families follow in registration order via
-    # gate_ordered(); nothing below needs an explicit slot.
+    "join_salted_skew",
+    "agg_approx_distinct",
+    "agg_corr_regression",
+    "agg_bitwise_bool",
+    # ---- first-50 window boundary: slot 50 is "agg_bitwise_bool"
+    # (44 changed + 2 age-6 + 4 r9); everything below is OUTSIDE
+    # the graded window this round; earlier-verified families
+    # follow in registration order via gate_ordered(). ----
 )
 
 

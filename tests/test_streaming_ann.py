@@ -96,17 +96,38 @@ def test_serve_from_bucketed_catalog_index_is_shuffle_free(spark):
                   ivf_serve_batch(queries, cents, assigned).collect())
     assert sorted(tuple(r) for r in served.collect()) == want
 
+    # pin the AT-SCALE plan shape: at smoke scale the compacted
+    # bucketed index estimates under the auto-broadcast threshold and
+    # Spark (correctly) broadcasts it — disable that to expose the
+    # over-threshold plan the guarantee is about (the
+    # test_physical.py bucketed-probe device)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        served = ivf_serve_batch(queries, cents, idx)
+        served.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
     import contextlib
     import io
-    import re
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         served.explain("formatted")
     plan = buf.getvalue()
     assert tbl in plan
-    # only the probe side and the rank window may exchange; the
-    # bucketed index scan satisfies the cell join's distribution
-    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_ex <= 3, f"{n_ex} exchanges:\n{plan}"
+    # The pay-the-shuffle-once guarantee is about the INDEX side: no
+    # Exchange may sit between the bucketed index scan and its join
+    # (the probe side and the rank window are free to exchange — r14's
+    # scan-spread adds a repartition on the embeddings-derived probe
+    # side, which made the former global exchange COUNT bound both
+    # wrong and beside the point). JVM-tree walk, the
+    # test_physical.py device.
+    from tests.test_physical import _ancestors_of_scan
+    for name in _ancestors_of_scan(served, tbl):
+        assert "Exchange" not in name, \
+            f"exchange above the bucketed index scan: {name}"
+        if "Join" in name:
+            break
     spark.catalog.clearCache()
