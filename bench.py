@@ -240,8 +240,8 @@ BASELINE_TOTAL_SEC = 62.12
 # {"flagged": {name: ratio}}. Queries without a recorded baseline
 # (newly added to HEADLINE) are skipped until a quiet record exists.
 #
-# Anchor provenance: the round-13 quiet draw (load_start 0.24, all 34
-# verdicts "quiet", persisted blocks 0, total 66.914 s) — one
+# Anchor provenance: the round-14 end-of-round quiet draw (see
+# BASELINE.md round 14) — one
 # SELF-CONSISTENT draw, not a min over rounds: the first live run of
 # these flags used per-query minima over the r9/r10/r12 driver records
 # and fired 8 false positives on sub-second queries whose r9-era lows
@@ -255,40 +255,40 @@ BASELINE_TOTAL_SEC = 62.12
 # job is outlier detection, not cross-round bookkeeping.
 QUERY_FLAG_RATIO = 1.5
 BASELINE_QUERY_SEC: dict[str, float] = {
-    "agg_rollup": 0.693,
-    "cep_stream_funnel": 0.515,
-    "corpus_e2e_curation": 1.034,
-    "dedup_cluster_components": 4.258,
-    "dedup_lsh_recall_eval": 1.645,
-    "dedup_minhash_lsh": 2.987,
-    "dedup_semdedup_cells": 1.878,
-    "dedup_simhash64_hamming": 3.849,
-    "events_attribution": 1.104,
-    "flagship_revenue_by_nation": 2.047,
-    "graph_pagerank": 3.097,
-    "graph_triangle_doulion": 5.004,
-    "join_asof_event_streams": 0.681,
-    "join_left_outer": 0.92,
-    "join_set_similarity": 2.619,
-    "ml_market_basket_lift": 2.182,
-    "pricing_summary": 1.178,
-    "sim_bruteforce_topk": 0.592,
-    "sim_ivf_bucketed_probe": 1.864,
-    "sim_ivfpq_topk": 4.67,
-    "store_merge_upsert": 1.565,
-    "stream_neardup_filter": 3.488,
-    "stream_session_window": 0.557,
-    "text_bm25_retrieval": 3.399,
-    "text_boilerplate_strip": 0.643,
-    "text_bow_vectorize": 1.03,
-    "text_bpe_token_counts": 0.61,
-    "text_contamination_ngrams": 1.493,
-    "text_heavy_hitters": 0.727,
-    "text_nb_source_classifier": 5.917,
-    "text_term_stats": 0.47,
-    "text_tfidf_retrieval": 3.211,
-    "window_running_sum": 0.474,
-    "window_topk_per_group": 0.513,
+    "agg_rollup": 0.626,
+    "cep_stream_funnel": 0.533,
+    "corpus_e2e_curation": 0.706,
+    "dedup_cluster_components": 1.949,
+    "dedup_lsh_recall_eval": 1.283,
+    "dedup_minhash_lsh": 1.313,
+    "dedup_semdedup_cells": 1.056,
+    "dedup_simhash64_hamming": 3.018,
+    "events_attribution": 0.841,
+    "flagship_revenue_by_nation": 1.547,
+    "graph_pagerank": 1.293,
+    "graph_triangle_doulion": 2.732,
+    "join_asof_event_streams": 0.343,
+    "join_left_outer": 0.561,
+    "join_set_similarity": 0.934,
+    "ml_market_basket_lift": 1.532,
+    "pricing_summary": 0.871,
+    "sim_bruteforce_topk": 0.474,
+    "sim_ivf_bucketed_probe": 1.16,
+    "sim_ivfpq_topk": 1.86,
+    "store_merge_upsert": 1.674,
+    "stream_neardup_filter": 1.514,
+    "stream_session_window": 0.428,
+    "text_bm25_retrieval": 1.789,
+    "text_boilerplate_strip": 0.519,
+    "text_bow_vectorize": 0.84,
+    "text_bpe_token_counts": 0.425,
+    "text_contamination_ngrams": 0.928,
+    "text_heavy_hitters": 0.524,
+    "text_nb_source_classifier": 2.497,
+    "text_term_stats": 0.456,
+    "text_tfidf_retrieval": 1.969,
+    "window_running_sum": 0.333,
+    "window_topk_per_group": 0.446,
 }
 
 
