@@ -53,6 +53,8 @@ OFF = 10**12
 
 VOWELS = "aeiou"
 CONS = "bcdfg"
+CONS2 = "hjklm"  # third rotation class: keeps the triple injective
+#                  through factor 125 (r14: the 30x audit needs > 25)
 
 
 def _rot(s: str, k: int) -> str:
@@ -60,21 +62,24 @@ def _rot(s: str, k: int) -> str:
     return s[k:] + s[:k]
 
 
-def _rotations(i: int) -> tuple[int, int]:
-    """Distinct (vowel, consonant) rotation pair per copy. The naive
-    (i%5, 2i%5) repeats with period 5 (copy i+5 == copy i — ADVICE r5:
-    verbatim cross-copy duplicates); folding i//5 into the consonant
-    rotation makes the pair injective over i in [0, 25)."""
-    return i % 5, (2 * i + i // 5) % 5
+def _rotations(i: int) -> tuple[int, int, int]:
+    """Distinct (vowel, consonant, consonant2) rotation triple per
+    copy. The naive (i%5, 2i%5) repeats with period 5 (copy i+5 ==
+    copy i — ADVICE r5: verbatim cross-copy duplicates); folding i//5
+    into the second class extends injectivity to [0, 25), and the
+    third class (i//25) to [0, 125) — the r14 30x audit needs > 25."""
+    return i % 5, (2 * i + i // 5) % 5, (i // 25) % 5
 
 
 def _perturb_text(col, i: int):
     if i == 0:
         return col
-    rv, rc = _rotations(i)
-    src = VOWELS + CONS + VOWELS.upper() + CONS.upper()
-    dst = (_rot(VOWELS, rv) + _rot(CONS, rc)
-           + _rot(VOWELS.upper(), rv) + _rot(CONS.upper(), rc))
+    rv, rc, rc2 = _rotations(i)
+    src = (VOWELS + CONS + CONS2
+           + VOWELS.upper() + CONS.upper() + CONS2.upper())
+    dst = (_rot(VOWELS, rv) + _rot(CONS, rc) + _rot(CONS2, rc2)
+           + _rot(VOWELS.upper(), rv) + _rot(CONS.upper(), rc)
+           + _rot(CONS2.upper(), rc2))
     return F.translate(col, src, dst)
 
 
