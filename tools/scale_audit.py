@@ -96,14 +96,18 @@ def main(reps: int = 3, only: list[str] | None = None) -> None:
     from new_data_pipeline_spark import registry  # noqa: F401
     import __spark_entry__ as entry
 
-    spark = (SparkSession.builder.master(
-        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .appName("ndp-scale-audit")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "96g")
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate())
+    # r14: audit under the ENGINE's session factory, not a hand-rolled
+    # builder — the old builder lacked the tuned configs the product
+    # actually runs (AQE minPartitionSize floor, SHJ rewrite, broadcast
+    # threshold), and at 30x that measured a 100.7 s dedup_minhash_lsh
+    # (alpha 1.16) where the engine session runs the same query in
+    # 6.4 s (alpha ~0.5): small-byte CPU-dense shuffles coalesced onto
+    # 1-2 tasks under the default 1m floor, serializing the verify
+    # stage. Driver memory stays overridable for huge factors.
+    from new_data_pipeline_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "96g")
+    spark = get_spark(app_name="ndp-scale-audit")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry.queries()
 
