@@ -112,8 +112,12 @@ def main(factor: int = 10) -> None:
              .config("spark.driver.memory", "48g")
              .getOrCreate())
     pairs = [_rotations(i) for i in range(factor)]
-    assert len(set(pairs)) == factor, (
-        f"text perturbation not injective for factor={factor}: {pairs}")
+    # raise, not assert (ADVICE r14): python -O strips asserts, and a
+    # silently non-injective factor would regenerate duplicate-text
+    # fixtures — same pattern as the graft-anchor checks below
+    if len(set(pairs)) != factor:
+        raise RuntimeError(
+            f"text perturbation not injective for factor={factor}: {pairs}")
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT, exist_ok=True)
 

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Dump .explain('formatted') for headline (or named) queries to
-plans/r14/<query>_<tag>.txt — the optimization round's evidence files.
+plans/r{N}/<query>_<tag>.txt — the optimization round's evidence files.
 
 Usage: python tools/plan_dump.py <tag> [query ...]
   tag      'before' | 'after' (file suffix)
   query    names; default = bench.HEADLINE
+Env: SPARK_GRAFT_PLANS_DIR (default 'r15') picks the plans/ subdir.
 """
 
 from __future__ import annotations
@@ -23,8 +24,9 @@ def main() -> None:
     import bench
     names = sys.argv[2:] or list(bench.HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     engine.load_all()
     spark = get_spark(app_name=f"plan_dump_{tag}")
